@@ -1,0 +1,262 @@
+"""Functional NN primitives (channels-last, TPU-friendly).
+
+Every layer is a pair of functions: ``init_*`` builds a params pytree (nested
+dicts of jnp arrays) and a matching ``*_apply`` that is pure and jit/vmap/pjit
+compatible.  All sequence tensors are (B, T, C) — channels-last keeps XLA's
+conv and matmul tiling on the MXU without layout transposes (the reference's
+NCW torch layout is converted at checkpoint load).
+
+Replaces torch primitives used throughout the reference modules
+(`sparktts/modules/blocks/layers.py`, `vocos.py`): weight-normalized convs are
+folded to plain convs at load time (reference folds them too at inference —
+`bicodec.py:109` remove_weight_norm), BatchNorm is applied in inference form.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def trunc_normal(key, shape, std=0.02, dtype=jnp.float32):
+    """Truncated normal in [-2std, 2std] (reference init, `vocos.py:319-322`)."""
+    return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+
+
+# ---------------------------------------------------------------------------
+# Linear
+# ---------------------------------------------------------------------------
+
+
+def init_linear(key, in_dim: int, out_dim: int, bias: bool = True, std: float = 0.02):
+    kw, _ = jax.random.split(key)
+    p = {"w": trunc_normal(kw, (in_dim, out_dim), std)}
+    if bias:
+        p["b"] = jnp.zeros((out_dim,))
+    return p
+
+
+def linear_apply(p, x):
+    y = jnp.matmul(x, p["w"])
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Conv1d (NWC).  Kernel layout: (K, Cin // groups, Cout) == lax 'WIO'.
+# ---------------------------------------------------------------------------
+
+
+def init_conv1d(
+    key,
+    in_channels: int,
+    out_channels: int,
+    kernel_size: int,
+    groups: int = 1,
+    bias: bool = True,
+    std: float = 0.02,
+):
+    kw, _ = jax.random.split(key)
+    p = {"w": trunc_normal(kw, (kernel_size, in_channels // groups, out_channels), std)}
+    if bias:
+        p["b"] = jnp.zeros((out_channels,))
+    return p
+
+
+def conv1d_apply(
+    p,
+    x,
+    stride: int = 1,
+    padding: int = 0,
+    dilation: int = 1,
+    groups: int = 1,
+):
+    """x: (B, T, C) → (B, T', Cout).  ``padding`` is symmetric, torch-style."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["w"],
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=groups,
+    )
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def init_conv_transpose1d(
+    key,
+    in_channels: int,
+    out_channels: int,
+    kernel_size: int,
+    groups: int = 1,
+    bias: bool = True,
+    std: float = 0.02,
+):
+    """Params stored pre-converted to the equivalent lhs-dilated forward conv:
+    kernel (K, Cin // groups, Cout), spatially flipped relative to torch's
+    ConvTranspose1d weight (the checkpoint converter performs the same
+    flip/transpose on real weights)."""
+    kw, _ = jax.random.split(key)
+    p = {"w": trunc_normal(kw, (kernel_size, in_channels // groups, out_channels), std)}
+    if bias:
+        p["b"] = jnp.zeros((out_channels,))
+    return p
+
+
+def conv_transpose1d_apply(
+    p,
+    x,
+    stride: int,
+    padding: int = 0,
+    output_padding: int = 0,
+    groups: int = 1,
+):
+    """Torch-semantics ConvTranspose1d via an input-dilated conv.
+
+    out_len = (in - 1) * stride - 2 * padding + kernel + output_padding, which
+    is what the reference's WaveGenerator/SamplingBlock upsamplers rely on
+    (reference `wave_generator.py:40-50`, `samper.py:44-56`).  XLA has no
+    output_padding; the asymmetric explicit padding below reproduces it.
+    """
+    k = p["w"].shape[0]
+    lo = k - 1 - padding
+    hi = k - 1 - padding + output_padding
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["w"],
+        window_strides=(1,),
+        padding=[(lo, hi)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=groups,
+    )
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Norms
+# ---------------------------------------------------------------------------
+
+
+def init_layer_norm(dim: int):
+    return {"gamma": jnp.ones((dim,)), "beta": jnp.zeros((dim,))}
+
+
+def layer_norm_apply(p, x, eps: float = 1e-6):
+    # Normalize in fp32 for bf16 safety, cast back.
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * p["gamma"] + p["beta"]).astype(orig_dtype)
+
+
+def init_ada_layer_norm(key, condition_dim: int, dim: int):
+    """AdaLayerNorm: scale/shift produced from a condition vector (reference
+    `vocos.py:87-110`; note reference inits scale weight to ones)."""
+    k1, k2 = jax.random.split(key)
+    scale = init_linear(k1, condition_dim, dim)
+    shift = init_linear(k2, condition_dim, dim)
+    scale["w"] = jnp.ones((condition_dim, dim))
+    shift["w"] = jnp.zeros((condition_dim, dim))
+    return {"scale": scale, "shift": shift}
+
+
+def ada_layer_norm_apply(p, x, cond, eps: float = 1e-6):
+    """x: (B, T, C); cond: (B, condition_dim)."""
+    scale = linear_apply(p["scale"], cond)  # (B, C)
+    shift = linear_apply(p["shift"], cond)
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale[:, None, :] + shift[:, None, :]).astype(orig_dtype)
+
+
+def init_batch_norm(dim: int):
+    """Inference-mode BatchNorm1d params (running stats baked in at load)."""
+    return {
+        "gamma": jnp.ones((dim,)),
+        "beta": jnp.zeros((dim,)),
+        "mean": jnp.zeros((dim,)),
+        "var": jnp.ones((dim,)),
+    }
+
+
+def batch_norm_apply(p, x, eps: float = 1e-5):
+    """x: (..., C) channels-last; uses running statistics (eval mode)."""
+    inv = jax.lax.rsqrt(p["var"] + eps)
+    return (x - p["mean"]) * inv * p["gamma"] + p["beta"]
+
+
+def init_rms_norm(dim: int):
+    return {"gamma": jnp.ones((dim,))}
+
+
+def rms_norm_apply(p, x, eps: float = 1e-6):
+    """Qwen-style RMSNorm (variance over last dim, fp32 internally)."""
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    return (x32 * jax.lax.rsqrt(var + eps)).astype(orig_dtype) * p["gamma"]
+
+
+def l2norm_scale_apply(p, x, scale: float):
+    """Perceiver RMSNorm variant: F.normalize(x) * sqrt(dim) * gamma
+    (reference `perceiver_encoder.py:195-214`)."""
+    norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True))
+    y = x / jnp.maximum(norm, 1e-12)
+    return y * scale * p["gamma"]
+
+
+# ---------------------------------------------------------------------------
+# Activations
+# ---------------------------------------------------------------------------
+
+
+def gelu(x):
+    """Exact (erf) GELU — torch nn.GELU default used by the reference."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def snake(x, alpha):
+    """Snake activation x + sin^2(alpha x) / alpha (reference
+    `layers.py:33-39`).  alpha: (C,) broadcast over (B, T, C)."""
+    s = jnp.sin(alpha * x)
+    return x + s * s / (alpha + 1e-9)
+
+
+def init_snake(channels: int):
+    return {"alpha": jnp.ones((channels,))}
+
+
+def snake_apply(p, x):
+    return snake(x, p["alpha"])
+
+
+def leaky_relu(x, negative_slope: float = 0.2):
+    return jnp.where(x >= 0, x, negative_slope * x)
+
+
+# ---------------------------------------------------------------------------
+# Embedding
+# ---------------------------------------------------------------------------
+
+
+def init_embedding(key, num_embeddings: int, dim: int, std: float = 0.02):
+    return {"w": std * jax.random.normal(key, (num_embeddings, dim))}
+
+
+def embedding_apply(p, ids):
+    return jnp.take(p["w"], ids, axis=0)
