@@ -1,0 +1,99 @@
+"""BiCodec: the composite neural speech codec.
+
+TPU rebuild of reference `sparktts/models/bicodec.py:31-221`.  The composite
+holds pure functions over a single params pytree; `tokenize` and `detokenize`
+are designed to be jitted as whole programs (the reference's ONNX export
+partitions the model the same way, `export_sparktts_onnx.py`).
+
+Canonical shapes (channels-last):
+  feat            (B, T50, 1024)   wav2vec2 features at 50 Hz
+  ref_wav         (B, T16k)        6 s reference clip
+  semantic tokens (B, T50) int32
+  global tokens   (B, token_num) int32
+  wav             (B, T16k)        output waveform
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sparktts_tpu.codec.feat_decoder import feat_decoder_apply, init_feat_decoder
+from sparktts_tpu.codec.feat_encoder import feat_encoder_apply, init_feat_encoder
+from sparktts_tpu.codec.fvq import fvq_detokenize, fvq_forward, fvq_tokenize, init_fvq
+from sparktts_tpu.codec.speaker_encoder import (
+    init_speaker_encoder,
+    speaker_encoder_detokenize,
+    speaker_encoder_forward,
+    speaker_encoder_tokenize,
+)
+from sparktts_tpu.codec.wave_generator import init_wave_generator, wave_generator_apply
+from sparktts_tpu.config import BiCodecConfig
+from sparktts_tpu.dsp.mel import make_mel_basis, mel_spectrogram
+
+
+def init_bicodec(key, cfg: BiCodecConfig):
+    keys = jax.random.split(key, 6)
+    return {
+        "encoder": init_feat_encoder(keys[0], cfg.encoder),
+        "quantizer": init_fvq(keys[1], cfg.quantizer),
+        "speaker_encoder": init_speaker_encoder(keys[2], cfg.speaker_encoder),
+        "prenet": init_feat_decoder(keys[3], cfg.prenet),
+        "postnet": init_feat_decoder(keys[4], cfg.postnet),
+        "decoder": init_wave_generator(keys[5], cfg.decoder),
+    }
+
+
+def bicodec_tokenize(
+    p, cfg: BiCodecConfig, feat: jax.Array, ref_wav: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """(feat, ref_wav) → (semantic_tokens (B, T), global_tokens (B, N))
+    (reference `bicodec.py:151-169`)."""
+    basis = make_mel_basis(cfg.mel_params)
+    mel = mel_spectrogram(ref_wav, basis)  # (B, T_mel, n_mels)
+    z = feat_encoder_apply(p["encoder"], feat, cfg.encoder)
+    semantic_tokens = fvq_tokenize(p["quantizer"], z)
+    global_tokens = speaker_encoder_tokenize(p["speaker_encoder"], mel, cfg.speaker_encoder)
+    return semantic_tokens, global_tokens
+
+
+def bicodec_detokenize(
+    p, cfg: BiCodecConfig, semantic_tokens: jax.Array, global_tokens: jax.Array
+) -> jax.Array:
+    """(semantic (B, T), global (B, N)) → waveform (B, T * hop)
+    (reference `bicodec.py:171-189`)."""
+    z_q = fvq_detokenize(p["quantizer"], semantic_tokens)
+    d_vector = speaker_encoder_detokenize(p["speaker_encoder"], global_tokens, cfg.speaker_encoder)
+    x = feat_decoder_apply(p["prenet"], z_q, cfg.prenet, cond=d_vector)
+    x = x + d_vector[:, None, :]
+    wav = wave_generator_apply(p["decoder"], x, cfg.decoder)
+    return wav[..., 0]  # (B, T, 1) → (B, T)
+
+
+def bicodec_forward(
+    p, cfg: BiCodecConfig, feat: jax.Array, ref_wav: jax.Array
+) -> Dict[str, jax.Array]:
+    """Training-style forward returning reconstruction and stats
+    (reference `bicodec.py:113-149`, eval path)."""
+    basis = make_mel_basis(cfg.mel_params)
+    mel = mel_spectrogram(ref_wav, basis)
+    z = feat_encoder_apply(p["encoder"], feat, cfg.encoder)
+    vq = fvq_forward(p["quantizer"], z)
+    x_vector, d_vector = speaker_encoder_forward(p["speaker_encoder"], mel, cfg.speaker_encoder)
+
+    x = feat_decoder_apply(p["prenet"], vq["z_q"], cfg.prenet, cond=d_vector)
+    pred_feat = feat_decoder_apply(p["postnet"], x, cfg.postnet)
+    x = x + d_vector[:, None, :]
+    wav_recon = wave_generator_apply(p["decoder"], x, cfg.decoder)[..., 0]
+
+    return {
+        "recons": wav_recon,
+        "pred_feat": pred_feat,
+        "x_vector": x_vector,
+        "d_vector": d_vector,
+        "perplexity": vq["perplexity"],
+        "cluster_size": vq["active_num"],
+        "semantic_indices": vq["indices"],
+    }
