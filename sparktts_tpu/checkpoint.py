@@ -164,3 +164,37 @@ def convert_wav2vec2(state: State, cfg) -> dict:
         "layers": layers,
         "final_ln": t_layer_norm(state, "encoder.layer_norm"),
     }
+
+
+# ---------------------------------------------------------------------------
+# Qwen2.5 LM
+# ---------------------------------------------------------------------------
+
+
+def convert_qwen(state: State, cfg) -> dict:
+    """HF Qwen2ForCausalLM state_dict → `sparktts_tpu.lm.qwen` params."""
+    pfx = "model." if "model.embed_tokens.weight" in state else ""
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        pre = f"{pfx}layers.{i}"
+        layers.append(
+            {
+                "ln1": {"gamma": state[f"{pre}.input_layernorm.weight"].copy()},
+                "q": t_linear(state, f"{pre}.self_attn.q_proj"),
+                "k": t_linear(state, f"{pre}.self_attn.k_proj"),
+                "v": t_linear(state, f"{pre}.self_attn.v_proj"),
+                "o": t_linear(state, f"{pre}.self_attn.o_proj"),
+                "ln2": {"gamma": state[f"{pre}.post_attention_layernorm.weight"].copy()},
+                "gate": t_linear(state, f"{pre}.mlp.gate_proj"),
+                "up": t_linear(state, f"{pre}.mlp.up_proj"),
+                "down": t_linear(state, f"{pre}.mlp.down_proj"),
+            }
+        )
+    params = {
+        "embed": state[f"{pfx}embed_tokens.weight"].copy(),
+        "layers": layers,
+        "final_ln": {"gamma": state[f"{pfx}norm.weight"].copy()},
+    }
+    if not cfg.tie_word_embeddings and "lm_head.weight" in state:
+        params["lm_head"] = t_linear(state, "lm_head")
+    return params

@@ -1,0 +1,189 @@
+"""Autoregressive generation: jitted prefill + while-loop decode.
+
+The whole generate pass — prefill, every decode step, sampling, EOS tracking —
+is ONE jitted XLA program per (batch, T_pad, max_new_tokens) bucket.  This
+replaces the reference's per-token Python round-trip through HF `generate`
+(reference `cli/SparkTTS.py:197-204`) and the TRT-LLM engine on the serving
+side.  The loop exits early once every sequence hits EOS (`lax.while_loop`),
+so short utterances don't pay for the 3000-token budget.
+
+Separate `prefill`/`decode_step` entry points are exposed for the streaming
+server, which interleaves decode with vocoder calls (SURVEY.md §3.5).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sparktts_tpu.config import QwenConfig
+from sparktts_tpu.lm.qwen import (
+    KVCache,
+    decode_mask_bias,
+    init_kv_cache,
+    prefill_inputs,
+    qwen_forward,
+)
+from sparktts_tpu.lm.sample import greedy_token, sample_token
+
+
+class GenState(NamedTuple):
+    """Carry for the decode loop / streaming server."""
+
+    cache: KVCache
+    cur_token: jax.Array   # (B,) last sampled token
+    step: jax.Array        # scalar int32, tokens generated so far
+    done: jax.Array        # (B,) bool
+    rng: jax.Array
+    start: jax.Array       # (B,) first valid cache slot (left-pad offset)
+    prompt_len: jax.Array  # (B,) true prompt lengths
+
+
+def prefill(
+    params,
+    cfg: QwenConfig,
+    input_ids: jax.Array,    # (B, T_pad) left-padded
+    prompt_mask: jax.Array,  # (B, T_pad) bool
+    cache: KVCache,
+    rng: jax.Array,
+    temperature: float,
+    top_k: int,
+    top_p: float,
+    greedy: bool = False,
+) -> GenState:
+    """Run the prompt through the model, sample the first new token."""
+    t_pad = input_ids.shape[1]
+    positions, bias = prefill_inputs(prompt_mask, cache.max_len)
+    logits, cache = qwen_forward(params, cfg, input_ids, positions, cache, 0, bias)
+    last_logits = logits[:, -1]
+
+    rng, sub = jax.random.split(rng)
+    if greedy:
+        tok = greedy_token(last_logits)
+    else:
+        tok = sample_token(sub, last_logits, temperature, top_k, top_p)
+
+    prompt_len = jnp.sum(prompt_mask.astype(jnp.int32), axis=1)
+    start = t_pad - prompt_len
+    return GenState(
+        cache=cache,
+        cur_token=tok,
+        step=jnp.zeros((), jnp.int32),
+        done=jnp.zeros((input_ids.shape[0],), bool),
+        rng=rng,
+        start=start,
+        prompt_len=prompt_len,
+    )
+
+
+def decode_step(
+    params,
+    cfg: QwenConfig,
+    state: GenState,
+    t_pad: int,
+    temperature: float,
+    top_k: int,
+    top_p: float,
+    eos_ids: Sequence[int],
+    pad_id: int,
+    greedy: bool = False,
+) -> Tuple[GenState, jax.Array]:
+    """Feed the last sampled token, sample the next.  Returns (state, token
+    that was *consumed* this step — i.e. the token at position `step`)."""
+    cache_pos = t_pad + state.step
+    positions = (state.prompt_len + state.step)[:, None]
+    bias = decode_mask_bias(state.start, cache_pos, state.cache.max_len)
+
+    logits, cache = qwen_forward(
+        params, cfg, state.cur_token[:, None], positions, state.cache, cache_pos, bias
+    )
+    rng, sub = jax.random.split(state.rng)
+    if greedy:
+        nxt = greedy_token(logits[:, -1])
+    else:
+        nxt = sample_token(sub, logits[:, -1], temperature, top_k, top_p)
+
+    # `done` flips once the token just consumed/emitted was EOS — the EOS
+    # itself is still part of the output (HF generate semantics).
+    is_eos = jnp.zeros_like(state.done)
+    for e in eos_ids:
+        is_eos = is_eos | (state.cur_token == e)
+    done = state.done | is_eos
+    nxt = jnp.where(done, pad_id, nxt)
+
+    new_state = GenState(
+        cache=cache,
+        cur_token=nxt,
+        step=state.step + 1,
+        done=done,
+        rng=rng,
+        start=state.start,
+        prompt_len=state.prompt_len,
+    )
+    return new_state, state.cur_token
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg",
+        "max_new_tokens",
+        "cache_len",
+        "top_k",
+        "eos_ids",
+        "pad_id",
+        "greedy",
+        "cache_dtype",
+    ),
+)
+def generate(
+    params,
+    cfg: QwenConfig,
+    input_ids: jax.Array,    # (B, T_pad) int32, left-padded
+    prompt_mask: jax.Array,  # (B, T_pad) bool
+    rng: jax.Array,
+    max_new_tokens: int,
+    cache_len: int,
+    temperature: float = 0.8,
+    top_k: int = 50,
+    top_p: float = 0.95,
+    eos_ids: Tuple[int, ...] = (),
+    pad_id: int = 0,
+    greedy: bool = False,
+    cache_dtype=jnp.bfloat16,
+) -> Tuple[jax.Array, jax.Array]:
+    """Full generation.  Returns (tokens (B, max_new_tokens) int32 padded with
+    pad_id after EOS, lengths (B,) including the EOS token)."""
+    b, t_pad = input_ids.shape
+    assert cache_len >= t_pad + max_new_tokens, "cache too small"
+
+    cache = init_kv_cache(cfg, b, cache_len, cache_dtype)
+    state = prefill(
+        params, cfg, input_ids, prompt_mask, cache, rng, temperature, top_k, top_p, greedy
+    )
+
+    tokens0 = jnp.full((b, max_new_tokens), pad_id, jnp.int32)
+
+    def cond(carry):
+        state, _ = carry
+        return (state.step < max_new_tokens) & ~jnp.all(state.done)
+
+    def body(carry):
+        state, tokens = carry
+        # the token produced for position `step` is state.cur_token, masked if
+        # its sequence finished on a previous step
+        emitted = jnp.where(state.done, pad_id, state.cur_token)
+        tokens = jax.lax.dynamic_update_slice(tokens, emitted[:, None], (0, state.step))
+        new_state, _ = decode_step(
+            params, cfg, state, t_pad, temperature, top_k, top_p, eos_ids, pad_id, greedy
+        )
+        return (new_state, tokens)
+
+    state, tokens = jax.lax.while_loop(cond, body, (state, tokens0))
+
+    is_pad = tokens == pad_id
+    lengths = jnp.sum(~is_pad, axis=1).astype(jnp.int32)
+    return tokens, lengths

@@ -1,0 +1,218 @@
+"""Qwen2.5 causal LM in JAX: prefill + single-token decode with a
+preallocated KV cache.
+
+TPU-native replacement for the reference's HF `model.generate` local path
+(reference `cli/SparkTTS.py:197-204`) and its TensorRT-LLM serving engine
+(reference `runtime/triton_trtllm/` — see SURVEY.md §2.2).  Design:
+
+  * Left-padded prompts → every sequence's cache is aligned at the right
+    edge of the prefill window, so decode steps append at one shared static
+    position (single `dynamic_update_slice`, no per-sequence scatter).
+  * KV cache is a pair of (L, B, S, n_kv, hd) arrays donated through the
+    decode step — XLA updates it in place in HBM.
+  * GQA (14 query / 2 kv heads for 0.5B): kv heads broadcast inside einsum,
+    never materialized repeated.
+  * RoPE applied in fp32; logits in fp32; everything else follows the params
+    dtype (bf16 in production).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sparktts_tpu.config import QwenConfig
+from sparktts_tpu.nn.layers import init_linear, linear_apply, rms_norm_apply
+
+
+class KVCache(NamedTuple):
+    k: jax.Array  # (L, B, S, n_kv, hd)
+    v: jax.Array  # (L, B, S, n_kv, hd)
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+
+def init_kv_cache(cfg: QwenConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> KVCache:
+    shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads, cfg.head_dim)
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def init_qwen(key, cfg: QwenConfig, dtype=jnp.float32):
+    keys = jax.random.split(key, cfg.num_hidden_layers + 3)
+    h = cfg.hidden_size
+    q_dim = cfg.num_attention_heads * cfg.head_dim
+    kv_dim = cfg.num_key_value_heads * cfg.head_dim
+
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        ks = jax.random.split(keys[i], 7)
+        layers.append(
+            {
+                "ln1": {"gamma": jnp.ones((h,))},
+                "q": init_linear(ks[0], h, q_dim),
+                "k": init_linear(ks[1], h, kv_dim),
+                "v": init_linear(ks[2], h, kv_dim),
+                "o": init_linear(ks[3], q_dim, h, bias=False),
+                "ln2": {"gamma": jnp.ones((h,))},
+                "gate": init_linear(ks[4], h, cfg.intermediate_size, bias=False),
+                "up": init_linear(ks[5], h, cfg.intermediate_size, bias=False),
+                "down": init_linear(ks[6], cfg.intermediate_size, h, bias=False),
+            }
+        )
+
+    params = {
+        "embed": 0.02 * jax.random.normal(keys[-1], (cfg.vocab_size, h)),
+        "layers": layers,
+        "final_ln": {"gamma": jnp.ones((h,))},
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = init_linear(keys[-2], h, cfg.vocab_size, bias=False)
+    return jax.tree.map(lambda x: x.astype(dtype), params)
+
+
+# ---------------------------------------------------------------------------
+# RoPE
+# ---------------------------------------------------------------------------
+
+
+def rope_frequencies(cfg: QwenConfig) -> np.ndarray:
+    hd = cfg.head_dim
+    return 1.0 / (cfg.rope_theta ** (np.arange(0, hd, 2, dtype=np.float64) / hd))
+
+
+def apply_rope(x: jax.Array, positions: jax.Array, cfg: QwenConfig) -> jax.Array:
+    """x: (B, T, n_heads, hd); positions: (B, T) int32.  HF 'neox' rotation
+    (rotate_half over contiguous halves) in fp32."""
+    inv_freq = jnp.asarray(rope_frequencies(cfg), dtype=jnp.float32)
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq  # (B, T, hd/2)
+    cos = jnp.cos(angles)[:, :, None, :]
+    sin = jnp.sin(angles)[:, :, None, :]
+    x32 = x.astype(jnp.float32)
+    x1, x2 = jnp.split(x32, 2, axis=-1)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _attention_block(
+    layer,
+    x: jax.Array,
+    positions: jax.Array,
+    cache_k: jax.Array,
+    cache_v: jax.Array,
+    write_pos: int | jax.Array,
+    key_mask_bias: jax.Array,
+    cfg: QwenConfig,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Shared attention for prefill (T>=1) and decode (T=1).
+
+    cache_k/v: (B, S, n_kv, hd); new keys written at [write_pos, write_pos+T).
+    key_mask_bias: (B, T, S) additive fp32 bias (0 valid / -inf invalid),
+    already encoding causality and left-pad masking.
+    """
+    b, t, h = x.shape
+    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    q = linear_apply(layer["q"], x).reshape(b, t, nh, hd)
+    k = linear_apply(layer["k"], x).reshape(b, t, nkv, hd)
+    v = linear_apply(layer["v"], x).reshape(b, t, nkv, hd)
+
+    q = apply_rope(q, positions, cfg)
+    k = apply_rope(k, positions, cfg)
+
+    cache_k = jax.lax.dynamic_update_slice(cache_k, k.astype(cache_k.dtype), (0, write_pos, 0, 0))
+    cache_v = jax.lax.dynamic_update_slice(cache_v, v.astype(cache_v.dtype), (0, write_pos, 0, 0))
+
+    group = nh // nkv
+    qg = q.reshape(b, t, nkv, group, hd)
+    scores = jnp.einsum(
+        "btkgh,bskh->bkgts", qg, cache_k, preferred_element_type=jnp.float32
+    ) * (hd**-0.5)
+    scores = scores + key_mask_bias[:, None, None, :, :]
+    probs = jax.nn.softmax(scores, axis=-1).astype(cache_v.dtype)
+    out = jnp.einsum("bkgts,bskh->btkgh", probs, cache_v)
+    out = out.reshape(b, t, nh * hd).astype(x.dtype)
+    return linear_apply(layer["o"], out), cache_k, cache_v
+
+
+def _mlp_block(layer, x: jax.Array) -> jax.Array:
+    gate = jax.nn.silu(linear_apply(layer["gate"], x))
+    return linear_apply(layer["down"], gate * linear_apply(layer["up"], x))
+
+
+def qwen_forward(
+    params,
+    cfg: QwenConfig,
+    input_ids: jax.Array,        # (B, T)
+    positions: jax.Array,        # (B, T) RoPE positions
+    cache: KVCache,
+    write_pos: int | jax.Array,  # cache slot of input_ids[:, 0]
+    key_mask_bias: jax.Array,    # (B, T, S) additive bias
+) -> Tuple[jax.Array, KVCache]:
+    """Token ids → logits (B, T, V) and updated cache."""
+    x = jnp.take(params["embed"], input_ids, axis=0)
+
+    new_k, new_v = [], []
+    for i, layer in enumerate(params["layers"]):
+        residual = x
+        y = rms_norm_apply(layer["ln1"], x, eps=cfg.rms_norm_eps)
+        attn_out, ck, cv = _attention_block(
+            layer, y, positions, cache.k[i], cache.v[i], write_pos, key_mask_bias, cfg
+        )
+        new_k.append(ck)
+        new_v.append(cv)
+        x = residual + attn_out
+        y = rms_norm_apply(layer["ln2"], x, eps=cfg.rms_norm_eps)
+        x = x + _mlp_block(layer, y)
+
+    x = rms_norm_apply(params["final_ln"], x, eps=cfg.rms_norm_eps)
+    if cfg.tie_word_embeddings:
+        logits = jnp.einsum(
+            "bth,vh->btv", x, params["embed"], preferred_element_type=jnp.float32
+        )
+    else:
+        logits = linear_apply(params["lm_head"], x).astype(jnp.float32)
+    return logits, KVCache(k=jnp.stack(new_k), v=jnp.stack(new_v))
+
+
+# ---------------------------------------------------------------------------
+# masks / positions for the left-padded layout
+# ---------------------------------------------------------------------------
+
+
+def prefill_inputs(prompt_mask: jax.Array, max_cache_len: int):
+    """prompt_mask: (B, T_pad) bool, True on real (non-pad) tokens, prompts
+    left-padded.  Returns (positions (B, T_pad), key_mask_bias (B, T_pad, S))."""
+    b, t = prompt_mask.shape
+    positions = jnp.maximum(jnp.cumsum(prompt_mask.astype(jnp.int32), axis=1) - 1, 0)
+    q_idx = jnp.arange(t)[None, :, None]             # query cache slot
+    k_idx = jnp.arange(max_cache_len)[None, None, :]  # key cache slot
+    causal = k_idx <= q_idx                           # (1, T, S)
+    # keys valid when inside the prefill window AND not a left-pad token
+    pad_ok = jnp.pad(prompt_mask, ((0, 0), (0, max_cache_len - t)))[:, None, :]
+    bias = jnp.where(causal & pad_ok, 0.0, -1e9).astype(jnp.float32)
+    return positions, bias
+
+
+def decode_mask_bias(start: jax.Array, current_pos: jax.Array, max_cache_len: int):
+    """Per-step key mask for decode: valid keys are [start[b], current_pos].
+
+    start: (B,) first valid cache slot (= T_pad - prompt_len); current_pos:
+    scalar cache slot being written.  Returns (B, 1, S) fp32 bias."""
+    k_idx = jnp.arange(max_cache_len)[None, None, :]
+    valid = (k_idx >= start[:, None, None]) & (k_idx <= current_pos)
+    return jnp.where(valid, 0.0, -1e9).astype(jnp.float32)

@@ -1,0 +1,171 @@
+"""Qwen LM parity vs HF transformers (tiny random model): prefill logits,
+left-padded batches, KV-cache decode, and bit-faithful greedy generation
+(SURVEY.md §7.3: greedy token sequences must match the reference exactly)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from sparktts_tpu import checkpoint as CKPT
+from sparktts_tpu.config import QwenConfig
+from sparktts_tpu.lm.generate import decode_step, generate, prefill
+from sparktts_tpu.lm.qwen import init_kv_cache, prefill_inputs, qwen_forward
+
+VOCAB = 128
+EOS = 5
+PAD = 3
+
+
+@pytest.fixture(scope="module")
+def hf_pair():
+    from transformers import Qwen2Config as HFConfig
+    from transformers import Qwen2ForCausalLM
+
+    torch.manual_seed(0)
+    hf_cfg = HFConfig(
+        vocab_size=VOCAB,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=512,
+        rope_theta=1000000.0,
+        rms_norm_eps=1e-6,
+        tie_word_embeddings=True,
+        attention_dropout=0.0,
+    )
+    model = Qwen2ForCausalLM(hf_cfg).eval()
+    cfg = QwenConfig(
+        vocab_size=VOCAB,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        eos_token_id=EOS,
+        pad_token_id=PAD,
+    )
+    params = CKPT.convert_qwen(CKPT.torch_state_to_numpy(model), cfg)
+    return model, cfg, params
+
+
+def test_prefill_logits_match_hf(hf_pair):
+    model, cfg, params = hf_pair
+    rng = np.random.default_rng(0)
+    ids = rng.integers(10, VOCAB, size=(2, 12)).astype(np.int32)
+
+    with torch.no_grad():
+        ref = model(torch.from_numpy(ids).long()).logits.numpy()
+
+    cache = init_kv_cache(cfg, 2, 32, jnp.float32)
+    mask = jnp.ones((2, 12), bool)
+    positions, bias = prefill_inputs(mask, 32)
+    logits, _ = qwen_forward(params, cfg, jnp.asarray(ids), positions, cache, 0, bias)
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=1e-3, atol=1e-3)
+
+
+def test_left_padded_prefill_matches_unpadded(hf_pair):
+    _, cfg, params = hf_pair
+    rng = np.random.default_rng(1)
+    ids = rng.integers(10, VOCAB, size=(1, 8)).astype(np.int32)
+
+    cache = init_kv_cache(cfg, 1, 24, jnp.float32)
+    mask = jnp.ones((1, 8), bool)
+    pos, bias = prefill_inputs(mask, 24)
+    logits_ref, _ = qwen_forward(params, cfg, jnp.asarray(ids), pos, cache, 0, bias)
+
+    # left-pad by 4 junk tokens
+    padded = np.concatenate([np.full((1, 4), PAD, np.int32), ids], axis=1)
+    mask_p = jnp.asarray(np.concatenate([np.zeros((1, 4), bool), np.ones((1, 8), bool)], axis=1))
+    cache2 = init_kv_cache(cfg, 1, 24, jnp.float32)
+    pos_p, bias_p = prefill_inputs(mask_p, 24)
+    logits_p, _ = qwen_forward(params, cfg, jnp.asarray(padded), pos_p, cache2, 0, bias_p)
+
+    np.testing.assert_allclose(
+        np.asarray(logits_p[:, 4:]), np.asarray(logits_ref), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_greedy_generate_matches_hf(hf_pair):
+    model, cfg, params = hf_pair
+    rng = np.random.default_rng(2)
+    ids = rng.integers(10, VOCAB, size=(1, 6)).astype(np.int32)
+    max_new = 12
+
+    with torch.no_grad():
+        out = model.generate(
+            torch.from_numpy(ids).long(),
+            max_new_tokens=max_new,
+            do_sample=False,
+            eos_token_id=None,
+            pad_token_id=PAD,
+        )
+    ref_new = out[0, 6:].numpy()
+
+    tokens, lengths = generate(
+        params,
+        cfg,
+        jnp.asarray(ids),
+        jnp.ones((1, 6), bool),
+        jax.random.PRNGKey(0),
+        max_new_tokens=max_new,
+        cache_len=32,
+        eos_ids=(),
+        pad_id=PAD,
+        greedy=True,
+    )
+    np.testing.assert_array_equal(np.asarray(tokens[0]), ref_new)
+
+
+def test_generate_stops_at_eos(hf_pair):
+    """Force a params hack: make EOS the argmax everywhere by biasing embed —
+    instead simply check the loop respects eos when greedy decoding happens to
+    produce it; use a crafted logit bias via a tiny vocab scan."""
+    _, cfg, params = hf_pair
+    rng = np.random.default_rng(3)
+    ids = rng.integers(10, VOCAB, size=(2, 5)).astype(np.int32)
+    tokens, lengths = generate(
+        params,
+        cfg,
+        jnp.asarray(ids),
+        jnp.ones((2, 5), bool),
+        jax.random.PRNGKey(1),
+        max_new_tokens=16,
+        cache_len=32,
+        eos_ids=tuple(range(VOCAB)),  # every token is EOS → stop after 1
+        pad_id=PAD,
+        greedy=True,
+    )
+    assert np.all(np.asarray(lengths) == 1)
+    # everything after the first token is pad
+    assert np.all(np.asarray(tokens[:, 1:]) == PAD)
+
+
+def test_batched_sampled_generate_shapes(hf_pair):
+    _, cfg, params = hf_pair
+    rng = np.random.default_rng(4)
+    b, t = 3, 10
+    ids = rng.integers(10, VOCAB, size=(b, t)).astype(np.int32)
+    mask = np.ones((b, t), bool)
+    mask[1, :4] = False  # left-padded shorter prompt
+    ids[1, :4] = PAD
+    tokens, lengths = generate(
+        params,
+        cfg,
+        jnp.asarray(ids),
+        jnp.asarray(mask),
+        jax.random.PRNGKey(2),
+        max_new_tokens=8,
+        cache_len=32,
+        temperature=0.8,
+        top_k=50,
+        top_p=0.95,
+        eos_ids=(EOS,),
+        pad_id=PAD,
+    )
+    assert tokens.shape == (b, 8)
+    assert np.all(np.asarray(lengths) <= 8)
