@@ -198,3 +198,249 @@ def convert_qwen(state: State, cfg) -> dict:
     if not cfg.tie_word_embeddings and "lm_head.weight" in state:
         params["lm_head"] = t_linear(state, "lm_head")
     return params
+
+
+# ---------------------------------------------------------------------------
+# BiCodec
+# ---------------------------------------------------------------------------
+
+
+def _t_conv1x1_as_linear(state: State, prefix: str, weight_normed: bool = False) -> dict:
+    """1x1 Conv1d (possibly weight-normed) → linear params (in, out)."""
+    w = _wn_weight(state, prefix, 0) if weight_normed else state[f"{prefix}.weight"]
+    p = {"w": np.ascontiguousarray(w[:, :, 0].T)}
+    if f"{prefix}.bias" in state:
+        p["b"] = state[f"{prefix}.bias"].copy()
+    return p
+
+
+def _t_convnext_block(state: State, pre: str, conditioned: bool) -> dict:
+    p = {
+        "dwconv": t_conv1d(state, f"{pre}.dwconv"),
+        "pwconv1": t_linear(state, f"{pre}.pwconv1"),
+        "pwconv2": t_linear(state, f"{pre}.pwconv2"),
+    }
+    if conditioned:
+        p["norm"] = {
+            "scale": t_linear(state, f"{pre}.norm.scale"),
+            "shift": t_linear(state, f"{pre}.norm.shift"),
+        }
+    else:
+        p["norm"] = t_layer_norm(state, f"{pre}.norm")
+    if f"{pre}.gamma" in state:
+        p["gamma"] = state[f"{pre}.gamma"].copy()
+    return p
+
+
+def _t_vocos_backbone(state: State, pre: str, num_layers: int, conditioned: bool = False) -> dict:
+    p = {
+        "embed": t_conv1d(state, f"{pre}.embed"),
+        "blocks": [
+            _t_convnext_block(state, f"{pre}.convnext.{i}", conditioned)
+            for i in range(num_layers)
+        ],
+        "final_layer_norm": t_layer_norm(state, f"{pre}.final_layer_norm"),
+    }
+    if conditioned:
+        p["norm"] = {
+            "scale": t_linear(state, f"{pre}.norm.scale"),
+            "shift": t_linear(state, f"{pre}.norm.shift"),
+        }
+    else:
+        p["norm"] = t_layer_norm(state, f"{pre}.norm")
+    return p
+
+
+def _t_sampling_block(state: State, pre: str, groups: int, upsample: bool) -> dict:
+    """SamplingBlock: Sequential(LeakyReLU, (de)conv) → index 1 holds weights
+    (reference `samper.py:44-69`).  No weight norm on these."""
+    p = {}
+    if upsample and f"{pre}.de_conv_upsampler.1.weight" in state:
+        p["de_conv_upsampler"] = t_conv_transpose1d(state, f"{pre}.de_conv_upsampler.1", groups)
+    if not upsample and f"{pre}.conv_downsampler.1.weight" in state:
+        p["conv_downsampler"] = t_conv1d(state, f"{pre}.conv_downsampler.1")
+    return p
+
+
+def _t_feat_encoder(state: State, pre: str, cfg) -> dict:
+    return {
+        "encoder": _t_vocos_backbone(state, f"{pre}.encoder", cfg.vocos_num_layers),
+        "downsample": [
+            {
+                "sampler": _t_sampling_block(state, f"{pre}.downsample.{j}.0", cfg.vocos_dim, False),
+                "vocos": _t_vocos_backbone(state, f"{pre}.downsample.{j}.1", 2),
+            }
+            for j in range(len(cfg.sample_ratios))
+        ],
+        "project": t_linear(state, f"{pre}.project"),
+    }
+
+
+def _t_feat_decoder(state: State, pre: str, cfg) -> dict:
+    conditioned = cfg.condition_dim is not None
+    return {
+        "linear_pre": t_linear(state, f"{pre}.linear_pre"),
+        "upsample": [
+            {
+                "sampler": _t_sampling_block(state, f"{pre}.downsample.{j}.0", cfg.vocos_dim, True),
+                "vocos": _t_vocos_backbone(state, f"{pre}.downsample.{j}.1", 2),
+            }
+            for j in range(len(cfg.sample_ratios))
+        ],
+        "vocos_backbone": _t_vocos_backbone(
+            state, f"{pre}.vocos_backbone", cfg.vocos_num_layers, conditioned
+        ),
+        "linear": t_linear(state, f"{pre}.linear"),
+    }
+
+
+def _t_snake(state: State, key: str) -> dict:
+    return {"alpha": state[key].reshape(-1).copy()}  # (1, C, 1) → (C,)
+
+
+def _t_residual_unit(state: State, pre: str) -> dict:
+    """ResidualUnit: block = Sequential(Snake, WNConv1d, Snake, WNConv1d)
+    (reference `layers.py:51-60`)."""
+    return {
+        "snake1": _t_snake(state, f"{pre}.block.0.alpha"),
+        "conv1": t_wn_conv1d(state, f"{pre}.block.1"),
+        "snake2": _t_snake(state, f"{pre}.block.2.alpha"),
+        "conv2": t_wn_conv1d(state, f"{pre}.block.3"),
+    }
+
+
+def _t_wave_generator(state: State, pre: str, cfg) -> dict:
+    """WaveGenerator: model = [WNConv1d, DecoderBlock × n, Snake, WNConv1d,
+    Tanh] (reference `wave_generator.py:56-85`).  DecoderBlock.block =
+    [Snake, WNConvTranspose1d, ResidualUnit × 3]."""
+    n_blocks = len(cfg.rates)
+    blocks = []
+    for i in range(n_blocks):
+        bpre = f"{pre}.model.{1 + i}.block"
+        blocks.append(
+            {
+                "snake": _t_snake(state, f"{bpre}.0.alpha"),
+                "upsample": t_wn_conv_transpose1d(state, f"{bpre}.1", groups=1, dim=0),
+                "res_units": [_t_residual_unit(state, f"{bpre}.{2 + r}") for r in range(3)],
+            }
+        )
+    return {
+        "conv_in": t_wn_conv1d(state, f"{pre}.model.0"),
+        "blocks": blocks,
+        "snake_out": _t_snake(state, f"{pre}.model.{n_blocks + 1}.alpha"),
+        "conv_out": t_wn_conv1d(state, f"{pre}.model.{n_blocks + 2}"),
+    }
+
+
+def _t_fvq(state: State, pre: str, cfg) -> dict:
+    p = {"codebook": state[f"{pre}.codebook.weight"].copy()}
+    if cfg.input_dim != cfg.codebook_dim:
+        p["in_project"] = _t_conv1x1_as_linear(state, f"{pre}.in_project", weight_normed=True)
+        p["out_project"] = _t_conv1x1_as_linear(state, f"{pre}.out_project", weight_normed=True)
+    return p
+
+
+def _t_conv_relu_bn(state: State, pre: str) -> dict:
+    return {"conv": t_conv1d(state, f"{pre}.conv"), "bn": t_batch_norm(state, f"{pre}.bn")}
+
+
+def _t_se_res2_block(state: State, pre: str) -> dict:
+    """SE_Res2Block: se_res2block = Sequential(Conv1dReluBn, Res2Conv1dReluBn,
+    Conv1dReluBn, SE_Connect) (reference `ecapa_tdnn.py:135-146`)."""
+    n_res2 = 7  # scale 8 → 7 convs (reference `ecapa_tdnn.py:47`)
+    return {
+        "in_conv": _t_conv_relu_bn(state, f"{pre}.se_res2block.0"),
+        "res2": {
+            "convs": [t_conv1d(state, f"{pre}.se_res2block.1.convs.{i}") for i in range(n_res2)],
+            "bns": [t_batch_norm(state, f"{pre}.se_res2block.1.bns.{i}") for i in range(n_res2)],
+        },
+        "out_conv": _t_conv_relu_bn(state, f"{pre}.se_res2block.2"),
+        "se": {
+            "l1": t_linear(state, f"{pre}.se_res2block.3.linear1"),
+            "l2": t_linear(state, f"{pre}.se_res2block.3.linear2"),
+        },
+    }
+
+
+def _t_ecapa(state: State, pre: str) -> dict:
+    return {
+        "layer1": _t_conv_relu_bn(state, f"{pre}.layer1"),
+        "layer2": _t_se_res2_block(state, f"{pre}.layer2"),
+        "layer3": _t_se_res2_block(state, f"{pre}.layer3"),
+        "layer4": _t_se_res2_block(state, f"{pre}.layer4"),
+        "conv": t_conv1d(state, f"{pre}.conv"),
+        "pool": {
+            "linear1": _t_conv1x1_as_linear(state, f"{pre}.pool.linear1"),
+            "linear2": _t_conv1x1_as_linear(state, f"{pre}.pool.linear2"),
+        },
+        "bn": t_batch_norm(state, f"{pre}.bn"),
+        "linear": t_linear(state, f"{pre}.linear"),
+    }
+
+
+def _t_perceiver(state: State, pre: str, depth: int) -> dict:
+    p = {
+        "latents": state[f"{pre}.latents"].copy(),
+        "layers": [
+            {
+                "attn": {
+                    "to_q": t_linear(state, f"{pre}.layers.{i}.0.to_q"),
+                    "to_kv": t_linear(state, f"{pre}.layers.{i}.0.to_kv"),
+                    "to_out": t_linear(state, f"{pre}.layers.{i}.0.to_out"),
+                },
+                # FeedForward = Sequential(Linear, GEGLU, Linear) → idx 0, 2
+                "ff": {
+                    "w1": t_linear(state, f"{pre}.layers.{i}.1.0"),
+                    "w2": t_linear(state, f"{pre}.layers.{i}.1.2"),
+                },
+            }
+            for i in range(depth)
+        ],
+        "norm": {"gamma": state[f"{pre}.norm.gamma"].copy()},
+    }
+    if f"{pre}.proj_context.weight" in state:
+        p["proj_context"] = t_linear(state, f"{pre}.proj_context")
+    return p
+
+
+def _speaker_project_permuted(state: State, prefix: str, latent_dim: int, token_num: int) -> dict:
+    """The reference flattens zq channel-first (latent, token); this package
+    flattens (token, latent) — permute the Linear's input rows to match
+    (see `sparktts_tpu/codec/speaker_encoder.py`)."""
+    w = state[f"{prefix}.weight"].T  # (latent_dim * token_num, out) torch col order d*N+n
+    out_dim = w.shape[1]
+    w = w.reshape(latent_dim, token_num, out_dim).transpose(1, 0, 2).reshape(-1, out_dim)
+    p = {"w": np.ascontiguousarray(w)}
+    if f"{prefix}.bias" in state:
+        p["b"] = state[f"{prefix}.bias"].copy()
+    return p
+
+
+def _t_speaker_encoder(state: State, pre: str, cfg) -> dict:
+    p = {
+        "speaker_encoder": _t_ecapa(state, f"{pre}.speaker_encoder"),
+        "perceiver_sampler": _t_perceiver(state, f"{pre}.perceiver_sampler", cfg.perceiver_depth),
+        "quantizer": {},
+        "project": _speaker_project_permuted(
+            state, f"{pre}.project", cfg.latent_dim, cfg.token_num
+        ),
+    }
+    if len(cfg.fsq_levels) != cfg.latent_dim:
+        p["quantizer"] = {
+            "project_in": t_linear(state, f"{pre}.quantizer.project_in"),
+            "project_out": t_linear(state, f"{pre}.quantizer.project_out"),
+        }
+    return p
+
+
+def convert_bicodec(state: State, cfg) -> dict:
+    """Reference BiCodec `model.safetensors` state_dict → params pytree
+    (key layout per reference `bicodec.py:31-111` module tree)."""
+    return {
+        "encoder": _t_feat_encoder(state, "encoder", cfg.encoder),
+        "quantizer": _t_fvq(state, "quantizer", cfg.quantizer),
+        "speaker_encoder": _t_speaker_encoder(state, "speaker_encoder", cfg.speaker_encoder),
+        "prenet": _t_feat_decoder(state, "prenet", cfg.prenet),
+        "postnet": _t_feat_decoder(state, "postnet", cfg.postnet),
+        "decoder": _t_wave_generator(state, "decoder", cfg.decoder),
+    }
