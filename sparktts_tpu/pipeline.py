@@ -1,0 +1,325 @@
+"""End-to-end Spark-TTS pipeline: the public API.
+
+Parity target: reference `cli/SparkTTS.py:27-236` — `inference(text,
+prompt_speech_path, prompt_text, gender, pitch, speed, temperature, top_k,
+top_p)` → 16 kHz waveform, supporting zero-shot voice cloning (prompt wav) and
+controllable voice creation (gender/pitch/speed, LLM emits the global tokens,
+reference `cli/SparkTTS.py:222-228`).
+
+TPU-shaped differences from the reference (behavior-preserving):
+  * audio-token ↔ LLM-token conversion is id arithmetic, not text+regex
+  * every device program is jitted with shape bucketing (padded wav / padded
+    token sequences, cropped on the way out) so repeat calls hit the XLA
+    compile cache instead of recompiling per length
+  * the whole generate loop (prefill + decode + sampling + EOS) is one XLA
+    program (`lm/generate.py`)
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sparktts_tpu import checkpoint as CKPT
+from sparktts_tpu.codec.bicodec import bicodec_detokenize, bicodec_tokenize, init_bicodec
+from sparktts_tpu.config import SparkTTSConfig, load_spark_config, tiny_test_config
+from sparktts_tpu.io.audio import get_ref_clip, load_audio
+from sparktts_tpu.lm.generate import generate
+from sparktts_tpu.lm.qwen import init_qwen
+from sparktts_tpu.nn.wav2vec2 import (
+    feature_lengths,
+    init_wav2vec2,
+    normalize_input,
+    wav2vec2_features,
+)
+from sparktts_tpu.prompt import (
+    HFSparkTokenizer,
+    SparkTokenizerBase,
+    SyntheticSparkTokenizer,
+    build_clone_prompt,
+    build_control_prompt,
+    extract_global_ids,
+    extract_semantic_ids,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class SparkTTSPipeline:
+    """Drop-in equivalent of the reference `SparkTTS` class."""
+
+    def __init__(
+        self,
+        model_dir: Optional[str | Path] = None,
+        config: Optional[SparkTTSConfig] = None,
+        seed: int = 0,
+        lm_dtype=jnp.bfloat16,
+        prompt_bucket: int = 64,
+        wav_bucket_s: float = 1.0,
+        max_new_tokens: Optional[int] = None,
+    ):
+        if model_dir is not None:
+            self.config = load_spark_config(model_dir)
+            self.tokenizer: SparkTokenizerBase = HFSparkTokenizer(model_dir)
+            self._load_params(Path(model_dir), lm_dtype)
+        else:
+            self.config = config or tiny_test_config()
+            self.tokenizer = SyntheticSparkTokenizer(
+                n_semantic=self.config.bicodec.quantizer.codebook_size,
+                n_global=int(np.prod(self.config.bicodec.speaker_encoder.fsq_levels)),
+            )
+            self._random_init(seed, lm_dtype)
+
+        self.sample_rate = self.config.sample_rate
+        self.prompt_bucket = prompt_bucket
+        self.wav_bucket = int(wav_bucket_s * self.sample_rate)
+        self.max_new_tokens = max_new_tokens or self.config.sampling.max_new_tokens
+        self.lm_dtype = lm_dtype
+
+        # encoder time-compression: semantic tokens per wav2vec2 frame
+        self._enc_ratio = int(np.prod(self.config.bicodec.encoder.sample_ratios))
+        self._wave_upsample = int(np.prod(self.config.bicodec.decoder.rates)) * int(
+            np.prod(self.config.bicodec.prenet.sample_ratios)
+        )
+
+        self._jit_cache: Dict[tuple, object] = {}
+
+    # ------------------------------------------------------------------
+    # weights
+    # ------------------------------------------------------------------
+
+    def _random_init(self, seed: int, lm_dtype):
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+        self.bicodec_params = init_bicodec(k1, self.config.bicodec)
+        self.w2v_params = init_wav2vec2(k2, self.config.wav2vec2)
+        self.llm_params = init_qwen(k3, self.config.llm, dtype=lm_dtype)
+
+    def _load_params(self, model_dir: Path, lm_dtype):
+        """Convert the reference checkpoint layout (BiCodec/ + LLM/ +
+        wav2vec2-large-xlsr-53/) to pytrees (reference `bicodec.py:69-111`,
+        `cli/SparkTTS.py:48-50`)."""
+        bc_state = CKPT.load_safetensors(model_dir / "BiCodec" / "model.safetensors")
+        self.bicodec_params = jax.tree.map(
+            jnp.asarray, CKPT.convert_bicodec(bc_state, self.config.bicodec)
+        )
+        w2v_state = _load_hf_state(model_dir / "wav2vec2-large-xlsr-53")
+        self.w2v_params = jax.tree.map(
+            jnp.asarray, CKPT.convert_wav2vec2(w2v_state, self.config.wav2vec2)
+        )
+        llm_state = _load_hf_state(model_dir / "LLM")
+        self.llm_params = jax.tree.map(
+            lambda x: jnp.asarray(x, dtype=lm_dtype),
+            CKPT.convert_qwen(llm_state, self.config.llm),
+        )
+
+    # ------------------------------------------------------------------
+    # jitted programs (shape-bucketed)
+    # ------------------------------------------------------------------
+
+    def _tokenize_fn(self, wav_len: int, ref_len: int):
+        key = ("tokenize", wav_len, ref_len)
+        if key not in self._jit_cache:
+            cfg = self.config
+
+            @jax.jit
+            def fn(w2v_params, bc_params, wav, ref_wav):
+                feat = wav2vec2_features(w2v_params, wav, cfg.wav2vec2)
+                return bicodec_tokenize(bc_params, cfg.bicodec, feat, ref_wav)
+
+            self._jit_cache[key] = fn
+        return self._jit_cache[key]
+
+    def _detokenize_fn(self, n_tokens: int):
+        key = ("detokenize", n_tokens)
+        if key not in self._jit_cache:
+            cfg = self.config
+
+            @jax.jit
+            def fn(bc_params, semantic, global_t):
+                return bicodec_detokenize(bc_params, cfg.bicodec, semantic, global_t)
+
+            self._jit_cache[key] = fn
+        return self._jit_cache[key]
+
+    # ------------------------------------------------------------------
+    # audio tokenization (reference BiCodecTokenizer, audio_tokenizer.py)
+    # ------------------------------------------------------------------
+
+    def tokenize_audio(self, audio) -> Tuple[np.ndarray, np.ndarray]:
+        """Audio path or float array → (global_tokens (1, N), semantic_tokens
+        (1, T)) (reference `audio_tokenizer.py:119-130`)."""
+        if isinstance(audio, (str, Path)):
+            wav = load_audio(
+                audio,
+                sampling_rate=self.sample_rate,
+                volume_normalize=self.config.volume_normalize,
+            )
+        else:
+            wav = np.asarray(audio, dtype=np.float64)
+
+        ref_wav = get_ref_clip(
+            wav, self.sample_rate, self.config.ref_segment_duration, self.config.latent_hop_length
+        )
+
+        true_len = len(wav)
+        pad_len = _round_up(max(true_len, self.wav_bucket), self.wav_bucket)
+        wav_in = np.zeros(pad_len, dtype=np.float32)
+        if self.config.wav2vec2.do_normalize:
+            wav_in[:true_len] = normalize_input(wav[None, :])[0]
+        else:
+            wav_in[:true_len] = wav
+
+        fn = self._tokenize_fn(pad_len, len(ref_wav))
+        semantic, global_t = fn(
+            self.w2v_params,
+            self.bicodec_params,
+            jnp.asarray(wav_in)[None, :],
+            jnp.asarray(ref_wav, dtype=jnp.float32)[None, :],
+        )
+        # crop semantic tokens to the true frame count
+        true_frames = feature_lengths(self.config.wav2vec2, true_len) // self._enc_ratio
+        semantic = np.asarray(semantic)[:, :true_frames]
+        return np.asarray(global_t), semantic
+
+    def detokenize(self, global_tokens: np.ndarray, semantic_tokens: np.ndarray) -> np.ndarray:
+        """(global (1, N), semantic (1, T)) → waveform np.float32 (T * hop,)
+        (reference `audio_tokenizer.py:132-146`)."""
+        semantic_tokens = np.asarray(semantic_tokens, dtype=np.int32)
+        global_tokens = np.asarray(global_tokens, dtype=np.int32).reshape(1, -1)
+        t_true = semantic_tokens.shape[1]
+        t_pad = _round_up(max(t_true, 1), 50)
+        # edge-replicate pad: avoids a spectral discontinuity at the crop point
+        padded = np.pad(semantic_tokens, ((0, 0), (0, t_pad - t_true)), mode="edge")
+        fn = self._detokenize_fn(t_pad)
+        wav = fn(self.bicodec_params, jnp.asarray(padded), jnp.asarray(global_tokens))
+        return np.asarray(wav)[0, : t_true * self._wave_upsample].astype(np.float32)
+
+    # ------------------------------------------------------------------
+    # inference (reference cli/SparkTTS.py:157-236)
+    # ------------------------------------------------------------------
+
+    def inference(
+        self,
+        text: str,
+        prompt_speech_path: Optional[str | Path] = None,
+        prompt_text: Optional[str] = None,
+        gender: Optional[str] = None,
+        pitch: Optional[str] = None,
+        speed: Optional[str] = None,
+        temperature: float = 0.8,
+        top_k: int = 50,
+        top_p: float = 0.95,
+        max_new_tokens: Optional[int] = None,
+        seed: int = 0,
+        greedy: bool = False,
+    ) -> np.ndarray:
+        global_token_ids: Optional[np.ndarray] = None
+        if gender is not None:
+            ids = build_control_prompt(self.tokenizer, text, gender, pitch, speed)
+        else:
+            global_token_ids, semantic_token_ids = self.tokenize_audio(prompt_speech_path)
+            ids = build_clone_prompt(
+                self.tokenizer,
+                text,
+                global_token_ids,
+                semantic_token_ids if prompt_text is not None else None,
+                prompt_text,
+            )
+
+        generated = self.generate_tokens(
+            ids,
+            temperature=temperature,
+            top_k=top_k,
+            top_p=top_p,
+            max_new_tokens=max_new_tokens,
+            seed=seed,
+            greedy=greedy,
+        )
+
+        semantic_ids = extract_semantic_ids(self.tokenizer, generated)
+        if gender is not None:
+            global_ids = extract_global_ids(self.tokenizer, generated)
+            token_num = self.config.bicodec.speaker_encoder.token_num
+            if global_ids.size < token_num:
+                logger.warning(
+                    "controllable mode generated %d/%d global tokens; zero-padding",
+                    global_ids.size,
+                    token_num,
+                )
+                global_ids = np.pad(global_ids, (0, token_num - global_ids.size))
+            global_token_ids = global_ids[None, :token_num]
+        if semantic_ids.size == 0:
+            logger.warning("no semantic tokens generated; returning silence")
+            return np.zeros(0, dtype=np.float32)
+
+        return self.detokenize(global_token_ids, semantic_ids[None, :])
+
+    def generate_tokens(
+        self,
+        prompt_ids,
+        temperature: float = 0.8,
+        top_k: int = 50,
+        top_p: float = 0.95,
+        max_new_tokens: Optional[int] = None,
+        seed: int = 0,
+        greedy: bool = False,
+    ) -> np.ndarray:
+        """Run the LLM on one prompt; returns the generated id array (new
+        tokens only, trimmed at EOS)."""
+        max_new = max_new_tokens or self.max_new_tokens
+        t_pad = _round_up(max(len(prompt_ids), 1), self.prompt_bucket)
+        input_ids = np.full((1, t_pad), self.tokenizer.pad_id, np.int32)
+        mask = np.zeros((1, t_pad), bool)
+        input_ids[0, t_pad - len(prompt_ids) :] = prompt_ids
+        mask[0, t_pad - len(prompt_ids) :] = True
+
+        cache_len = t_pad + max_new
+        tokens, lengths = generate(
+            self.llm_params,
+            self.config.llm,
+            jnp.asarray(input_ids),
+            jnp.asarray(mask),
+            jax.random.PRNGKey(seed),
+            max_new_tokens=max_new,
+            cache_len=cache_len,
+            temperature=temperature,
+            top_k=top_k,
+            top_p=top_p,
+            eos_ids=tuple(self.tokenizer.eos_ids),
+            pad_id=self.tokenizer.pad_id,
+            greedy=greedy,
+            cache_dtype=self.lm_dtype,
+        )
+        n = int(lengths[0])
+        return np.asarray(tokens)[0, :n]
+
+
+def _load_hf_state(model_dir: Path) -> Dict[str, np.ndarray]:
+    """Load a HF model directory's weights as numpy (safetensors preferred,
+    torch .bin fallback)."""
+    st = model_dir / "model.safetensors"
+    if st.exists():
+        return CKPT.load_safetensors(st)
+    # sharded safetensors
+    shards = sorted(model_dir.glob("model-*.safetensors"))
+    if shards:
+        out: Dict[str, np.ndarray] = {}
+        for s in shards:
+            out.update(CKPT.load_safetensors(s))
+        return out
+    bin_path = model_dir / "pytorch_model.bin"
+    if bin_path.exists():
+        import torch
+
+        sd = torch.load(bin_path, map_location="cpu", weights_only=True)
+        return {k: v.numpy() for k, v in sd.items()}
+    raise FileNotFoundError(f"no weights found under {model_dir}")
