@@ -1,0 +1,126 @@
+"""Benchmark: single-stream offline synthesis RTF on one TPU chip.
+
+Mirrors the reference benchmark definition (BASELINE.md): RTF = wall-clock
+synthesis time / synthesized audio duration, measured on the full-size models
+(Qwen2.5-0.5B speech LM in bf16 + full BiCodec vocoder) with a fixed token
+budget so random weights can't shortcut via early EOS.  The reference's L20
+offline concurrency-1 RTF (0.1362) is the baseline.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_RTF = 0.1362  # reference README.md:212, single L20, offline conc=1
+
+PROMPT_LEN = 128
+NEW_TOKENS = 500          # 500 semantic tokens @ 50 Hz → 10 s of audio
+FRAME_RATE = 50
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from sparktts_tpu.codec.bicodec import bicodec_detokenize, init_bicodec
+    from sparktts_tpu.config import SparkTTSConfig
+    from sparktts_tpu.lm.generate import generate
+    from sparktts_tpu.lm.qwen import init_qwen
+
+    cfg = SparkTTSConfig()
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+
+    key = jax.random.PRNGKey(0)
+    llm_params = init_qwen(key, cfg.llm, dtype=jnp.bfloat16)
+    bc_params = init_bicodec(jax.random.PRNGKey(1), cfg.bicodec)
+    # codec in bf16 too: conv/matmul heavy, MXU wants bf16
+    bc_params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), bc_params)
+
+    ids = jnp.asarray(
+        np.random.default_rng(0).integers(100, 5000, size=(1, PROMPT_LEN)), jnp.int32
+    )
+    mask = jnp.ones((1, PROMPT_LEN), bool)
+    cache_len = PROMPT_LEN + NEW_TOKENS
+
+    def run_llm(seed):
+        tokens, lengths = generate(
+            llm_params,
+            cfg.llm,
+            ids,
+            mask,
+            jax.random.PRNGKey(seed),
+            max_new_tokens=NEW_TOKENS,
+            cache_len=cache_len,
+            temperature=0.8,
+            top_k=50,
+            top_p=0.95,
+            eos_ids=(),          # fixed budget: never stop early
+            pad_id=0,
+        )
+        # force a host transfer: on this platform block_until_ready alone
+        # does not guarantee execution completed
+        return np.asarray(tokens)
+
+    semantic = jnp.zeros((1, NEW_TOKENS), jnp.int32)
+    global_t = jnp.zeros((1, cfg.bicodec.speaker_encoder.token_num), jnp.int32)
+
+    detok = jax.jit(lambda p, s, g: bicodec_detokenize(p, cfg.bicodec, s, g))
+
+    def run_vocoder():
+        return np.asarray(detok(bc_params, semantic, global_t))
+
+    # compile
+    t0 = time.perf_counter()
+    run_llm(0)
+    t_compile_llm = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    run_vocoder()
+    t_compile_voc = time.perf_counter() - t0
+    print(
+        f"compile: llm {t_compile_llm:.1f}s vocoder {t_compile_voc:.1f}s", file=sys.stderr
+    )
+
+    # warm up the dispatch path (first post-compile calls absorb runtime setup)
+    for i in range(2):
+        run_llm(100 + i)
+        run_vocoder()
+
+    # timed
+    n_iters = 3
+    llm_times, voc_times = [], []
+    for i in range(n_iters):
+        t0 = time.perf_counter()
+        run_llm(i + 1)
+        llm_times.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        run_vocoder()
+        voc_times.append(time.perf_counter() - t0)
+
+    t_llm = min(llm_times)
+    t_voc = min(voc_times)
+    audio_seconds = NEW_TOKENS / FRAME_RATE
+    rtf = (t_llm + t_voc) / audio_seconds
+    print(
+        f"llm {t_llm * 1000:.1f} ms ({NEW_TOKENS / t_llm:.0f} tok/s), "
+        f"vocoder {t_voc * 1000:.1f} ms, audio {audio_seconds:.1f} s",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "offline_rtf_single_stream",
+                "value": round(rtf, 5),
+                "unit": "rtf",
+                "vs_baseline": round(BASELINE_RTF / rtf, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -128,6 +128,39 @@ def decode_step(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("cfg", "t_pad", "n_steps", "top_k", "eos_ids", "pad_id", "greedy"),
+)
+def decode_chunk(
+    params,
+    cfg: QwenConfig,
+    state: GenState,
+    t_pad: int,
+    n_steps: int,
+    temperature: float = 0.8,
+    top_k: int = 50,
+    top_p: float = 0.95,
+    eos_ids: Tuple[int, ...] = (),
+    pad_id: int = 0,
+    greedy: bool = False,
+) -> Tuple[GenState, jax.Array]:
+    """Run `n_steps` decode steps as one XLA program (lax.scan) and return the
+    emitted tokens (B, n_steps).  The streaming server uses this to amortize
+    dispatch overhead while keeping chunk-level control in Python
+    (reference's streaming loop granularity, `spark_tts/1/model.py:347-385`)."""
+
+    def body(state, _):
+        emitted = jnp.where(state.done, pad_id, state.cur_token)
+        new_state, _ = decode_step(
+            params, cfg, state, t_pad, temperature, top_k, top_p, eos_ids, pad_id, greedy
+        )
+        return new_state, emitted
+
+    state, tokens = jax.lax.scan(body, state, None, length=n_steps)
+    return state, tokens.T  # (n_steps, B) → (B, n_steps)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=(
         "cfg",
         "max_new_tokens",

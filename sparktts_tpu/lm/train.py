@@ -1,0 +1,65 @@
+"""LM training step (fine-tuning the speech-token LLM).
+
+The reference ships no training code (SURVEY.md §0), but a production TTS
+stack needs to fine-tune the token LM on new speakers/domains; this provides
+the standard next-token cross-entropy step as a pjit-able pure function with
+the same TP/DP shardings as inference (`parallel/shardings.py`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from sparktts_tpu.config import QwenConfig
+from sparktts_tpu.lm.qwen import init_kv_cache, prefill_inputs, qwen_forward
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    step: jax.Array
+
+
+def make_optimizer(learning_rate: float = 1e-4, weight_decay: float = 0.01) -> optax.GradientTransformation:
+    return optax.adamw(learning_rate, weight_decay=weight_decay)
+
+
+def init_train_state(params, optimizer: optax.GradientTransformation) -> TrainState:
+    return TrainState(params=params, opt_state=optimizer.init(params), step=jnp.zeros((), jnp.int32))
+
+
+def lm_loss(params, cfg: QwenConfig, input_ids: jax.Array, loss_mask: jax.Array) -> jax.Array:
+    """Next-token cross entropy.  input_ids (B, T); loss_mask (B, T) True on
+    positions whose *prediction* counts (speech-token region)."""
+    b, t = input_ids.shape
+    cache = init_kv_cache(cfg, b, t, input_ids.dtype if False else jnp.float32)
+    mask = jnp.ones((b, t), bool)
+    positions, bias = prefill_inputs(mask, t)
+    logits, _ = qwen_forward(params, cfg, input_ids, positions, cache, 0, bias)
+    logits = logits[:, :-1]
+    targets = input_ids[:, 1:]
+    m = loss_mask[:, 1:].astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def train_step(
+    state: TrainState,
+    cfg: QwenConfig,
+    optimizer: optax.GradientTransformation,
+    input_ids: jax.Array,
+    loss_mask: jax.Array,
+) -> Tuple[TrainState, jax.Array]:
+    """One SGD step.  Pure; jit/pjit with params sharded per
+    `qwen_param_specs` and batch per `batch_spec` — gradients follow the
+    param shardings, XLA inserts the dp psum / tp collectives."""
+    loss, grads = jax.value_and_grad(lm_loss)(state.params, cfg, input_ids, loss_mask)
+    updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params=params, opt_state=opt_state, step=state.step + 1), loss

@@ -40,7 +40,8 @@ def init_linear(key, in_dim: int, out_dim: int, bias: bool = True, std: float = 
 
 
 def linear_apply(p, x):
-    y = jnp.matmul(x, p["w"])
+    # weights define the compute dtype (bf16 params → bf16 MXU matmul)
+    y = jnp.matmul(x.astype(p["w"].dtype), p["w"])
     if "b" in p:
         y = y + p["b"]
     return y
@@ -77,7 +78,7 @@ def conv1d_apply(
 ):
     """x: (B, T, C) → (B, T', Cout).  ``padding`` is symmetric, torch-style."""
     y = jax.lax.conv_general_dilated(
-        x,
+        x.astype(p["w"].dtype),
         p["w"],
         window_strides=(stride,),
         padding=[(padding, padding)],
@@ -129,7 +130,7 @@ def conv_transpose1d_apply(
     lo = k - 1 - padding
     hi = k - 1 - padding + output_padding
     y = jax.lax.conv_general_dilated(
-        x,
+        x.astype(p["w"].dtype),
         p["w"],
         window_strides=(1,),
         padding=[(lo, hi)],

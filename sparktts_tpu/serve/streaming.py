@@ -1,0 +1,184 @@
+"""Streaming synthesis: growing-chunk schedule + cross-fade.
+
+Reproduces the reference's Triton BLS streaming design (reference
+`runtime/triton_trtllm/model_repo/spark_tts/1/model.py:347-399`: chunk grows
+1 s → ×8 per chunk → capped 30 s, 0.1 s overlap) and the client-side linear
+cross-fade (reference `client_grpc.py:391-416`).  On TPU the LLM decodes in
+fixed micro-batches of steps (`decode_chunk`, one XLA dispatch per
+micro-batch) overlapping with vocoder invocations on the host thread.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sparktts_tpu.config import StreamingConfig
+from sparktts_tpu.lm.generate import decode_chunk, prefill
+from sparktts_tpu.lm.qwen import init_kv_cache
+from sparktts_tpu.prompt import extract_semantic_ids
+
+
+def chunk_sizes(cfg: StreamingConfig) -> Iterator[int]:
+    """Token chunk schedule (reference `spark_tts/1/model.py:350-375`)."""
+    chunk = math.ceil(cfg.audio_chunk_duration * cfg.frame_rate)
+    max_chunk = math.ceil(cfg.max_audio_chunk_duration * cfg.frame_rate)
+    while True:
+        yield chunk
+        chunk = min(max_chunk, int(chunk * cfg.audio_chunk_size_scale_factor))
+
+
+def overlap_tokens(cfg: StreamingConfig) -> int:
+    return math.ceil(cfg.audio_chunk_overlap_duration * cfg.frame_rate)
+
+
+def cross_fade(prev: np.ndarray, nxt: np.ndarray, overlap_samples: int) -> tuple:
+    """Linear cross-fade between consecutive chunks (reference
+    `client_grpc.py:391-416`).  Returns (emit_now, carry) where carry is the
+    faded head of `nxt` already merged — caller emits `emit_now` and keeps
+    streaming `nxt[overlap:]` logic internally."""
+    if overlap_samples == 0 or len(prev) == 0:
+        return prev, nxt
+    ov = min(overlap_samples, len(prev), len(nxt))
+    fade_out = np.linspace(1.0, 0.0, ov, dtype=np.float32)
+    fade_in = np.linspace(0.0, 1.0, ov, dtype=np.float32)
+    merged = prev.copy()
+    merged[-ov:] = prev[-ov:] * fade_out + nxt[:ov] * fade_in
+    return merged, nxt[ov:]
+
+
+class StreamingSynthesizer:
+    """Token-streaming TTS: yields waveform chunks as the LLM decodes.
+
+    Wraps a `SparkTTSPipeline`; the decode loop runs in fixed micro-batches
+    (`steps_per_dispatch` tokens per XLA call) with host-side EOS checks
+    between dispatches, while finished token chunks are vocoded and
+    cross-faded into the output stream.
+    """
+
+    def __init__(self, pipeline, streaming_cfg: Optional[StreamingConfig] = None, steps_per_dispatch: int = 25):
+        self.pipe = pipeline
+        self.cfg = streaming_cfg or pipeline.config.streaming
+        self.steps = steps_per_dispatch
+
+    def stream(
+        self,
+        text: str,
+        prompt_speech_path=None,
+        prompt_text: Optional[str] = None,
+        gender: Optional[str] = None,
+        pitch: Optional[str] = None,
+        speed: Optional[str] = None,
+        temperature: float = 0.8,
+        top_k: int = 50,
+        top_p: float = 0.95,
+        max_new_tokens: Optional[int] = None,
+        seed: int = 0,
+    ) -> Iterator[np.ndarray]:
+        from sparktts_tpu.prompt import build_clone_prompt, build_control_prompt
+
+        pipe = self.pipe
+        tok = pipe.tokenizer
+        if gender is not None:
+            ids = build_control_prompt(tok, text, gender, pitch, speed)
+            global_token_ids = None
+        else:
+            global_token_ids, semantic_token_ids = pipe.tokenize_audio(prompt_speech_path)
+            ids = build_clone_prompt(
+                tok,
+                text,
+                global_token_ids,
+                semantic_token_ids if prompt_text is not None else None,
+                prompt_text,
+            )
+
+        max_new = max_new_tokens or pipe.max_new_tokens
+        t_pad = ((len(ids) + pipe.prompt_bucket - 1) // pipe.prompt_bucket) * pipe.prompt_bucket
+        input_ids = np.full((1, t_pad), tok.pad_id, np.int32)
+        mask = np.zeros((1, t_pad), bool)
+        input_ids[0, t_pad - len(ids) :] = ids
+        mask[0, t_pad - len(ids) :] = True
+
+        cache = init_kv_cache(pipe.config.llm, 1, t_pad + max_new, pipe.lm_dtype)
+        state = prefill(
+            pipe.llm_params,
+            pipe.config.llm,
+            jnp.asarray(input_ids),
+            jnp.asarray(mask),
+            cache,
+            jax.random.PRNGKey(seed),
+            temperature,
+            top_k,
+            top_p,
+        )
+
+        schedule = chunk_sizes(self.cfg)
+        ov_tokens = overlap_tokens(self.cfg)
+        target = next(schedule)
+
+        token_buf: List[int] = []
+        pending: List[np.ndarray] = []  # raw LLM ids not yet vocoded
+        prev_chunk: Optional[np.ndarray] = None
+        total_steps = 0
+        done = False
+
+        def vocode(sem_ids: np.ndarray) -> np.ndarray:
+            nonlocal global_token_ids
+            if global_token_ids is None:
+                # controllable mode: first tokens emitted are the globals
+                from sparktts_tpu.prompt import extract_global_ids
+
+                g = extract_global_ids(tok, np.concatenate(pending) if pending else sem_ids)
+                token_num = pipe.config.bicodec.speaker_encoder.token_num
+                if g.size < token_num:
+                    g = np.pad(g, (0, token_num - g.size))
+                global_token_ids = g[None, :token_num]
+            return pipe.detokenize(global_token_ids, sem_ids[None, :])
+
+        overlap_samples = int(
+            self.cfg.audio_chunk_overlap_duration * pipe.sample_rate
+        )
+
+        while not done and total_steps < max_new:
+            n = min(self.steps, max_new - total_steps)
+            state, toks = decode_chunk(
+                pipe.llm_params,
+                pipe.config.llm,
+                state,
+                t_pad,
+                n,
+                temperature,
+                top_k,
+                top_p,
+                tuple(tok.eos_ids),
+                tok.pad_id,
+            )
+            total_steps += n
+            raw = np.asarray(toks)[0]
+            pending.append(raw)
+            done = bool(np.asarray(state.done).all())
+            sem = extract_semantic_ids(tok, raw)
+            token_buf.extend(sem.tolist())
+
+            while len(token_buf) >= target:
+                chunk_tokens = np.asarray(token_buf[:target], np.int32)
+                wav = vocode(chunk_tokens)
+                token_buf = token_buf[target - ov_tokens :]
+                target = next(schedule)
+                if prev_chunk is not None:
+                    emit, wav = cross_fade(prev_chunk, wav, overlap_samples)
+                    yield emit
+                prev_chunk = wav
+
+        if token_buf:
+            wav = vocode(np.asarray(token_buf, np.int32))
+            if prev_chunk is not None:
+                emit, wav = cross_fade(prev_chunk, wav, overlap_samples)
+                yield emit
+            prev_chunk = wav
+        if prev_chunk is not None and len(prev_chunk):
+            yield prev_chunk

@@ -1,0 +1,87 @@
+"""Mesh / sharding tests on the 8-device virtual CPU mesh (SURVEY.md §4:
+CPU-device mesh is the multi-chip stand-in)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from sparktts_tpu.config import QwenConfig
+from sparktts_tpu.lm.generate import generate
+from sparktts_tpu.lm.qwen import init_qwen
+from sparktts_tpu.lm.train import init_train_state, make_optimizer, train_step
+from sparktts_tpu.parallel.mesh import make_mesh
+from sparktts_tpu.parallel.shardings import batch_spec, qwen_param_specs
+
+CFG = QwenConfig(
+    vocab_size=256,
+    hidden_size=64,
+    intermediate_size=128,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    head_dim=16,
+    eos_token_id=0,
+    pad_token_id=1,
+)
+
+
+def _sharded_params(mesh):
+    params = init_qwen(jax.random.PRNGKey(0), CFG)
+    specs = qwen_param_specs(CFG)
+    return jax.tree.map(lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
+
+
+def test_mesh_construction():
+    assert len(jax.devices()) == 8, "conftest should provide 8 virtual CPU devices"
+    mesh = make_mesh()
+    assert mesh.shape == {"dp": 4, "tp": 2}
+
+
+def test_tp_sharded_forward_matches_single_device():
+    mesh = make_mesh(dp=4, tp=2)
+    params = init_qwen(jax.random.PRNGKey(0), CFG)
+    sharded = _sharded_params(mesh)
+
+    ids = np.random.default_rng(0).integers(5, 250, size=(4, 8)).astype(np.int32)
+    mask = jnp.ones((4, 8), bool)
+
+    kwargs = dict(
+        max_new_tokens=4, cache_len=16, eos_ids=(), pad_id=1, greedy=True
+    )
+    tokens_ref, _ = generate(params, CFG, jnp.asarray(ids), mask, jax.random.PRNGKey(1), **kwargs)
+    with mesh:
+        ids_sh = jax.device_put(jnp.asarray(ids), NamedSharding(mesh, batch_spec()))
+        tokens_sh, _ = generate(sharded, CFG, ids_sh, mask, jax.random.PRNGKey(1), **kwargs)
+    np.testing.assert_array_equal(np.asarray(tokens_ref), np.asarray(tokens_sh))
+
+
+def test_train_step_runs_on_mesh():
+    mesh = make_mesh(dp=4, tp=2)
+    sharded = _sharded_params(mesh)
+    optimizer = make_optimizer()
+    state = init_train_state(sharded, optimizer)
+    ids = jax.device_put(
+        jnp.ones((8, 16), jnp.int32), NamedSharding(mesh, batch_spec())
+    )
+    mask = jax.device_put(jnp.ones((8, 16), bool), NamedSharding(mesh, batch_spec()))
+    step = jax.jit(functools.partial(train_step, cfg=CFG, optimizer=optimizer))
+    with mesh:
+        new_state, loss = step(state, input_ids=ids, loss_mask=mask)
+    assert np.isfinite(float(loss))
+    assert int(new_state.step) == 1
+    # params changed
+    delta = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), new_state.params, state.params)
+    assert max(jax.tree.leaves(delta)) > 0
+
+
+def test_dryrun_multichip_entry():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
