@@ -303,6 +303,77 @@ class SparkTTSPipeline:
         return np.asarray(tokens)[0, :n]
 
 
+    # ------------------------------------------------------------------
+    # batched APIs (serving path; reference Triton dynamic batching role)
+    # ------------------------------------------------------------------
+
+    def generate_tokens_batch(
+        self,
+        prompts,
+        temperature: float = 0.8,
+        top_k: int = 50,
+        top_p: float = 0.95,
+        max_new_tokens: Optional[int] = None,
+        seed: int = 0,
+        greedy: bool = False,
+    ):
+        """List of prompt-id lists → list of generated id arrays.  One padded
+        batch through one jitted generate program (the reference delegates
+        this to Triton dynamic batching + TRT-LLM inflight batching)."""
+        max_new = max_new_tokens or self.max_new_tokens
+        b = len(prompts)
+        longest = max(len(p) for p in prompts)
+        t_pad = _round_up(max(longest, 1), self.prompt_bucket)
+        input_ids = np.full((b, t_pad), self.tokenizer.pad_id, np.int32)
+        mask = np.zeros((b, t_pad), bool)
+        for i, p in enumerate(prompts):
+            input_ids[i, t_pad - len(p) :] = p
+            mask[i, t_pad - len(p) :] = True
+
+        tokens, lengths = generate(
+            self.llm_params,
+            self.config.llm,
+            jnp.asarray(input_ids),
+            jnp.asarray(mask),
+            jax.random.PRNGKey(seed),
+            max_new_tokens=max_new,
+            cache_len=t_pad + max_new,
+            temperature=temperature,
+            top_k=top_k,
+            top_p=top_p,
+            eos_ids=tuple(self.tokenizer.eos_ids),
+            pad_id=self.tokenizer.pad_id,
+            greedy=greedy,
+            cache_dtype=self.lm_dtype,
+        )
+        tokens = np.asarray(tokens)
+        lengths = np.asarray(lengths)
+        return [tokens[i, : int(lengths[i])] for i in range(b)]
+
+    def detokenize_batch(self, global_tokens: np.ndarray, semantic_list) -> list:
+        """Batch vocode with per-sequence lengths: pad every sequence to the
+        longest bucket, one vocoder program, crop per sequence."""
+        b = len(semantic_list)
+        t_max = max(s.shape[-1] for s in semantic_list)
+        t_pad = _round_up(max(t_max, 1), 50)
+        padded = np.zeros((b, t_pad), np.int32)
+        for i, s in enumerate(semantic_list):
+            s = np.asarray(s, np.int32).reshape(-1)
+            padded[i, : len(s)] = s
+            if len(s) < t_pad and len(s) > 0:
+                padded[i, len(s) :] = s[-1]  # edge-replicate
+        fn = self._detokenize_fn(t_pad)
+        wav = np.asarray(
+            fn(self.bicodec_params, jnp.asarray(padded), jnp.asarray(global_tokens, dtype=jnp.int32))
+        )
+        return [
+            wav[i, : np.asarray(semantic_list[i]).reshape(-1).shape[0] * self._wave_upsample].astype(
+                np.float32
+            )
+            for i in range(b)
+        ]
+
+
 def _load_hf_state(model_dir: Path) -> Dict[str, np.ndarray]:
     """Load a HF model directory's weights as numpy (safetensors preferred,
     torch .bin fallback)."""

@@ -1,0 +1,274 @@
+"""Asyncio serving layer: dynamic batching + streaming, the Triton
+replacement.
+
+The reference serves through Triton Inference Server (C++) with dynamic
+batching (max batch 16) and decoupled streaming transactions plus a BLS
+orchestrator (reference `runtime/triton_trtllm/model_repo/spark_tts/1/
+model.py`, `run.sh:46-72`).  On TPU the same roles map to:
+
+  * request queue + batching window  → asyncio queue, batches compatible
+    requests into ONE jitted generate program (`generate_tokens_batch`)
+  * decoupled streaming              → `StreamingSynthesizer` generator per
+    request
+  * gRPC/HTTP endpoints              → stdlib ThreadingHTTPServer JSON API
+    (`serve_http`), zero extra deps
+
+Batching waits up to `batch_window_ms` to fill a batch of `max_batch`
+requests, mirroring Triton's scheduling knobs.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import base64
+import io
+import json
+import logging
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class TTSRequest:
+    text: str
+    prompt_wav: Optional[np.ndarray] = None       # pre-loaded audio
+    prompt_speech_path: Optional[str] = None
+    prompt_text: Optional[str] = None
+    gender: Optional[str] = None
+    pitch: Optional[str] = None
+    speed: Optional[str] = None
+    temperature: float = 0.8
+    top_k: int = 50
+    top_p: float = 0.95
+    seed: int = 0
+    future: Optional[asyncio.Future] = None
+    enqueue_time: float = field(default_factory=time.perf_counter)
+
+
+@dataclass
+class TTSResult:
+    wav: np.ndarray
+    sample_rate: int
+    queue_ms: float
+    infer_ms: float
+
+
+class TTSServer:
+    """Batching TTS server over a SparkTTSPipeline."""
+
+    def __init__(self, pipeline, max_batch: int = 16, batch_window_ms: float = 10.0):
+        self.pipe = pipeline
+        self.max_batch = max_batch
+        self.batch_window = batch_window_ms / 1000.0
+        self.queue: asyncio.Queue = asyncio.Queue()
+        self._worker_task: Optional[asyncio.Task] = None
+        self.stats = {"requests": 0, "batches": 0, "batch_occupancy_sum": 0}
+
+    async def start(self):
+        if self._worker_task is None:
+            self._worker_task = asyncio.create_task(self._worker())
+
+    async def stop(self):
+        if self._worker_task is not None:
+            self._worker_task.cancel()
+            try:
+                await self._worker_task
+            except asyncio.CancelledError:
+                pass
+            self._worker_task = None
+
+    async def synthesize(self, req: TTSRequest) -> TTSResult:
+        req.future = asyncio.get_running_loop().create_future()
+        await self.queue.put(req)
+        return await req.future
+
+    async def _worker(self):
+        while True:
+            batch: List[TTSRequest] = [await self.queue.get()]
+            deadline = time.perf_counter() + self.batch_window
+            while len(batch) < self.max_batch:
+                timeout = deadline - time.perf_counter()
+                if timeout <= 0:
+                    break
+                try:
+                    batch.append(await asyncio.wait_for(self.queue.get(), timeout))
+                except asyncio.TimeoutError:
+                    break
+            try:
+                results = await asyncio.get_running_loop().run_in_executor(
+                    None, self._execute_batch, batch
+                )
+                for req, res in zip(batch, results):
+                    if not req.future.done():
+                        req.future.set_result(res)
+            except Exception as e:  # propagate per-request
+                logger.exception("batch failed")
+                for req in batch:
+                    if not req.future.done():
+                        req.future.set_exception(e)
+
+    # ------------------------------------------------------------------
+
+    def _execute_batch(self, batch: List[TTSRequest]) -> List[TTSResult]:
+        from sparktts_tpu.prompt import (
+            build_clone_prompt,
+            build_control_prompt,
+            extract_global_ids,
+            extract_semantic_ids,
+        )
+
+        t0 = time.perf_counter()
+        pipe = self.pipe
+        tok = pipe.tokenizer
+        self.stats["requests"] += len(batch)
+        self.stats["batches"] += 1
+        self.stats["batch_occupancy_sum"] += len(batch)
+
+        prompts: List[List[int]] = []
+        globals_list: List[Optional[np.ndarray]] = []
+        for req in batch:
+            if req.gender is not None:
+                prompts.append(
+                    build_control_prompt(tok, req.text, req.gender, req.pitch, req.speed)
+                )
+                globals_list.append(None)
+            else:
+                audio = req.prompt_wav if req.prompt_wav is not None else req.prompt_speech_path
+                g, s = pipe.tokenize_audio(audio)
+                prompts.append(
+                    build_clone_prompt(
+                        tok,
+                        req.text,
+                        g,
+                        s if req.prompt_text is not None else None,
+                        req.prompt_text,
+                    )
+                )
+                globals_list.append(g)
+
+        generated = pipe.generate_tokens_batch(
+            prompts,
+            temperature=batch[0].temperature,
+            top_k=batch[0].top_k,
+            top_p=batch[0].top_p,
+            seed=batch[0].seed,
+        )
+
+        token_num = pipe.config.bicodec.speaker_encoder.token_num
+        sem_list, glob_rows = [], []
+        for req, gen, g in zip(batch, generated, globals_list):
+            sem = extract_semantic_ids(tok, gen)
+            if sem.size == 0:
+                sem = np.zeros(1, np.int32)
+            sem_list.append(sem)
+            if g is None:
+                gi = extract_global_ids(tok, gen)
+                if gi.size < token_num:
+                    gi = np.pad(gi, (0, token_num - gi.size))
+                g = gi[None, :token_num]
+            glob_rows.append(np.asarray(g).reshape(-1)[:token_num])
+
+        wavs = pipe.detokenize_batch(np.stack(glob_rows), sem_list)
+        infer_ms = (time.perf_counter() - t0) * 1000
+        out = []
+        for req, wav in zip(batch, wavs):
+            out.append(
+                TTSResult(
+                    wav=wav,
+                    sample_rate=pipe.sample_rate,
+                    queue_ms=(t0 - req.enqueue_time) * 1000,
+                    infer_ms=infer_ms,
+                )
+            )
+        return out
+
+    def stats_summary(self) -> Dict[str, Any]:
+        s = dict(self.stats)
+        if s["batches"]:
+            s["avg_batch_occupancy"] = s["batch_occupancy_sum"] / s["batches"]
+        return s
+
+
+# ---------------------------------------------------------------------------
+# stdlib HTTP front-end (role of reference client_http.py's server side)
+# ---------------------------------------------------------------------------
+
+
+def serve_http(pipeline, host: str = "0.0.0.0", port: int = 8000, max_batch: int = 16):
+    """Blocking HTTP JSON server.  POST /tts with
+    {"text": ..., "prompt_wav_b64": <base64 float32 pcm>, ...} → {"wav_b64",
+    "sample_rate"}.  GET /stats → scheduler statistics."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    server = TTSServer(pipeline, max_batch=max_batch)
+    loop = asyncio.new_event_loop()
+
+    def loop_thread():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(server.start())
+        loop.run_forever()
+
+    t = threading.Thread(target=loop_thread, daemon=True)
+    t.start()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/stats":
+                body = json.dumps(server.stats_summary()).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+        def do_POST(self):
+            if self.path != "/tts":
+                self.send_response(404)
+                self.end_headers()
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            payload = json.loads(self.rfile.read(length))
+            req = TTSRequest(
+                text=payload["text"],
+                prompt_text=payload.get("prompt_text"),
+                gender=payload.get("gender"),
+                pitch=payload.get("pitch"),
+                speed=payload.get("speed"),
+                temperature=payload.get("temperature", 0.8),
+                top_k=payload.get("top_k", 50),
+                top_p=payload.get("top_p", 0.95),
+                seed=payload.get("seed", 0),
+            )
+            if "prompt_wav_b64" in payload:
+                req.prompt_wav = np.frombuffer(
+                    base64.b64decode(payload["prompt_wav_b64"]), dtype=np.float32
+                )
+            fut = asyncio.run_coroutine_threadsafe(server.synthesize(req), loop)
+            res: TTSResult = fut.result()
+            body = json.dumps(
+                {
+                    "wav_b64": base64.b64encode(res.wav.astype(np.float32).tobytes()).decode(),
+                    "sample_rate": res.sample_rate,
+                    "queue_ms": res.queue_ms,
+                    "infer_ms": res.infer_ms,
+                }
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):
+            logger.debug(fmt, *args)
+
+    httpd = ThreadingHTTPServer((host, port), Handler)
+    logger.info("TTS server listening on %s:%d", host, port)
+    httpd.serve_forever()

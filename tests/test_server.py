@@ -1,0 +1,58 @@
+"""Serving layer tests: dynamic batching groups concurrent requests into one
+program; results come back per-request."""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+from sparktts_tpu.pipeline import SparkTTSPipeline
+from sparktts_tpu.serve.server import TTSRequest, TTSServer
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return SparkTTSPipeline(max_new_tokens=16, prompt_bucket=32)
+
+
+def _prompt_wav():
+    sr = 16000
+    t = np.arange(sr) / sr
+    return (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float64)
+
+
+def test_batched_requests(pipe):
+    async def run():
+        server = TTSServer(pipe, max_batch=4, batch_window_ms=200.0)
+        await server.start()
+        wav = _prompt_wav()
+        reqs = [
+            TTSRequest(text=f"utterance {i}", prompt_wav=wav, seed=i) for i in range(3)
+        ]
+        results = await asyncio.gather(*(server.synthesize(r) for r in reqs))
+        await server.stop()
+        return server, results
+
+    server, results = asyncio.new_event_loop().run_until_complete(run())
+    assert len(results) == 3
+    for res in results:
+        assert res.sample_rate == 16000
+        assert np.isfinite(res.wav).all()
+    # the window should have batched them together
+    stats = server.stats_summary()
+    assert stats["requests"] == 3
+    assert stats["batches"] <= 2
+
+
+def test_controllable_request(pipe):
+    async def run():
+        server = TTSServer(pipe, max_batch=2, batch_window_ms=5.0)
+        await server.start()
+        res = await server.synthesize(
+            TTSRequest(text="hi", gender="male", pitch="low", speed="moderate")
+        )
+        await server.stop()
+        return res
+
+    res = asyncio.new_event_loop().run_until_complete(run())
+    assert np.isfinite(res.wav).all()
