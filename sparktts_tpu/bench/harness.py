@@ -1,0 +1,153 @@
+"""Benchmark harness: RTF + latency percentiles for offline and streaming
+synthesis.
+
+Port of the reference gRPC bench client's metrics (reference
+`runtime/triton_trtllm/client_grpc.py:608-820`: per-task latency list, RTF =
+total wall-clock / total synthesized audio seconds, percentile breakdown,
+first-chunk latency for streaming) driving the in-process server/pipeline
+instead of a network endpoint.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+
+@dataclass
+class BenchTask:
+    text: str
+    prompt_wav: Optional[np.ndarray] = None
+    prompt_text: Optional[str] = None
+    gender: Optional[str] = None
+    pitch: str = "moderate"
+    speed: str = "moderate"
+
+
+def load_manifest(path: str | Path) -> List[BenchTask]:
+    """jsonl manifest: {"target_text": ..., "reference_wav_path": ...,
+    "reference_text": ...} per line (same fields the reference's dataset
+    loader consumes)."""
+    from sparktts_tpu.io.audio import load_audio
+
+    tasks = []
+    with open(path) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            item = json.loads(line)
+            wav = None
+            if item.get("reference_wav_path"):
+                wav = load_audio(item["reference_wav_path"], sampling_rate=16000, volume_normalize=True)
+            tasks.append(
+                BenchTask(
+                    text=item["target_text"],
+                    prompt_wav=wav,
+                    prompt_text=item.get("reference_text"),
+                )
+            )
+    return tasks
+
+
+def _summarize(latencies: List[float], total_audio_s: float, total_wall_s: float, extra=None) -> Dict[str, Any]:
+    lat = np.asarray(latencies)
+    stats = {
+        "num_tasks": len(latencies),
+        "total_audio_s": round(total_audio_s, 3),
+        "total_wall_s": round(total_wall_s, 3),
+        "rtf": round(total_wall_s / total_audio_s, 5) if total_audio_s else None,
+        "avg_latency_ms": round(float(lat.mean()) * 1000, 2),
+        "p50_latency_ms": round(float(np.percentile(lat, 50)) * 1000, 2),
+        "p90_latency_ms": round(float(np.percentile(lat, 90)) * 1000, 2),
+        "p99_latency_ms": round(float(np.percentile(lat, 99)) * 1000, 2),
+    }
+    if extra:
+        stats.update(extra)
+    return stats
+
+
+def run_offline_benchmark(
+    pipeline, tasks: List[BenchTask], concurrency: int = 1, max_batch: int = 16
+) -> Dict[str, Any]:
+    """Offline mode through the batching server at a given concurrency
+    (reference `client_grpc.py:517-607` semantics)."""
+    from sparktts_tpu.serve.server import TTSRequest, TTSServer
+
+    async def run():
+        server = TTSServer(pipeline, max_batch=max_batch)
+        await server.start()
+        latencies: List[float] = []
+        audio_s = 0.0
+        sem = asyncio.Semaphore(concurrency)
+
+        async def one(task: BenchTask, seed: int):
+            nonlocal audio_s
+            async with sem:
+                t0 = time.perf_counter()
+                res = await server.synthesize(
+                    TTSRequest(
+                        text=task.text,
+                        prompt_wav=task.prompt_wav,
+                        prompt_text=task.prompt_text,
+                        gender=task.gender,
+                        pitch=task.pitch if task.gender else None,
+                        speed=task.speed if task.gender else None,
+                        seed=seed,
+                    )
+                )
+                latencies.append(time.perf_counter() - t0)
+                audio_s += len(res.wav) / res.sample_rate
+
+        t0 = time.perf_counter()
+        await asyncio.gather(*(one(t, i) for i, t in enumerate(tasks)))
+        wall = time.perf_counter() - t0
+        await server.stop()
+        return _summarize(latencies, audio_s, wall, {"mode": "offline", "concurrency": concurrency, "server_stats": server.stats_summary()})
+
+    return asyncio.new_event_loop().run_until_complete(run())
+
+
+def run_streaming_benchmark(pipeline, tasks: List[BenchTask], streaming_cfg=None) -> Dict[str, Any]:
+    """Streaming mode: measures first-chunk latency per task (reference
+    `client_grpc.py:332-433`)."""
+    from sparktts_tpu.serve.streaming import StreamingSynthesizer
+
+    syn = StreamingSynthesizer(pipeline, streaming_cfg)
+    latencies, first_chunk = [], []
+    audio_s = 0.0
+    t_start = time.perf_counter()
+    for i, task in enumerate(tasks):
+        t0 = time.perf_counter()
+        got_first = False
+        for chunk in syn.stream(
+            task.text,
+            prompt_speech_path=task.prompt_wav,  # array accepted by tokenize_audio
+            prompt_text=task.prompt_text,
+            gender=task.gender,
+            pitch=task.pitch if task.gender else None,
+            speed=task.speed if task.gender else None,
+            seed=i,
+        ):
+            if not got_first:
+                first_chunk.append(time.perf_counter() - t0)
+                got_first = True
+            audio_s += len(chunk) / pipeline.sample_rate
+        latencies.append(time.perf_counter() - t0)
+    wall = time.perf_counter() - t_start
+    fc = np.asarray(first_chunk) if first_chunk else np.asarray([0.0])
+    return _summarize(
+        latencies,
+        audio_s,
+        wall,
+        {
+            "mode": "streaming",
+            "first_chunk_p50_ms": round(float(np.percentile(fc, 50)) * 1000, 2),
+            "first_chunk_p90_ms": round(float(np.percentile(fc, 90)) * 1000, 2),
+        },
+    )

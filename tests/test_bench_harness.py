@@ -1,0 +1,35 @@
+"""Bench harness smoke tests with the tiny pipeline."""
+
+import numpy as np
+import pytest
+
+from sparktts_tpu.bench.harness import BenchTask, run_offline_benchmark, run_streaming_benchmark
+from sparktts_tpu.config import StreamingConfig
+from sparktts_tpu.pipeline import SparkTTSPipeline
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return SparkTTSPipeline(max_new_tokens=16, prompt_bucket=32)
+
+
+def _wav():
+    sr = 16000
+    t = np.arange(sr) / sr
+    return 0.2 * np.sin(2 * np.pi * 200 * t)
+
+
+def test_offline_benchmark(pipe):
+    tasks = [BenchTask(text=f"text {i}", prompt_wav=_wav()) for i in range(2)]
+    stats = run_offline_benchmark(pipe, tasks, concurrency=2)
+    assert stats["num_tasks"] == 2
+    assert stats["rtf"] is not None and stats["rtf"] > 0
+    assert stats["p50_latency_ms"] > 0
+
+
+def test_streaming_benchmark(pipe):
+    scfg = StreamingConfig(audio_chunk_duration=0.1, audio_chunk_overlap_duration=0.02)
+    tasks = [BenchTask(text="hello", prompt_wav=_wav())]
+    stats = run_streaming_benchmark(pipe, tasks, scfg)
+    assert stats["num_tasks"] == 1
+    assert stats["first_chunk_p50_ms"] >= 0
