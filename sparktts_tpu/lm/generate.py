@@ -53,11 +53,17 @@ def prefill(
     top_k: int,
     top_p: float,
     greedy: bool = False,
+    use_flash: bool = False,
 ) -> GenState:
     """Run the prompt through the model, sample the first new token."""
     t_pad = input_ids.shape[1]
     positions, bias = prefill_inputs(prompt_mask, cache.max_len)
-    logits, cache = qwen_forward(params, cfg, input_ids, positions, cache, 0, bias)
+    flash_start = None
+    if use_flash:
+        flash_start = t_pad - jnp.sum(prompt_mask.astype(jnp.int32), axis=1)
+    logits, cache = qwen_forward(
+        params, cfg, input_ids, positions, cache, 0, bias, flash_start=flash_start
+    )
     last_logits = logits[:, -1]
 
     rng, sub = jax.random.split(rng)
@@ -170,6 +176,7 @@ def decode_chunk(
         "pad_id",
         "greedy",
         "cache_dtype",
+        "use_flash",
     ),
 )
 def generate(
@@ -187,6 +194,7 @@ def generate(
     pad_id: int = 0,
     greedy: bool = False,
     cache_dtype=jnp.bfloat16,
+    use_flash: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Full generation.  Returns (tokens (B, max_new_tokens) int32 padded with
     pad_id after EOS, lengths (B,) including the EOS token)."""
@@ -195,7 +203,8 @@ def generate(
 
     cache = init_kv_cache(cfg, b, cache_len, cache_dtype)
     state = prefill(
-        params, cfg, input_ids, prompt_mask, cache, rng, temperature, top_k, top_p, greedy
+        params, cfg, input_ids, prompt_mask, cache, rng, temperature, top_k, top_p, greedy,
+        use_flash=use_flash,
     )
 
     tokens0 = jnp.full((b, max_new_tokens), pad_id, jnp.int32)

@@ -117,12 +117,18 @@ def _attention_block(
     write_pos: int | jax.Array,
     key_mask_bias: jax.Array,
     cfg: QwenConfig,
+    flash_start: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Shared attention for prefill (T>=1) and decode (T=1).
 
     cache_k/v: (B, S, n_kv, hd); new keys written at [write_pos, write_pos+T).
     key_mask_bias: (B, T, S) additive fp32 bias (0 valid / -inf invalid),
     already encoding causality and left-pad masking.
+
+    flash_start: when given (prefill-from-zero only, T > 1), attention runs
+    through the Pallas flash kernel over the freshly-computed K/V instead of
+    the materialized-bias einsum path; `flash_start[b]` is the first non-pad
+    slot (same semantics as the bias).
     """
     b, t, h = x.shape
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -136,6 +142,22 @@ def _attention_block(
 
     cache_k = jax.lax.dynamic_update_slice(cache_k, k.astype(cache_k.dtype), (0, write_pos, 0, 0))
     cache_v = jax.lax.dynamic_update_slice(cache_v, v.astype(cache_v.dtype), (0, write_pos, 0, 0))
+
+    if flash_start is not None and t > 1:
+        from sparktts_tpu.kernels.flash_attention import flash_attention_prefill
+
+        out = flash_attention_prefill(
+            q.transpose(0, 2, 1, 3),
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+            flash_start,
+            sm_scale=hd**-0.5,
+            block_q=64 if t % 128 else 128,
+            block_k=64 if t % 128 else 128,
+            interpret=jax.default_backend() == "cpu",
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, nh * hd).astype(x.dtype)
+        return linear_apply(layer["o"], out), cache_k, cache_v
 
     group = nh // nkv
     qg = q.reshape(b, t, nkv, group, hd)
@@ -162,6 +184,7 @@ def qwen_forward(
     cache: KVCache,
     write_pos: int | jax.Array,  # cache slot of input_ids[:, 0]
     key_mask_bias: jax.Array,    # (B, T, S) additive bias
+    flash_start: Optional[jax.Array] = None,  # enable Pallas flash prefill
 ) -> Tuple[jax.Array, KVCache]:
     """Token ids → logits (B, T, V) and updated cache."""
     x = jnp.take(params["embed"], input_ids, axis=0)
@@ -171,7 +194,8 @@ def qwen_forward(
         residual = x
         y = rms_norm_apply(layer["ln1"], x, eps=cfg.rms_norm_eps)
         attn_out, ck, cv = _attention_block(
-            layer, y, positions, cache.k[i], cache.v[i], write_pos, key_mask_bias, cfg
+            layer, y, positions, cache.k[i], cache.v[i], write_pos, key_mask_bias, cfg,
+            flash_start=flash_start,
         )
         new_k.append(ck)
         new_v.append(cv)

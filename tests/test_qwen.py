@@ -169,3 +169,24 @@ def test_batched_sampled_generate_shapes(hf_pair):
     )
     assert tokens.shape == (b, 8)
     assert np.all(np.asarray(lengths) <= 8)
+
+
+def test_flash_prefill_generate_matches_bias_path(hf_pair):
+    """generate with the Pallas flash prefill (interpret on CPU) must match
+    the materialized-bias path token-for-token in greedy mode."""
+    _, cfg, params = hf_pair
+    rng = np.random.default_rng(7)
+    b, t = 2, 64
+    ids = rng.integers(10, VOCAB, size=(b, t)).astype(np.int32)
+    mask = np.ones((b, t), bool)
+    mask[1, :10] = False
+    ids[1, :10] = PAD
+    kwargs = dict(max_new_tokens=6, cache_len=t + 6, eos_ids=(), pad_id=PAD, greedy=True)
+    tok_ref, _ = generate(
+        params, cfg, jnp.asarray(ids), jnp.asarray(mask), jax.random.PRNGKey(0), **kwargs
+    )
+    tok_flash, _ = generate(
+        params, cfg, jnp.asarray(ids), jnp.asarray(mask), jax.random.PRNGKey(0),
+        use_flash=True, **kwargs
+    )
+    np.testing.assert_array_equal(np.asarray(tok_ref), np.asarray(tok_flash))
