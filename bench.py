@@ -34,8 +34,13 @@ def main():
     cfg = SparkTTSConfig()
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
+    from sparktts_tpu.lm.quant import quantize_qwen_int8
+
     key = jax.random.PRNGKey(0)
-    llm_params = init_qwen(key, cfg.llm, dtype=jnp.bfloat16)
+    llm_params_bf16 = init_qwen(key, cfg.llm, dtype=jnp.bfloat16)
+    # weight-only int8: halves decode HBM traffic (the decode bottleneck)
+    llm_params = jax.tree.map(jnp.asarray, quantize_qwen_int8(llm_params_bf16))
+    del llm_params_bf16
     bc_params = init_bicodec(jax.random.PRNGKey(1), cfg.bicodec)
     # codec in bf16 too: conv/matmul heavy, MXU wants bf16
     bc_params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), bc_params)

@@ -444,3 +444,31 @@ def convert_bicodec(state: State, cfg) -> dict:
         "postnet": _t_feat_decoder(state, "postnet", cfg.postnet),
         "decoder": _t_wave_generator(state, "decoder", cfg.decoder),
     }
+
+
+# ---------------------------------------------------------------------------
+# converted-params cache (SURVEY.md §5.4: one-time converter + orbax cache)
+# ---------------------------------------------------------------------------
+
+
+def save_param_cache(cache_dir: str | Path, tree) -> None:
+    """Persist a converted params pytree so subsequent loads skip the
+    torch-layout conversion entirely."""
+    import orbax.checkpoint as ocp
+
+    path = Path(cache_dir).absolute()
+    if path.exists():
+        import shutil
+
+        shutil.rmtree(path)
+    ocp.PyTreeCheckpointer().save(str(path), tree)
+
+
+def load_param_cache(cache_dir: str | Path):
+    """Restore a previously saved params pytree (None if absent)."""
+    import orbax.checkpoint as ocp
+
+    path = Path(cache_dir).absolute()
+    if not path.exists():
+        return None
+    return ocp.PyTreeCheckpointer().restore(str(path))

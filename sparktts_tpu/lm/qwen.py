@@ -187,7 +187,7 @@ def qwen_forward(
     flash_start: Optional[jax.Array] = None,  # enable Pallas flash prefill
 ) -> Tuple[jax.Array, KVCache]:
     """Token ids → logits (B, T, V) and updated cache."""
-    x = jnp.take(params["embed"], input_ids, axis=0)
+    x = embed_lookup(params, input_ids)
 
     new_k, new_v = [], []
     for i, layer in enumerate(params["layers"]):
@@ -205,12 +205,31 @@ def qwen_forward(
 
     x = rms_norm_apply(params["final_ln"], x, eps=cfg.rms_norm_eps)
     if cfg.tie_word_embeddings:
-        logits = jnp.einsum(
-            "bth,vh->btv", x, params["embed"], preferred_element_type=jnp.float32
-        )
+        logits = lm_logits(params, x)
     else:
         logits = linear_apply(params["lm_head"], x).astype(jnp.float32)
     return logits, KVCache(k=jnp.stack(new_k), v=jnp.stack(new_v))
+
+
+def embed_lookup(params, input_ids: jax.Array) -> jax.Array:
+    """Embedding lookup; supports int8 per-row-quantized tables (lm/quant.py)."""
+    emb = params["embed"]
+    if isinstance(emb, dict):
+        rows = jnp.take(emb["w_q"], input_ids, axis=0).astype(jnp.bfloat16)
+        return rows * jnp.take(emb["scale"], input_ids, axis=0).astype(jnp.bfloat16)
+    return jnp.take(emb, input_ids, axis=0)
+
+
+def lm_logits(params, x: jax.Array) -> jax.Array:
+    """Tied-embedding logits in fp32; int8 tables apply the per-row scale to
+    the matmul output (no dequantized table materialized)."""
+    emb = params["embed"]
+    if isinstance(emb, dict):
+        logits = jnp.einsum(
+            "bth,vh->btv", x, emb["w_q"].astype(x.dtype), preferred_element_type=jnp.float32
+        )
+        return logits * emb["scale"][:, 0]
+    return jnp.einsum("bth,vh->btv", x, emb, preferred_element_type=jnp.float32)
 
 
 # ---------------------------------------------------------------------------

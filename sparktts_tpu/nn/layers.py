@@ -40,8 +40,14 @@ def init_linear(key, in_dim: int, out_dim: int, bias: bool = True, std: float = 
 
 
 def linear_apply(p, x):
-    # weights define the compute dtype (bf16 params → bf16 MXU matmul)
-    y = jnp.matmul(x.astype(p["w"].dtype), p["w"])
+    if "w_q" in p:
+        # weight-only int8: cast weights up to the activation dtype for the
+        # MXU matmul, apply the per-out-channel scale to the OUTPUT (fusable,
+        # never materializes a dequantized matrix)
+        y = jnp.matmul(x, p["w_q"].astype(x.dtype)) * p["scale"].astype(x.dtype)
+    else:
+        # weights define the compute dtype (bf16 params → bf16 MXU matmul)
+        y = jnp.matmul(x.astype(p["w"].dtype), p["w"])
     if "b" in p:
         y = y + p["b"]
     return y

@@ -37,6 +37,7 @@ from sparktts_tpu.nn.wav2vec2 import (
     normalize_input,
     wav2vec2_features,
 )
+from sparktts_tpu.utils.profiling import stage
 from sparktts_tpu.prompt import (
     HFSparkTokenizer,
     SparkTokenizerBase,
@@ -106,7 +107,20 @@ class SparkTTSPipeline:
     def _load_params(self, model_dir: Path, lm_dtype):
         """Convert the reference checkpoint layout (BiCodec/ + LLM/ +
         wav2vec2-large-xlsr-53/) to pytrees (reference `bicodec.py:69-111`,
-        `cli/SparkTTS.py:48-50`)."""
+        `cli/SparkTTS.py:48-50`).  Converted trees are cached under
+        `<model_dir>/_tpu_cache/` (orbax) so later loads skip conversion."""
+        cache_root = model_dir / "_tpu_cache"
+        cached = CKPT.load_param_cache(cache_root / "bicodec")
+        if cached is not None:
+            self.bicodec_params = cached
+            self.w2v_params = CKPT.load_param_cache(cache_root / "wav2vec2")
+            llm = CKPT.load_param_cache(cache_root / "llm")
+            self.llm_params = jax.tree.map(
+                lambda x: x.astype(lm_dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                llm,
+            )
+            return
+
         bc_state = CKPT.load_safetensors(model_dir / "BiCodec" / "model.safetensors")
         self.bicodec_params = jax.tree.map(
             jnp.asarray, CKPT.convert_bicodec(bc_state, self.config.bicodec)
@@ -120,6 +134,12 @@ class SparkTTSPipeline:
             lambda x: jnp.asarray(x, dtype=lm_dtype),
             CKPT.convert_qwen(llm_state, self.config.llm),
         )
+        try:
+            CKPT.save_param_cache(cache_root / "bicodec", self.bicodec_params)
+            CKPT.save_param_cache(cache_root / "wav2vec2", self.w2v_params)
+            CKPT.save_param_cache(cache_root / "llm", self.llm_params)
+        except Exception:  # cache is best-effort (read-only model dirs)
+            logger.warning("could not write param cache under %s", cache_root, exc_info=True)
 
     # ------------------------------------------------------------------
     # jitted programs (shape-bucketed)
@@ -179,12 +199,13 @@ class SparkTTSPipeline:
             wav_in[:true_len] = wav
 
         fn = self._tokenize_fn(pad_len, len(ref_wav))
-        semantic, global_t = fn(
-            self.w2v_params,
-            self.bicodec_params,
-            jnp.asarray(wav_in)[None, :],
-            jnp.asarray(ref_wav, dtype=jnp.float32)[None, :],
-        )
+        with stage("tokenize_audio"):
+            semantic, global_t = fn(
+                self.w2v_params,
+                self.bicodec_params,
+                jnp.asarray(wav_in)[None, :],
+                jnp.asarray(ref_wav, dtype=jnp.float32)[None, :],
+            )
         # crop semantic tokens to the true frame count
         true_frames = feature_lengths(self.config.wav2vec2, true_len) // self._enc_ratio
         semantic = np.asarray(semantic)[:, :true_frames]
@@ -200,7 +221,8 @@ class SparkTTSPipeline:
         # edge-replicate pad: avoids a spectral discontinuity at the crop point
         padded = np.pad(semantic_tokens, ((0, 0), (0, t_pad - t_true)), mode="edge")
         fn = self._detokenize_fn(t_pad)
-        wav = fn(self.bicodec_params, jnp.asarray(padded), jnp.asarray(global_tokens))
+        with stage("vocode"):
+            wav = fn(self.bicodec_params, jnp.asarray(padded), jnp.asarray(global_tokens))
         return np.asarray(wav)[0, : t_true * self._wave_upsample].astype(np.float32)
 
     # ------------------------------------------------------------------
@@ -283,22 +305,23 @@ class SparkTTSPipeline:
         mask[0, t_pad - len(prompt_ids) :] = True
 
         cache_len = t_pad + max_new
-        tokens, lengths = generate(
-            self.llm_params,
-            self.config.llm,
-            jnp.asarray(input_ids),
-            jnp.asarray(mask),
-            jax.random.PRNGKey(seed),
-            max_new_tokens=max_new,
-            cache_len=cache_len,
-            temperature=temperature,
-            top_k=top_k,
-            top_p=top_p,
-            eos_ids=tuple(self.tokenizer.eos_ids),
-            pad_id=self.tokenizer.pad_id,
-            greedy=greedy,
-            cache_dtype=self.lm_dtype,
-        )
+        with stage("llm_generate"):
+            tokens, lengths = generate(
+                self.llm_params,
+                self.config.llm,
+                jnp.asarray(input_ids),
+                jnp.asarray(mask),
+                jax.random.PRNGKey(seed),
+                max_new_tokens=max_new,
+                cache_len=cache_len,
+                temperature=temperature,
+                top_k=top_k,
+                top_p=top_p,
+                eos_ids=tuple(self.tokenizer.eos_ids),
+                pad_id=self.tokenizer.pad_id,
+                greedy=greedy,
+                cache_dtype=self.lm_dtype,
+            )
         n = int(lengths[0])
         return np.asarray(tokens)[0, :n]
 

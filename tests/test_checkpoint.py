@@ -209,3 +209,21 @@ def test_speaker_project_permutation():
     # torch: zq channel-first (B, D, N) flattened
     theirs = zq.transpose(0, 2, 1).reshape(2, -1) @ w_torch.T
     np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-5)
+
+
+def test_param_cache_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    tree = {
+        "a": jnp.ones((4, 4), jnp.bfloat16),
+        "layers": [{"w": jnp.zeros((2, 3))}, {"w": jnp.ones((2, 3))}],
+    }
+    CKPT.save_param_cache(tmp_path / "cache", tree)
+    restored = CKPT.load_param_cache(tmp_path / "cache")
+    assert restored is not None
+    flat1 = jax.tree.leaves(tree)
+    flat2 = jax.tree.leaves(restored)
+    assert len(flat1) == len(flat2)
+    for a, b in zip(flat1, flat2):
+        assert a.shape == b.shape and a.dtype == b.dtype
+    assert CKPT.load_param_cache(tmp_path / "missing") is None

@@ -1,0 +1,80 @@
+"""int8 weight-only quantization tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sparktts_tpu.config import QwenConfig
+from sparktts_tpu.lm.generate import generate
+from sparktts_tpu.lm.qwen import init_kv_cache, init_qwen, prefill_inputs, qwen_forward
+from sparktts_tpu.lm.quant import quantize_linear_int8, quantize_qwen_int8
+from sparktts_tpu.nn.layers import init_linear, linear_apply
+
+CFG = QwenConfig(
+    vocab_size=256,
+    hidden_size=64,
+    intermediate_size=128,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    head_dim=16,
+    eos_token_id=0,
+    pad_token_id=1,
+)
+
+
+def test_quantized_linear_close_to_fp():
+    p = init_linear(jax.random.PRNGKey(0), 64, 128, std=0.5)
+    q = quantize_linear_int8(p)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 64))
+    y_fp = linear_apply(p, x)
+    y_q = linear_apply(q, x)
+    # int8 per-channel: relative error well under 1%
+    rel = np.abs(np.asarray(y_q - y_fp)).mean() / (np.abs(np.asarray(y_fp)).mean() + 1e-9)
+    assert rel < 0.01, rel
+
+
+def test_quantized_qwen_logits_close():
+    params = init_qwen(jax.random.PRNGKey(0), CFG)
+    qparams = quantize_qwen_int8(params)
+    ids = jnp.asarray(np.random.default_rng(0).integers(5, 250, size=(1, 8)), jnp.int32)
+    cache = init_kv_cache(CFG, 1, 16, jnp.float32)
+    mask = jnp.ones((1, 8), bool)
+    pos, bias = prefill_inputs(mask, 16)
+    logits_fp, _ = qwen_forward(params, CFG, ids, pos, cache, 0, bias)
+    cache2 = init_kv_cache(CFG, 1, 16, jnp.float32)
+    logits_q, _ = qwen_forward(qparams, CFG, ids, pos, cache2, 0, bias)
+    # top-1 agreement on most positions (random net, loose but meaningful)
+    top_fp = np.asarray(jnp.argmax(logits_fp, -1))
+    top_q = np.asarray(jnp.argmax(logits_q, -1))
+    assert (top_fp == top_q).mean() >= 0.7
+
+
+def test_quantized_generate_runs():
+    params = init_qwen(jax.random.PRNGKey(0), CFG)
+    qparams = quantize_qwen_int8(params)
+    ids = jnp.asarray(np.random.default_rng(1).integers(5, 250, size=(2, 8)), jnp.int32)
+    tokens, lengths = generate(
+        qparams,
+        CFG,
+        ids,
+        jnp.ones((2, 8), bool),
+        jax.random.PRNGKey(0),
+        max_new_tokens=4,
+        cache_len=16,
+        eos_ids=(),
+        pad_id=1,
+        greedy=True,
+    )
+    assert tokens.shape == (2, 4)
+    assert np.all(np.asarray(tokens) >= 0)
+
+
+def test_quantized_memory_halved():
+    params = init_qwen(jax.random.PRNGKey(0), CFG, dtype=jnp.bfloat16)
+    qparams = quantize_qwen_int8(params)
+
+    def nbytes(t):
+        return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(t))
+
+    assert nbytes(qparams) < 0.75 * nbytes(params)
