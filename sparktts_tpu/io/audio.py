@@ -18,7 +18,14 @@ PathLike = Union[str, Path]
 
 def read_wav(path: PathLike) -> Tuple[np.ndarray, int]:
     """Read a wav file to float64 mono in [-1, 1].  First channel only, like
-    the reference (`audio.py:97-99`)."""
+    the reference (`audio.py:97-99`).  Uses the native C++ reader when built
+    (`csrc/sparktts_audio.cpp`), scipy otherwise."""
+    from sparktts_tpu.io import native
+
+    res = native.read_wav(path)
+    if res is not None:
+        return res
+
     from scipy.io import wavfile
 
     sr, data = wavfile.read(str(path))
@@ -36,7 +43,13 @@ def read_wav(path: PathLike) -> Tuple[np.ndarray, int]:
 
 
 def write_wav(path: PathLike, audio: np.ndarray, sample_rate: int) -> None:
-    """Write float audio in [-1, 1] as 16-bit PCM wav."""
+    """Write float audio in [-1, 1] as 16-bit PCM wav (native writer when
+    available)."""
+    from sparktts_tpu.io import native
+
+    if native.write_wav(path, np.asarray(audio, dtype=np.float64), sample_rate):
+        return
+
     from scipy.io import wavfile
 
     audio = np.asarray(audio, dtype=np.float64)
@@ -50,10 +63,17 @@ def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
         return audio
     from math import gcd
 
-    from scipy.signal import resample_poly
-
     g = gcd(orig_sr, target_sr)
     up, down = target_sr // g, orig_sr // g
+
+    from sparktts_tpu.io import native
+
+    res = native.resample(audio, up, down)
+    if res is not None:
+        return res
+
+    from scipy.signal import resample_poly
+
     return resample_poly(audio, up, down)
 
 
