@@ -1,0 +1,47 @@
+"""AOT export tests: serialize → deserialize → identical outputs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparktts_tpu import export as EXP
+from sparktts_tpu.pipeline import SparkTTSPipeline
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return SparkTTSPipeline(max_new_tokens=8, prompt_bucket=32)
+
+
+def test_export_roundtrip_simple(tmp_path):
+    w = jax.random.normal(jax.random.PRNGKey(0), (16, 16))
+
+    def fn(x):
+        return jnp.tanh(x @ w)
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 16))
+    EXP.export_program(fn, (x,), tmp_path / "f.hlo")
+    loaded = EXP.load_program(tmp_path / "f.hlo")
+    np.testing.assert_allclose(np.asarray(loaded(x)), np.asarray(fn(x)), rtol=1e-6)
+
+
+def test_export_pipeline_artifacts(pipe, tmp_path):
+    manifest = EXP.export_pipeline_artifacts(
+        pipe, tmp_path, wav_seconds=1.0, vocoder_tokens=16, prompt_len=32
+    )
+    assert set(manifest) == {"mel", "audio_tokenize", "vocoder", "lm_prefill"}
+    for rel in manifest.values():
+        assert (tmp_path / rel).stat().st_size > 0
+
+    # vocoder artifact executes and matches the live pipeline
+    vocode = EXP.load_program(tmp_path / "vocoder.hlo")
+    sem = jnp.asarray(
+        np.random.default_rng(0).integers(0, 64, size=(1, 16)), jnp.int32
+    )
+    glob = jnp.zeros((1, pipe.config.bicodec.speaker_encoder.token_num), jnp.int32)
+    wav_art = np.asarray(vocode(sem, glob))
+    from sparktts_tpu.codec.bicodec import bicodec_detokenize
+
+    wav_live = np.asarray(bicodec_detokenize(pipe.bicodec_params, pipe.config.bicodec, sem, glob))
+    np.testing.assert_allclose(wav_art, wav_live, rtol=1e-5, atol=1e-5)
