@@ -140,8 +140,8 @@ def _attention_block(
     q = apply_rope(q, positions, cfg)
     k = apply_rope(k, positions, cfg)
 
-    cache_k = jax.lax.dynamic_update_slice(cache_k, k.astype(cache_k.dtype), (0, write_pos, 0, 0))
-    cache_v = jax.lax.dynamic_update_slice(cache_v, v.astype(cache_v.dtype), (0, write_pos, 0, 0))
+    cache_k = _write_kv(cache_k, k, write_pos)
+    cache_v = _write_kv(cache_v, v, write_pos)
 
     if flash_start is not None and t > 1:
         from sparktts_tpu.kernels.flash_attention import flash_attention_prefill
@@ -169,6 +169,19 @@ def _attention_block(
     out = jnp.einsum("bkgts,bskh->btkgh", probs, cache_v)
     out = out.reshape(b, t, nh * hd).astype(x.dtype)
     return linear_apply(layer["o"], out), cache_k, cache_v
+
+
+def _write_kv(cache: jax.Array, new: jax.Array, write_pos) -> jax.Array:
+    """Write new K/V (B, T, n_kv, hd) into the cache (B, S, n_kv, hd).
+
+    write_pos scalar → one shared slot (aligned prefill/decode);
+    write_pos (B,) vector → per-sequence scatter (continuous batching: every
+    slot sits at its own sequence position; T must be 1)."""
+    new = new.astype(cache.dtype)
+    if isinstance(write_pos, jax.Array) and write_pos.ndim == 1:
+        b = new.shape[0]
+        return cache.at[jnp.arange(b), write_pos].set(new[:, 0])
+    return jax.lax.dynamic_update_slice(cache, new, (0, write_pos, 0, 0))
 
 
 def _mlp_block(layer, x: jax.Array) -> jax.Array:

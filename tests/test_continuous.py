@@ -1,0 +1,108 @@
+"""Continuous batching engine tests: greedy parity with aligned generate,
+staggered admission, slot recycling."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparktts_tpu.config import QwenConfig
+from sparktts_tpu.lm.continuous import ContinuousBatchingEngine
+from sparktts_tpu.lm.generate import generate
+from sparktts_tpu.lm.qwen import init_qwen
+
+CFG = QwenConfig(
+    vocab_size=256,
+    hidden_size=64,
+    intermediate_size=128,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    head_dim=16,
+    eos_token_id=0,
+    pad_token_id=1,
+)
+PAD = 1
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_qwen(jax.random.PRNGKey(0), CFG)
+
+
+def _prompt(seed, n):
+    return np.random.default_rng(seed).integers(5, 250, size=n).astype(np.int32).tolist()
+
+
+def test_greedy_matches_aligned_generate(params):
+    prompt = _prompt(0, 12)
+    n_new = 10
+
+    # aligned-batch reference (left-padded path)
+    t_pad = 16
+    ids = np.full((1, t_pad), PAD, np.int32)
+    mask = np.zeros((1, t_pad), bool)
+    ids[0, t_pad - len(prompt) :] = prompt
+    mask[0, t_pad - len(prompt) :] = True
+    ref_tokens, _ = generate(
+        params, CFG, jnp.asarray(ids), jnp.asarray(mask), jax.random.PRNGKey(0),
+        max_new_tokens=n_new, cache_len=t_pad + n_new, eos_ids=(), pad_id=PAD, greedy=True,
+        cache_dtype=jnp.float32,
+    )
+
+    eng = ContinuousBatchingEngine(
+        params, CFG, max_slots=4, cache_len=64, prompt_pad=16,
+        eos_ids=(), pad_id=PAD, greedy=True, cache_dtype=jnp.float32,
+    )
+    rid = eng.submit(prompt, max_new_tokens=n_new)
+    eng.run_until_done(n_steps=5)
+    got = eng.finished[rid][:n_new]
+    np.testing.assert_array_equal(got, np.asarray(ref_tokens)[0])
+
+
+def test_staggered_admission_isolation(params):
+    """A request admitted mid-flight must not change an in-progress greedy
+    sequence, and both must equal their solo runs."""
+    p1, p2 = _prompt(1, 8), _prompt(2, 14)
+    n_new = 12
+
+    def solo(prompt):
+        eng = ContinuousBatchingEngine(
+            params, CFG, max_slots=4, cache_len=64, prompt_pad=16,
+            eos_ids=(), pad_id=PAD, greedy=True, cache_dtype=jnp.float32,
+        )
+        rid = eng.submit(prompt, max_new_tokens=n_new)
+        eng.run_until_done(n_steps=4)
+        return eng.finished[rid][:n_new]
+
+    ref1, ref2 = solo(p1), solo(p2)
+
+    eng = ContinuousBatchingEngine(
+        params, CFG, max_slots=4, cache_len=64, prompt_pad=16,
+        eos_ids=(), pad_id=PAD, greedy=True, cache_dtype=jnp.float32,
+    )
+    r1 = eng.submit(p1, max_new_tokens=n_new)
+    eng.step(n_steps=4)  # r1 advances alone
+    r2 = eng.submit(p2, max_new_tokens=n_new)  # joins mid-flight
+    eng.run_until_done(n_steps=4)
+
+    np.testing.assert_array_equal(eng.finished[r1][:n_new], ref1)
+    np.testing.assert_array_equal(eng.finished[r2][:n_new], ref2)
+
+
+def test_slot_recycling(params):
+    eng = ContinuousBatchingEngine(
+        params, CFG, max_slots=2, cache_len=64, prompt_pad=16,
+        eos_ids=(), pad_id=PAD, greedy=True, cache_dtype=jnp.float32,
+    )
+    r1 = eng.submit(_prompt(3, 6), max_new_tokens=4)
+    r2 = eng.submit(_prompt(4, 6), max_new_tokens=4)
+    assert eng.free_slots() == 0
+    with pytest.raises(RuntimeError):
+        eng.submit(_prompt(5, 6), max_new_tokens=4)
+    eng.run_until_done(n_steps=4)
+    assert eng.free_slots() == 2
+    r3 = eng.submit(_prompt(5, 6), max_new_tokens=4)
+    eng.run_until_done(n_steps=4)
+    assert r3 in eng.finished
+    assert len(eng.finished) == 3
