@@ -67,6 +67,7 @@ class SparkTTSPipeline:
         prompt_bucket: int = 64,
         wav_bucket_s: float = 1.0,
         max_new_tokens: Optional[int] = None,
+        use_flash: bool = False,
     ):
         if model_dir is not None:
             self.config = load_spark_config(model_dir)
@@ -85,6 +86,7 @@ class SparkTTSPipeline:
         self.wav_bucket = int(wav_bucket_s * self.sample_rate)
         self.max_new_tokens = max_new_tokens or self.config.sampling.max_new_tokens
         self.lm_dtype = lm_dtype
+        self.use_flash = use_flash  # Pallas flash-attention prefill
 
         # encoder time-compression: semantic tokens per wav2vec2 frame
         self._enc_ratio = int(np.prod(self.config.bicodec.encoder.sample_ratios))
@@ -321,6 +323,7 @@ class SparkTTSPipeline:
                 pad_id=self.tokenizer.pad_id,
                 greedy=greedy,
                 cache_dtype=self.lm_dtype,
+                use_flash=self.use_flash,
             )
         n = int(lengths[0])
         return np.asarray(tokens)[0, :n]
@@ -368,6 +371,7 @@ class SparkTTSPipeline:
             pad_id=self.tokenizer.pad_id,
             greedy=greedy,
             cache_dtype=self.lm_dtype,
+            use_flash=self.use_flash,
         )
         tokens = np.asarray(tokens)
         lengths = np.asarray(lengths)

@@ -62,13 +62,20 @@ class TTSResult:
 class TTSServer:
     """Batching TTS server over a SparkTTSPipeline."""
 
-    def __init__(self, pipeline, max_batch: int = 16, batch_window_ms: float = 10.0):
+    def __init__(
+        self,
+        pipeline,
+        max_batch: int = 16,
+        batch_window_ms: float = 10.0,
+        request_timeout_s: Optional[float] = None,
+    ):
         self.pipe = pipeline
         self.max_batch = max_batch
         self.batch_window = batch_window_ms / 1000.0
+        self.request_timeout_s = request_timeout_s
         self.queue: asyncio.Queue = asyncio.Queue()
         self._worker_task: Optional[asyncio.Task] = None
-        self.stats = {"requests": 0, "batches": 0, "batch_occupancy_sum": 0}
+        self.stats = {"requests": 0, "batches": 0, "batch_occupancy_sum": 0, "failures": 0}
 
     async def start(self):
         if self._worker_task is None:
@@ -86,7 +93,18 @@ class TTSServer:
     async def synthesize(self, req: TTSRequest) -> TTSResult:
         req.future = asyncio.get_running_loop().create_future()
         await self.queue.put(req)
+        if self.request_timeout_s is not None:
+            try:
+                return await asyncio.wait_for(req.future, self.request_timeout_s)
+            except asyncio.TimeoutError:
+                self.stats["failures"] += 1
+                raise
         return await req.future
+
+    @property
+    def healthy(self) -> bool:
+        """Liveness: worker task exists and hasn't crashed."""
+        return self._worker_task is not None and not self._worker_task.done()
 
     async def _worker(self):
         while True:
@@ -109,6 +127,7 @@ class TTSServer:
                         req.future.set_result(res)
             except Exception as e:  # propagate per-request
                 logger.exception("batch failed")
+                self.stats["failures"] += len(batch)
                 for req in batch:
                     if not req.future.done():
                         req.future.set_exception(e)
@@ -222,6 +241,13 @@ def serve_http(pipeline, host: str = "0.0.0.0", port: int = 8000, max_batch: int
             if self.path == "/stats":
                 body = json.dumps(server.stats_summary()).encode()
                 self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/health":
+                ok = server.healthy
+                body = json.dumps({"healthy": ok}).encode()
+                self.send_response(200 if ok else 503)
                 self.send_header("Content-Type", "application/json")
                 self.end_headers()
                 self.wfile.write(body)
