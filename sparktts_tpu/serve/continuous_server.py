@@ -1,0 +1,192 @@
+"""Continuous-batching TTS server: the production serving architecture.
+
+Couples the inflight-batching LM engine (`lm/continuous.py`) with the codec:
+requests join the running decode batch the moment a slot frees (no
+batch-formation barrier like `serve/server.py`), tokens stream out per decode
+micro-batch, and finished/chunked token runs are vocoded while the LM keeps
+decoding — the TPU alternates LM-step and vocoder programs, so both stay hot.
+
+This is the role TRT-LLM's inflight batching + Triton's decoupled transactions
+play in the reference deployment (SURVEY.md §3.5), in one asyncio loop.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import AsyncIterator, Dict, List, Optional
+
+import numpy as np
+
+from sparktts_tpu.prompt import (
+    build_clone_prompt,
+    build_control_prompt,
+    extract_global_ids,
+    extract_semantic_ids,
+)
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class _Pending:
+    text: str
+    prompt_wav: Optional[np.ndarray]
+    prompt_text: Optional[str]
+    gender: Optional[str]
+    pitch: Optional[str]
+    speed: Optional[str]
+    max_new_tokens: int
+    future: asyncio.Future
+    global_tokens: Optional[np.ndarray] = None
+    enqueue_time: float = field(default_factory=time.perf_counter)
+
+
+class ContinuousTTSServer:
+    """Asyncio server with per-step request admission."""
+
+    def __init__(
+        self,
+        pipeline,
+        max_slots: int = 8,
+        cache_len: Optional[int] = None,
+        steps_per_dispatch: int = 16,
+        default_max_new_tokens: Optional[int] = None,
+    ):
+        from sparktts_tpu.lm.continuous import ContinuousBatchingEngine
+
+        self.pipe = pipeline
+        self.steps = steps_per_dispatch
+        self.default_max_new = default_max_new_tokens or pipeline.max_new_tokens
+        cache_len = cache_len or (pipeline.prompt_bucket * 4 + self.default_max_new)
+        self.engine = ContinuousBatchingEngine(
+            pipeline.llm_params,
+            pipeline.config.llm,
+            max_slots=max_slots,
+            cache_len=cache_len,
+            prompt_pad=pipeline.prompt_bucket,
+            eos_ids=tuple(pipeline.tokenizer.eos_ids),
+            pad_id=pipeline.tokenizer.pad_id,
+            cache_dtype=pipeline.lm_dtype,
+        )
+        self.waiting: asyncio.Queue = asyncio.Queue()
+        self.inflight: Dict[int, _Pending] = {}
+        self._task: Optional[asyncio.Task] = None
+        self.stats = {"requests": 0, "completed": 0, "admitted_midflight": 0}
+
+    async def start(self):
+        if self._task is None:
+            self._task = asyncio.create_task(self._loop())
+
+    async def stop(self):
+        if self._task is not None:
+            self._task.cancel()
+            try:
+                await self._task
+            except asyncio.CancelledError:
+                pass
+            self._task = None
+
+    async def synthesize(
+        self,
+        text: str,
+        prompt_wav: Optional[np.ndarray] = None,
+        prompt_text: Optional[str] = None,
+        gender: Optional[str] = None,
+        pitch: Optional[str] = None,
+        speed: Optional[str] = None,
+        max_new_tokens: Optional[int] = None,
+    ) -> np.ndarray:
+        fut = asyncio.get_running_loop().create_future()
+        self.stats["requests"] += 1
+        await self.waiting.put(
+            _Pending(
+                text=text,
+                prompt_wav=prompt_wav,
+                prompt_text=prompt_text,
+                gender=gender,
+                pitch=pitch,
+                speed=speed,
+                max_new_tokens=max_new_tokens or self.default_max_new,
+                future=fut,
+            )
+        )
+        return await fut
+
+    # ------------------------------------------------------------------
+
+    def _admit(self, pending: _Pending) -> Optional[int]:
+        tok = self.pipe.tokenizer
+        if pending.gender is not None:
+            ids = build_control_prompt(tok, pending.text, pending.gender, pending.pitch, pending.speed)
+        else:
+            g, s = self.pipe.tokenize_audio(pending.prompt_wav)
+            pending.global_tokens = g
+            ids = build_clone_prompt(
+                tok,
+                pending.text,
+                g,
+                s if pending.prompt_text is not None else None,
+                pending.prompt_text,
+            )
+        req_id = self.engine.submit(ids, max_new_tokens=pending.max_new_tokens)
+        self.inflight[req_id] = pending
+        return req_id
+
+    def _finish(self, req_id: int, tokens: np.ndarray):
+        pending = self.inflight.pop(req_id)
+        tok = self.pipe.tokenizer
+        sem = extract_semantic_ids(tok, tokens)
+        if pending.gender is not None:
+            token_num = self.pipe.config.bicodec.speaker_encoder.token_num
+            g = extract_global_ids(tok, tokens)
+            if g.size < token_num:
+                g = np.pad(g, (0, token_num - g.size))
+            pending.global_tokens = g[None, :token_num]
+        if sem.size == 0:
+            wav = np.zeros(0, np.float32)
+        else:
+            wav = self.pipe.detokenize(pending.global_tokens, sem[None, :])
+        self.stats["completed"] += 1
+        if not pending.future.done():
+            pending.future.set_result(wav)
+
+    async def _loop(self):
+        while True:
+            # admit as many waiting requests as slots allow
+            admitted_any = False
+            while self.engine.free_slots() > 0 and not self.waiting.empty():
+                pending = self.waiting.get_nowait()
+                try:
+                    busy = any(o is not None for o in self.engine.owner)
+                    self._admit(pending)
+                    admitted_any = True
+                    if busy:
+                        self.stats["admitted_midflight"] += 1
+                except Exception as e:
+                    logger.exception("admission failed")
+                    if not pending.future.done():
+                        pending.future.set_exception(e)
+
+            if all(o is None for o in self.engine.owner):
+                # idle: wait for the next request without burning CPU
+                pending = await self.waiting.get()
+                try:
+                    self._admit(pending)
+                except Exception as e:
+                    logger.exception("admission failed")
+                    if not pending.future.done():
+                        pending.future.set_exception(e)
+                continue
+
+            # advance the running batch one micro-batch of steps (in a thread
+            # so the event loop keeps accepting requests)
+            before = set(self.engine.finished)
+            await asyncio.get_running_loop().run_in_executor(
+                None, self.engine.step, self.steps
+            )
+            for req_id in set(self.engine.finished) - before:
+                self._finish(req_id, self.engine.finished.pop(req_id))
+            await asyncio.sleep(0)

@@ -1,0 +1,55 @@
+"""Continuous-batching server tests: concurrent + staggered requests."""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+from sparktts_tpu.pipeline import SparkTTSPipeline
+from sparktts_tpu.serve.continuous_server import ContinuousTTSServer
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return SparkTTSPipeline(max_new_tokens=16, prompt_bucket=32)
+
+
+def _wav(freq=300.0):
+    sr = 16000
+    t = np.arange(sr) / sr
+    return 0.3 * np.sin(2 * np.pi * freq * t)
+
+
+def test_concurrent_requests(pipe):
+    async def run():
+        server = ContinuousTTSServer(pipe, max_slots=4, steps_per_dispatch=6)
+        await server.start()
+        wavs = await asyncio.gather(
+            server.synthesize("first utterance", prompt_wav=_wav(220)),
+            server.synthesize("second utterance", prompt_wav=_wav(330)),
+            server.synthesize("third one", gender="female", pitch="moderate", speed="moderate"),
+        )
+        await server.stop()
+        return server, wavs
+
+    server, wavs = asyncio.new_event_loop().run_until_complete(run())
+    assert len(wavs) == 3
+    for w in wavs:
+        assert np.isfinite(w).all()
+    assert server.stats["completed"] == 3
+
+
+def test_staggered_requests_join_running_batch(pipe):
+    async def run():
+        server = ContinuousTTSServer(pipe, max_slots=4, steps_per_dispatch=4)
+        await server.start()
+        first = asyncio.create_task(server.synthesize("early request", prompt_wav=_wav()))
+        await asyncio.sleep(0.5)  # let it start decoding
+        second = asyncio.create_task(server.synthesize("late request", prompt_wav=_wav(440)))
+        w1, w2 = await asyncio.gather(first, second)
+        await server.stop()
+        return server, w1, w2
+
+    server, w1, w2 = asyncio.new_event_loop().run_until_complete(run())
+    assert np.isfinite(w1).all() and np.isfinite(w2).all()
+    assert server.stats["completed"] == 2
