@@ -153,8 +153,8 @@ class SparkTTSPipeline:
             cfg = self.config
 
             @jax.jit
-            def fn(w2v_params, bc_params, wav, ref_wav):
-                feat = wav2vec2_features(w2v_params, wav, cfg.wav2vec2)
+            def fn(w2v_params, bc_params, wav, feature_mask, ref_wav):
+                feat = wav2vec2_features(w2v_params, wav, cfg.wav2vec2, feature_mask)
                 return bicodec_tokenize(bc_params, cfg.bicodec, feat, ref_wav)
 
             self._jit_cache[key] = fn
@@ -200,12 +200,17 @@ class SparkTTSPipeline:
         else:
             wav_in[:true_len] = wav
 
+        true_frames_w2v = feature_lengths(self.config.wav2vec2, true_len)
+        total_frames = feature_lengths(self.config.wav2vec2, pad_len)
+        feature_mask = np.arange(total_frames)[None, :] < true_frames_w2v
+
         fn = self._tokenize_fn(pad_len, len(ref_wav))
         with stage("tokenize_audio"):
             semantic, global_t = fn(
                 self.w2v_params,
                 self.bicodec_params,
                 jnp.asarray(wav_in)[None, :],
+                jnp.asarray(feature_mask),
                 jnp.asarray(ref_wav, dtype=jnp.float32)[None, :],
             )
         # crop semantic tokens to the true frame count
@@ -332,6 +337,71 @@ class SparkTTSPipeline:
     # ------------------------------------------------------------------
     # batched APIs (serving path; reference Triton dynamic batching role)
     # ------------------------------------------------------------------
+
+    def _tokenize_batch_fn(self, wav_len: int, ref_len: int):
+        key = ("tokenize_batch", wav_len, ref_len)
+        if key not in self._jit_cache:
+            cfg = self.config
+
+            @jax.jit
+            def fn(w2v_params, bc_params, wav, feature_mask, ref_wav):
+                feat = wav2vec2_features(w2v_params, wav, cfg.wav2vec2, feature_mask)
+                return bicodec_tokenize(bc_params, cfg.bicodec, feat, ref_wav)
+
+            self._jit_cache[key] = fn
+        return self._jit_cache[key]
+
+    def tokenize_audio_batch(self, wavs) -> list:
+        """List of float arrays → list of (global (1, N), semantic (1, T_i)).
+
+        One padded batch through wav2vec2 (with a proper attention mask on the
+        transformer) + BiCodec — the reference's Triton audio_tokenizer batch
+        path (`model_repo/audio_tokenizer/1/model.py:86-137`)."""
+        b = len(wavs)
+        wavs = [np.asarray(w, dtype=np.float64) for w in wavs]
+        lens = [len(w) for w in wavs]
+        pad_len = _round_up(max(max(lens), self.wav_bucket), self.wav_bucket)
+
+        wav_in = np.zeros((b, pad_len), np.float32)
+        for i, w in enumerate(wavs):
+            wav_in[i, : lens[i]] = (
+                normalize_input(w[None, :])[0] if self.config.wav2vec2.do_normalize else w
+            )
+
+        ref_len = (
+            int(self.sample_rate * self.config.ref_segment_duration)
+            // self.config.latent_hop_length
+            * self.config.latent_hop_length
+        )
+        refs = np.stack(
+            [
+                get_ref_clip(
+                    w, self.sample_rate, self.config.ref_segment_duration, self.config.latent_hop_length
+                )
+                for w in wavs
+            ]
+        ).astype(np.float32)
+
+        frame_counts = [feature_lengths(self.config.wav2vec2, l) for l in lens]
+        total_frames = feature_lengths(self.config.wav2vec2, pad_len)
+        feature_mask = np.arange(total_frames)[None, :] < np.asarray(frame_counts)[:, None]
+
+        fn = self._tokenize_batch_fn(pad_len, ref_len)
+        with stage("tokenize_audio_batch"):
+            semantic, global_t = fn(
+                self.w2v_params,
+                self.bicodec_params,
+                jnp.asarray(wav_in),
+                jnp.asarray(feature_mask),
+                jnp.asarray(refs),
+            )
+        semantic = np.asarray(semantic)
+        global_t = np.asarray(global_t)
+        out = []
+        for i in range(b):
+            t = frame_counts[i] // self._enc_ratio
+            out.append((global_t[i : i + 1], semantic[i : i + 1, :t]))
+        return out
 
     def generate_tokens_batch(
         self,

@@ -149,17 +149,38 @@ class TTSServer:
         self.stats["batches"] += 1
         self.stats["batch_occupancy_sum"] += len(batch)
 
+        # batch all clone-mode prompt audios through ONE tokenize program
+        clone_idx = [i for i, r in enumerate(batch) if r.gender is None]
+        clone_tokens: Dict[int, tuple] = {}
+        if clone_idx:
+            from sparktts_tpu.io.audio import load_audio
+
+            wavs = []
+            for i in clone_idx:
+                r = batch[i]
+                if r.prompt_wav is not None:
+                    wavs.append(np.asarray(r.prompt_wav, np.float64))
+                else:
+                    wavs.append(
+                        load_audio(
+                            r.prompt_speech_path,
+                            sampling_rate=self.pipe.sample_rate,
+                            volume_normalize=self.pipe.config.volume_normalize,
+                        )
+                    )
+            for i, gs in zip(clone_idx, self.pipe.tokenize_audio_batch(wavs)):
+                clone_tokens[i] = gs
+
         prompts: List[List[int]] = []
         globals_list: List[Optional[np.ndarray]] = []
-        for req in batch:
+        for i, req in enumerate(batch):
             if req.gender is not None:
                 prompts.append(
                     build_control_prompt(tok, req.text, req.gender, req.pitch, req.speed)
                 )
                 globals_list.append(None)
             else:
-                audio = req.prompt_wav if req.prompt_wav is not None else req.prompt_speech_path
-                g, s = pipe.tokenize_audio(audio)
+                g, s = clone_tokens[i]
                 prompts.append(
                     build_clone_prompt(
                         tok,

@@ -95,3 +95,20 @@ def test_greedy_inference_deterministic(pipe, prompt_wav):
     w1 = pipe.inference("same text", prompt_speech_path=prompt_wav, greedy=True)
     w2 = pipe.inference("same text", prompt_speech_path=prompt_wav, greedy=True)
     np.testing.assert_array_equal(w1, w2)
+
+
+def test_tokenize_audio_batch_matches_single(pipe, prompt_wav):
+    from sparktts_tpu.io.audio import load_audio
+
+    wav1 = load_audio(prompt_wav, sampling_rate=16000, volume_normalize=True)
+    wav2 = wav1[: len(wav1) // 2]
+    out = pipe.tokenize_audio_batch([wav1, wav2])
+    assert len(out) == 2
+    g1, s1 = out[0]
+    g2, s2 = out[1]
+    # single-path result for the longer wav must match the batch result
+    g_ref, s_ref = pipe.tokenize_audio(wav1)
+    np.testing.assert_array_equal(g1, g_ref)
+    # both paths mask padded frames and share the pad length → exact match
+    np.testing.assert_array_equal(s1, s_ref)
+    assert s2.shape[1] < s1.shape[1]
