@@ -42,6 +42,12 @@ class _Pending:
     future: asyncio.Future
     global_tokens: Optional[np.ndarray] = None
     enqueue_time: float = field(default_factory=time.perf_counter)
+    # streaming mode: chunks go to this queue instead of one final future
+    chunk_queue: Optional[asyncio.Queue] = None
+    stream_buf: list = field(default_factory=list)
+    stream_emitted: int = 0
+    stream_target: int = 0
+    stream_schedule: Optional[object] = None
 
 
 class ContinuousTTSServer:
@@ -115,7 +121,76 @@ class ContinuousTTSServer:
         )
         return await fut
 
+    async def synthesize_streaming(
+        self,
+        text: str,
+        prompt_wav: Optional[np.ndarray] = None,
+        prompt_text: Optional[str] = None,
+        gender: Optional[str] = None,
+        pitch: Optional[str] = None,
+        speed: Optional[str] = None,
+        max_new_tokens: Optional[int] = None,
+    ) -> AsyncIterator[np.ndarray]:
+        """Async generator of waveform chunks (growing-chunk schedule,
+        reference `spark_tts/1/model.py:347-385`) while the request shares the
+        continuous decode batch with everything else."""
+        from sparktts_tpu.serve.streaming import chunk_sizes
+
+        fut = asyncio.get_running_loop().create_future()
+        q: asyncio.Queue = asyncio.Queue()
+        schedule = chunk_sizes(self.pipe.config.streaming)
+        pending = _Pending(
+            text=text,
+            prompt_wav=prompt_wav,
+            prompt_text=prompt_text,
+            gender=gender,
+            pitch=pitch,
+            speed=speed,
+            max_new_tokens=max_new_tokens or self.default_max_new,
+            future=fut,
+            chunk_queue=q,
+            stream_target=next(schedule),
+            stream_schedule=schedule,
+        )
+        self.stats["requests"] += 1
+        await self.waiting.put(pending)
+        while True:
+            chunk = await q.get()
+            if chunk is None:
+                break
+            yield chunk
+
     # ------------------------------------------------------------------
+
+    def _emit_stream_chunks(self, pending: _Pending, new_tokens: np.ndarray, final: bool):
+        """Vocode buffered semantic tokens per the chunk schedule and push
+        waveform chunks to the consumer queue.  The wave for [0, emitted+n)
+        is recomputed with full left context and only the new tail is pushed —
+        keeps chunk boundaries continuous without client-side cross-fade."""
+        tok = self.pipe.tokenizer
+        sem = extract_semantic_ids(tok, new_tokens)
+        pending.stream_buf.extend(sem.tolist())
+
+        def push(upto: int):
+            sem_ids = np.asarray(pending.stream_buf[:upto], np.int32)
+            if pending.global_tokens is None:
+                token_num = self.pipe.config.bicodec.speaker_encoder.token_num
+                g = extract_global_ids(tok, new_tokens)
+                if g.size < token_num:
+                    g = np.pad(g, (0, token_num - g.size))
+                pending.global_tokens = g[None, :token_num]
+            wav = self.pipe.detokenize(pending.global_tokens, sem_ids[None, :])
+            start = pending.stream_emitted * self.pipe._wave_upsample
+            pending.chunk_queue.put_nowait(wav[start:])
+            pending.stream_emitted = upto
+
+        while len(pending.stream_buf) >= pending.stream_emitted + pending.stream_target:
+            push(pending.stream_emitted + pending.stream_target)
+            pending.stream_target = next(pending.stream_schedule)
+        if final:
+            if len(pending.stream_buf) > pending.stream_emitted:
+                push(len(pending.stream_buf))
+            pending.chunk_queue.put_nowait(None)
 
     def _admit(self, pending: _Pending) -> Optional[int]:
         tok = self.pipe.tokenizer
@@ -138,6 +213,12 @@ class ContinuousTTSServer:
     def _finish(self, req_id: int, tokens: np.ndarray):
         pending = self.inflight.pop(req_id)
         tok = self.pipe.tokenizer
+        if pending.chunk_queue is not None:
+            self._emit_stream_chunks(pending, np.zeros(0, np.int32), final=True)
+            self.stats["completed"] += 1
+            if not pending.future.done():
+                pending.future.set_result(np.zeros(0, np.float32))
+            return
         sem = extract_semantic_ids(tok, tokens)
         if pending.gender is not None:
             token_num = self.pipe.config.bicodec.speaker_encoder.token_num
@@ -184,9 +265,14 @@ class ContinuousTTSServer:
             # advance the running batch one micro-batch of steps (in a thread
             # so the event loop keeps accepting requests)
             before = set(self.engine.finished)
-            await asyncio.get_running_loop().run_in_executor(
+            increments = await asyncio.get_running_loop().run_in_executor(
                 None, self.engine.step, self.steps
             )
+            # streaming consumers get chunks as soon as their schedule fills
+            for req_id, new_tokens in increments.items():
+                pending = self.inflight.get(req_id)
+                if pending is not None and pending.chunk_queue is not None:
+                    self._emit_stream_chunks(pending, new_tokens, final=False)
             for req_id in set(self.engine.finished) - before:
                 self._finish(req_id, self.engine.finished.pop(req_id))
             await asyncio.sleep(0)

@@ -53,3 +53,32 @@ def test_staggered_requests_join_running_batch(pipe):
     server, w1, w2 = asyncio.new_event_loop().run_until_complete(run())
     assert np.isfinite(w1).all() and np.isfinite(w2).all()
     assert server.stats["completed"] == 2
+
+
+def test_streaming_over_continuous_batch(pipe):
+    async def run():
+        server = ContinuousTTSServer(pipe, max_slots=2, steps_per_dispatch=4)
+        await server.start()
+
+        chunks = []
+
+        async def consume():
+            async for chunk in server.synthesize_streaming(
+                "stream me", prompt_wav=_wav(260), max_new_tokens=14
+            ):
+                chunks.append(chunk)
+
+        offline_task = asyncio.create_task(
+            server.synthesize("offline neighbor", prompt_wav=_wav(500), max_new_tokens=14)
+        )
+        await consume()
+        offline = await offline_task
+        await server.stop()
+        return server, chunks, offline
+
+    server, chunks, offline = asyncio.new_event_loop().run_until_complete(run())
+    assert len(chunks) >= 1
+    total = np.concatenate(chunks) if chunks else np.zeros(0)
+    assert np.isfinite(total).all()
+    assert np.isfinite(offline).all()
+    assert server.stats["completed"] == 2
