@@ -172,7 +172,10 @@ def convert_wav2vec2(state: State, cfg) -> dict:
 
 
 def convert_qwen(state: State, cfg) -> dict:
-    """HF Qwen2ForCausalLM state_dict → `sparktts_tpu.lm.qwen` params."""
+    """HF Qwen2ForCausalLM state_dict → `sparktts_tpu.lm.qwen` params
+    (layers stacked along a leading L dim for the scan-over-layers forward)."""
+    import jax
+
     pfx = "model." if "model.embed_tokens.weight" in state else ""
     layers = []
     for i in range(cfg.num_hidden_layers):
@@ -192,7 +195,7 @@ def convert_qwen(state: State, cfg) -> dict:
         )
     params = {
         "embed": state[f"{pfx}embed_tokens.weight"].copy(),
-        "layers": layers,
+        "layers": jax.tree.map(lambda *xs: np.stack(xs), *layers),
         "final_ln": {"gamma": state[f"{pfx}norm.weight"].copy()},
     }
     if not cfg.tie_word_embeddings and "lm_head.weight" in state:

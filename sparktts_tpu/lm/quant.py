@@ -20,11 +20,12 @@ import jax.numpy as jnp
 
 
 def quantize_linear_int8(p: dict) -> dict:
-    """{"w": (in, out), "b"?} → {"w_q", "scale", "b"?}."""
+    """{"w": (..., in, out), "b"?} → {"w_q", "scale", "b"?}.  Per-out-channel
+    scales; handles both single (in, out) and stacked (L, in, out) weights."""
     w = jnp.asarray(p["w"], jnp.float32)
-    scale = jnp.max(jnp.abs(w), axis=0) / 127.0  # (out,)
+    scale = jnp.max(jnp.abs(w), axis=-2) / 127.0  # (..., out)
     scale = jnp.where(scale == 0, 1.0, scale)
-    w_q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    w_q = jnp.clip(jnp.round(w / scale[..., None, :]), -127, 127).astype(jnp.int8)
     out = {"w_q": w_q, "scale": scale.astype(jnp.float32)}
     if "b" in p:
         out["b"] = p["b"]
@@ -45,13 +46,12 @@ QUANT_KEYS = ("q", "k", "v", "o", "gate", "up", "down")
 
 def quantize_qwen_int8(params: dict, quantize_embed: bool = True) -> dict:
     """Quantize every transformer linear (and optionally the embedding) of a
-    `lm/qwen.py` params pytree.  Norms stay as-is."""
-    out = {"final_ln": params["final_ln"], "layers": []}
-    for layer in params["layers"]:
-        qlayer = {"ln1": layer["ln1"], "ln2": layer["ln2"]}
-        for k in QUANT_KEYS:
-            qlayer[k] = quantize_linear_int8(layer[k])
-        out["layers"].append(qlayer)
+    `lm/qwen.py` params pytree (stacked-layer layout).  Norms stay as-is."""
+    layers = params["layers"]
+    qlayers = {"ln1": layers["ln1"], "ln2": layers["ln2"]}
+    for k in QUANT_KEYS:
+        qlayers[k] = quantize_linear_int8(layers[k])
+    out = {"final_ln": params["final_ln"], "layers": qlayers}
     if quantize_embed:
         out["embed"] = quantize_embedding_int8(params["embed"])
     else:

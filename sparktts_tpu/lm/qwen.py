@@ -72,12 +72,20 @@ def init_qwen(key, cfg: QwenConfig, dtype=jnp.float32):
 
     params = {
         "embed": 0.02 * jax.random.normal(keys[-1], (cfg.vocab_size, h)),
-        "layers": layers,
+        # layers stored STACKED (leading dim L) so the forward pass is a
+        # lax.scan over layers — the XLA program is one layer long instead of
+        # 24 inlined copies (compile time) and weights stream layer-by-layer
+        "layers": stack_layers(layers),
         "final_ln": {"gamma": jnp.ones((h,))},
     }
     if not cfg.tie_word_embeddings:
         params["lm_head"] = init_linear(keys[-2], h, cfg.vocab_size, bias=False)
     return jax.tree.map(lambda x: x.astype(dtype), params)
+
+
+def stack_layers(layers: list) -> dict:
+    """List of per-layer param dicts → one dict of (L, ...) stacked arrays."""
+    return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *layers)
 
 
 # ---------------------------------------------------------------------------
@@ -199,37 +207,43 @@ def qwen_forward(
     key_mask_bias: jax.Array,    # (B, T, S) additive bias
     flash_start: Optional[jax.Array] = None,  # enable Pallas flash prefill
 ) -> Tuple[jax.Array, KVCache]:
-    """Token ids → logits (B, T, V) and updated cache."""
+    """Token ids → logits (B, T, V) and updated cache.
+
+    The transformer stack runs as a lax.scan over the stacked layer params —
+    one compiled layer body regardless of depth."""
     x = embed_lookup(params, input_ids)
 
-    new_k, new_v = [], []
-    for i, layer in enumerate(params["layers"]):
+    def layer_step(x, xs):
+        layer, ck, cv = xs
         residual = x
         y = rms_norm_apply(layer["ln1"], x, eps=cfg.rms_norm_eps)
         attn_out, ck, cv = _attention_block(
-            layer, y, positions, cache.k[i], cache.v[i], write_pos, key_mask_bias, cfg,
+            layer, y, positions, ck, cv, write_pos, key_mask_bias, cfg,
             flash_start=flash_start,
         )
-        new_k.append(ck)
-        new_v.append(cv)
         x = residual + attn_out
         y = rms_norm_apply(layer["ln2"], x, eps=cfg.rms_norm_eps)
         x = x + _mlp_block(layer, y)
+        return x, (ck, cv)
+
+    x, (new_k, new_v) = jax.lax.scan(layer_step, x, (params["layers"], cache.k, cache.v))
 
     x = rms_norm_apply(params["final_ln"], x, eps=cfg.rms_norm_eps)
     if cfg.tie_word_embeddings:
         logits = lm_logits(params, x)
     else:
         logits = linear_apply(params["lm_head"], x).astype(jnp.float32)
-    return logits, KVCache(k=jnp.stack(new_k), v=jnp.stack(new_v))
+    return logits, KVCache(k=new_k, v=new_v)
 
 
 def embed_lookup(params, input_ids: jax.Array) -> jax.Array:
-    """Embedding lookup; supports int8 per-row-quantized tables (lm/quant.py)."""
+    """Embedding lookup; supports int8 per-row-quantized tables (lm/quant.py).
+    Compute dtype follows the (unquantized) norm params."""
     emb = params["embed"]
     if isinstance(emb, dict):
-        rows = jnp.take(emb["w_q"], input_ids, axis=0).astype(jnp.bfloat16)
-        return rows * jnp.take(emb["scale"], input_ids, axis=0).astype(jnp.bfloat16)
+        dt = params["final_ln"]["gamma"].dtype
+        rows = jnp.take(emb["w_q"], input_ids, axis=0).astype(dt)
+        return rows * jnp.take(emb["scale"], input_ids, axis=0).astype(dt)
     return jnp.take(emb, input_ids, axis=0)
 
 

@@ -22,23 +22,24 @@ from sparktts_tpu.config import QwenConfig
 
 
 def qwen_layer_specs() -> dict:
+    """Specs for the STACKED layer params (leading L dim unsharded)."""
     return {
         "ln1": {"gamma": P()},
-        "q": {"w": P(None, "tp"), "b": P("tp")},
-        "k": {"w": P(None, "tp"), "b": P("tp")},
-        "v": {"w": P(None, "tp"), "b": P("tp")},
-        "o": {"w": P("tp", None)},
+        "q": {"w": P(None, None, "tp"), "b": P(None, "tp")},
+        "k": {"w": P(None, None, "tp"), "b": P(None, "tp")},
+        "v": {"w": P(None, None, "tp"), "b": P(None, "tp")},
+        "o": {"w": P(None, "tp", None)},
         "ln2": {"gamma": P()},
-        "gate": {"w": P(None, "tp")},
-        "up": {"w": P(None, "tp")},
-        "down": {"w": P("tp", None)},
+        "gate": {"w": P(None, None, "tp")},
+        "up": {"w": P(None, None, "tp")},
+        "down": {"w": P(None, "tp", None)},
     }
 
 
 def qwen_param_specs(cfg: QwenConfig) -> dict:
     specs = {
         "embed": P("tp", None),
-        "layers": [qwen_layer_specs() for _ in range(cfg.num_hidden_layers)],
+        "layers": qwen_layer_specs(),
         "final_ln": {"gamma": P()},
     }
     if not cfg.tie_word_embeddings:
