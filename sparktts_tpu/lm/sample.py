@@ -56,10 +56,9 @@ def sample_token(
     handled by `greedy_token` at the call site.
     """
     scaled = logits / temperature
-    if scaled.shape[-1] >= _TWO_STAGE_MIN_V:
-        vals, idx = topk_two_stage(scaled, top_k)
-    else:
-        vals, idx = jax.lax.top_k(scaled, top_k)  # (B, k) descending
+    # measured on v5e: flat top_k over the 166k vocab is not the decode
+    # bottleneck, and the two-stage variant compiled slower — keep it simple
+    vals, idx = jax.lax.top_k(scaled, top_k)  # (B, k) descending
 
     # nucleus within the top-k support (HF TopPLogitsWarper semantics: keep
     # the smallest prefix with cumulative prob > top_p; first always kept)
