@@ -67,7 +67,7 @@ class SparkTTSPipeline:
         prompt_bucket: int = 64,
         wav_bucket_s: float = 1.0,
         max_new_tokens: Optional[int] = None,
-        use_flash: bool = False,
+        use_flash: Optional[bool] = None,
     ):
         if model_dir is not None:
             self.config = load_spark_config(model_dir)
@@ -86,6 +86,8 @@ class SparkTTSPipeline:
         self.wav_bucket = int(wav_bucket_s * self.sample_rate)
         self.max_new_tokens = max_new_tokens or self.config.sampling.max_new_tokens
         self.lm_dtype = lm_dtype
+        if use_flash is None:  # auto: Pallas prefill on real accelerators only
+            use_flash = jax.default_backend() != "cpu"
         self.use_flash = use_flash  # Pallas flash-attention prefill
 
         # encoder time-compression: semantic tokens per wav2vec2 frame
