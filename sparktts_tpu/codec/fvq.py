@@ -81,3 +81,16 @@ def fvq_forward(p, z: jax.Array) -> Dict[str, jax.Array]:
         "perplexity": perplexity,
         "active_num": active_num,
     }
+
+
+def fvq_vq2emb(p, vq: jax.Array, out_proj: bool = True) -> jax.Array:
+    """API parity with reference `factorized_vector_quantize.py:142-146`."""
+    emb = jnp.take(p["codebook"], vq, axis=0)
+    if out_proj and "out_project" in p:
+        emb = linear_apply(p["out_project"], emb)
+    return emb
+
+
+def fvq_get_emb(p) -> jax.Array:
+    """API parity with reference `factorized_vector_quantize.py:160-161`."""
+    return p["codebook"]

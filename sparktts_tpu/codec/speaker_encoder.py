@@ -88,3 +88,24 @@ def speaker_encoder_detokenize(p, indices, cfg: SpeakerEncoderConfig) -> jax.Arr
         p["quantizer"], indices, cfg.fsq_levels, cfg.fsq_num_quantizers
     )
     return linear_apply(p["project"], zq.reshape(zq.shape[0], -1))
+
+
+def speaker_encoder_get_codes_from_indices(p, indices, cfg: SpeakerEncoderConfig):
+    """(B, token_num) ids → unprojected scaled codes (B, token_num, levels)
+    (API parity with reference `speaker_encoder.py:71-73`)."""
+    from sparktts_tpu.codec.fsq import fsq_indices_to_codes, residual_fsq_scales
+
+    if indices.ndim == 2:
+        indices = indices[..., None]
+    scales = residual_fsq_scales(cfg.fsq_levels, cfg.fsq_num_quantizers)
+    total = None
+    for q in range(cfg.fsq_num_quantizers):
+        codes = fsq_indices_to_codes(indices[..., q], cfg.fsq_levels) * jnp.asarray(scales[q])
+        total = codes if total is None else total + codes
+    return total
+
+
+def speaker_encoder_get_indices(p, mels, cfg: SpeakerEncoderConfig) -> jax.Array:
+    """mels → quantizer indices (API parity with reference
+    `speaker_encoder.py:75-79`)."""
+    return speaker_encoder_tokenize(p, mels, cfg)
