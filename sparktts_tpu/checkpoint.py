@@ -180,16 +180,19 @@ def convert_qwen(state: State, cfg) -> dict:
     layers = []
     for i in range(cfg.num_hidden_layers):
         pre = f"{pfx}layers.{i}"
+        q, k, v = (t_linear(state, f"{pre}.self_attn.{n}_proj") for n in ("q", "k", "v"))
+        gate = t_linear(state, f"{pre}.mlp.gate_proj")
+        up = t_linear(state, f"{pre}.mlp.up_proj")
         layers.append(
             {
                 "ln1": {"gamma": state[f"{pre}.input_layernorm.weight"].copy()},
-                "q": t_linear(state, f"{pre}.self_attn.q_proj"),
-                "k": t_linear(state, f"{pre}.self_attn.k_proj"),
-                "v": t_linear(state, f"{pre}.self_attn.v_proj"),
+                "qkv": {
+                    "w": np.concatenate([q["w"], k["w"], v["w"]], axis=1),
+                    "b": np.concatenate([q["b"], k["b"], v["b"]]),
+                },
                 "o": t_linear(state, f"{pre}.self_attn.o_proj"),
                 "ln2": {"gamma": state[f"{pre}.post_attention_layernorm.weight"].copy()},
-                "gate": t_linear(state, f"{pre}.mlp.gate_proj"),
-                "up": t_linear(state, f"{pre}.mlp.up_proj"),
+                "gateup": {"w": np.concatenate([gate["w"], up["w"]], axis=1)},
                 "down": t_linear(state, f"{pre}.mlp.down_proj"),
             }
         )

@@ -41,7 +41,7 @@ def quantize_embedding_int8(w: jax.Array) -> dict:
     return {"w_q": w_q, "scale": scale.astype(jnp.float32)}
 
 
-QUANT_KEYS = ("q", "k", "v", "o", "gate", "up", "down")
+QUANT_KEYS = ("qkv", "o", "gateup", "down")
 
 
 def quantize_qwen_int8(params: dict, quantize_embed: bool = True) -> dict:

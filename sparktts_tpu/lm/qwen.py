@@ -59,13 +59,12 @@ def init_qwen(key, cfg: QwenConfig, dtype=jnp.float32):
         layers.append(
             {
                 "ln1": {"gamma": jnp.ones((h,))},
-                "q": init_linear(ks[0], h, q_dim),
-                "k": init_linear(ks[1], h, kv_dim),
-                "v": init_linear(ks[2], h, kv_dim),
+                # q/k/v fused into one column block, likewise gate/up: decode
+                # is matvec-latency-bound, fewer bigger matmuls win
+                "qkv": init_linear(ks[0], h, q_dim + 2 * kv_dim),
                 "o": init_linear(ks[3], q_dim, h, bias=False),
                 "ln2": {"gamma": jnp.ones((h,))},
-                "gate": init_linear(ks[4], h, cfg.intermediate_size, bias=False),
-                "up": init_linear(ks[5], h, cfg.intermediate_size, bias=False),
+                "gateup": init_linear(ks[4], h, 2 * cfg.intermediate_size, bias=False),
                 "down": init_linear(ks[6], cfg.intermediate_size, h, bias=False),
             }
         )
@@ -141,9 +140,11 @@ def _attention_block(
     b, t, h = x.shape
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
-    q = linear_apply(layer["q"], x).reshape(b, t, nh, hd)
-    k = linear_apply(layer["k"], x).reshape(b, t, nkv, hd)
-    v = linear_apply(layer["v"], x).reshape(b, t, nkv, hd)
+    qkv = linear_apply(layer["qkv"], x)
+    q_dim, kv_dim = nh * hd, nkv * hd
+    q = qkv[..., :q_dim].reshape(b, t, nh, hd)
+    k = qkv[..., q_dim : q_dim + kv_dim].reshape(b, t, nkv, hd)
+    v = qkv[..., q_dim + kv_dim :].reshape(b, t, nkv, hd)
 
     q = apply_rope(q, positions, cfg)
     k = apply_rope(k, positions, cfg)
@@ -193,8 +194,9 @@ def _write_kv(cache: jax.Array, new: jax.Array, write_pos) -> jax.Array:
 
 
 def _mlp_block(layer, x: jax.Array) -> jax.Array:
-    gate = jax.nn.silu(linear_apply(layer["gate"], x))
-    return linear_apply(layer["down"], gate * linear_apply(layer["up"], x))
+    gu = linear_apply(layer["gateup"], x)
+    gate, up = jnp.split(gu, 2, axis=-1)
+    return linear_apply(layer["down"], jax.nn.silu(gate) * up)
 
 
 def qwen_forward(

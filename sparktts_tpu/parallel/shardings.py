@@ -25,13 +25,10 @@ def qwen_layer_specs() -> dict:
     """Specs for the STACKED layer params (leading L dim unsharded)."""
     return {
         "ln1": {"gamma": P()},
-        "q": {"w": P(None, None, "tp"), "b": P(None, "tp")},
-        "k": {"w": P(None, None, "tp"), "b": P(None, "tp")},
-        "v": {"w": P(None, None, "tp"), "b": P(None, "tp")},
+        "qkv": {"w": P(None, None, "tp"), "b": P(None, "tp")},
         "o": {"w": P(None, "tp", None)},
         "ln2": {"gamma": P()},
-        "gate": {"w": P(None, None, "tp")},
-        "up": {"w": P(None, None, "tp")},
+        "gateup": {"w": P(None, None, "tp")},
         "down": {"w": P(None, "tp", None)},
     }
 
