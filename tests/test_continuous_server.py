@@ -82,3 +82,30 @@ def test_streaming_over_continuous_batch(pipe):
     assert np.isfinite(total).all()
     assert np.isfinite(offline).all()
     assert server.stats["completed"] == 2
+
+
+def test_failure_containment(pipe):
+    """A request whose admission fails (bad prompt audio) must not take down
+    the server or other requests."""
+
+    async def run():
+        server = ContinuousTTSServer(pipe, max_slots=2, steps_per_dispatch=4)
+        await server.start()
+        bad = asyncio.create_task(
+            server.synthesize("bad", prompt_wav=np.zeros(100))  # silence → ValueError... or tiny wav
+        )
+        good = asyncio.create_task(
+            server.synthesize("good", gender="male", pitch="low", speed="low", max_new_tokens=8)
+        )
+        bad_exc = None
+        try:
+            await bad
+        except Exception as e:
+            bad_exc = e
+        wav = await good
+        await server.stop()
+        return bad_exc, wav
+
+    bad_exc, wav = asyncio.new_event_loop().run_until_complete(run())
+    # the bad request either errored or synthesized garbage; the good one is fine
+    assert np.isfinite(wav).all()
