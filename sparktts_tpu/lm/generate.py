@@ -42,6 +42,9 @@ class GenState(NamedTuple):
     prompt_len: jax.Array  # (B,) true prompt lengths
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "top_k", "greedy", "use_flash")
+)
 def prefill(
     params,
     cfg: QwenConfig,

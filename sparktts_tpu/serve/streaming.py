@@ -36,6 +36,23 @@ def overlap_tokens(cfg: StreamingConfig) -> int:
     return math.ceil(cfg.audio_chunk_overlap_duration * cfg.frame_rate)
 
 
+def _emit_with_tail(tail, wav: np.ndarray, overlap_samples: int) -> tuple:
+    """Low-latency chunk emission: fade the held-back tail of the previous
+    chunk into this chunk's head, emit everything except this chunk's own
+    tail (held for the next fade).  Unlike emitting whole chunks one behind
+    (the reference client's approach, `client_grpc.py:391-416`), only
+    `overlap` samples of latency are added."""
+    ov = overlap_samples
+    if tail is not None and ov > 0 and len(wav) >= ov and len(tail) >= ov:
+        fade_out = np.linspace(1.0, 0.0, ov, dtype=np.float32)
+        fade_in = np.linspace(0.0, 1.0, ov, dtype=np.float32)
+        head = tail[-ov:] * fade_out + wav[:ov] * fade_in
+        wav = np.concatenate([head.astype(wav.dtype), wav[ov:]])
+    if ov > 0 and len(wav) > ov:
+        return wav[-ov:], wav[:-ov]
+    return None, wav
+
+
 def cross_fade(prev: np.ndarray, nxt: np.ndarray, overlap_samples: int) -> tuple:
     """Linear cross-fade between consecutive chunks (reference
     `client_grpc.py:391-416`).  Returns (emit_now, carry) where carry is the
@@ -122,7 +139,7 @@ class StreamingSynthesizer:
 
         token_buf: List[int] = []
         pending: List[np.ndarray] = []  # raw LLM ids not yet vocoded
-        prev_chunk: Optional[np.ndarray] = None
+        tail: Optional[np.ndarray] = None  # overlap samples held for fading
         total_steps = 0
         done = False
 
@@ -143,8 +160,13 @@ class StreamingSynthesizer:
             self.cfg.audio_chunk_overlap_duration * pipe.sample_rate
         )
 
+        # dispatch sizes: small first chunk (latency), large after (throughput);
+        # fixed set keeps the XLA compile cache to two decode programs
+        big_dispatch = max(self.steps, 100)
         while not done and total_steps < max_new:
-            n = min(self.steps, max_new - total_steps)
+            need = max(1, target - len(token_buf))
+            n = self.steps if need <= self.steps else big_dispatch
+            n = min(n, max_new - total_steps)
             state, toks = decode_chunk(
                 pipe.llm_params,
                 pipe.config.llm,
@@ -160,7 +182,9 @@ class StreamingSynthesizer:
             total_steps += n
             raw = np.asarray(toks)[0]
             pending.append(raw)
-            done = bool(np.asarray(state.done).all())
+            # done-proxy: after EOS every emission is pad — avoids a second
+            # device→host round trip for state.done (~30 ms on relayed TPUs)
+            done = bool(raw[-1] == tok.pad_id)
             sem = extract_semantic_ids(tok, raw)
             token_buf.extend(sem.tolist())
 
@@ -169,16 +193,14 @@ class StreamingSynthesizer:
                 wav = vocode(chunk_tokens)
                 token_buf = token_buf[target - ov_tokens :]
                 target = next(schedule)
-                if prev_chunk is not None:
-                    emit, wav = cross_fade(prev_chunk, wav, overlap_samples)
+                tail, emit = _emit_with_tail(tail, wav, overlap_samples)
+                if len(emit):
                     yield emit
-                prev_chunk = wav
 
         if token_buf:
             wav = vocode(np.asarray(token_buf, np.int32))
-            if prev_chunk is not None:
-                emit, wav = cross_fade(prev_chunk, wav, overlap_samples)
+            tail, emit = _emit_with_tail(tail, wav, overlap_samples)
+            if len(emit):
                 yield emit
-            prev_chunk = wav
-        if prev_chunk is not None and len(prev_chunk):
-            yield prev_chunk
+        if tail is not None and len(tail):
+            yield tail
