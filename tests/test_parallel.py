@@ -85,3 +85,16 @@ def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_multihost_mesh_single_host():
+    """On one (virtual) host the multihost mesh reduces to the local mesh."""
+    from sparktts_tpu.parallel.multihost import make_multihost_mesh
+
+    mesh = make_multihost_mesh(tp=2)
+    assert mesh.shape == {"dp": 4, "tp": 2}
+    # tp groups must be contiguous device ids (ICI-local by construction)
+    devs = mesh.devices
+    for row in devs:
+        ids = [d.id for d in row]
+        assert ids == sorted(ids)
