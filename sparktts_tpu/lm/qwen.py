@@ -7,9 +7,11 @@ TPU-native replacement for the reference's HF `model.generate` local path
 
   * Left-padded prompts → every sequence's cache is aligned at the right
     edge of the prefill window, so decode steps append at one shared static
-    position (single `dynamic_update_slice`, no per-sequence scatter).
-  * KV cache is a pair of (L, B, S, n_kv, hd) arrays donated through the
-    decode step — XLA updates it in place in HBM.
+    position (single `dynamic_update_slice`); continuous batching uses the
+    per-sequence scatter path instead (`_write_kv_at_layer` vector form).
+  * KV cache is a pair of (L, B, S, n_kv, hd) arrays threaded through the
+    layer scan as an aliasable CARRY — XLA updates it in place in HBM, no
+    per-step cache copies.
   * GQA (14 query / 2 kv heads for 0.5B): kv heads broadcast inside einsum,
     never materialized repeated.
   * RoPE applied in fp32; logits in fp32; everything else follows the params
@@ -121,6 +123,7 @@ def _attention_block(
     positions: jax.Array,
     cache_k: jax.Array,
     cache_v: jax.Array,
+    layer_idx: jax.Array,
     write_pos: int | jax.Array,
     key_mask_bias: jax.Array,
     cfg: QwenConfig,
@@ -128,7 +131,8 @@ def _attention_block(
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Shared attention for prefill (T>=1) and decode (T=1).
 
-    cache_k/v: (B, S, n_kv, hd); new keys written at [write_pos, write_pos+T).
+    cache_k/v: (L, B, S, n_kv, hd) full stacked caches (aliasable scan carry);
+    layer_idx selects the plane; new keys written at [write_pos, write_pos+T).
     key_mask_bias: (B, T, S) additive fp32 bias (0 valid / -inf invalid),
     already encoding causality and left-pad masking.
 
@@ -149,8 +153,12 @@ def _attention_block(
     q = apply_rope(q, positions, cfg)
     k = apply_rope(k, positions, cfg)
 
-    cache_k = _write_kv(cache_k, k, write_pos)
-    cache_v = _write_kv(cache_v, v, write_pos)
+    # cache_k/cache_v arrive as the FULL stacked caches (L, B, S, nkv, hd)
+    # with `layer_idx` selecting this layer's plane: they live in the scan
+    # carry so XLA aliases them in place across layers AND decode steps —
+    # only the new token's K/V is written, nothing is copied per step.
+    cache_k = _write_kv_at_layer(cache_k, k, layer_idx, write_pos)
+    cache_v = _write_kv_at_layer(cache_v, v, layer_idx, write_pos)
 
     if flash_start is not None and t > 1:
         from sparktts_tpu.kernels.flash_attention import flash_attention_prefill
@@ -168,20 +176,23 @@ def _attention_block(
         out = out.transpose(0, 2, 1, 3).reshape(b, t, nh * hd).astype(x.dtype)
         return linear_apply(layer["o"], out), cache_k, cache_v
 
+    ck = jax.lax.dynamic_index_in_dim(cache_k, layer_idx, 0, keepdims=False)
+    cv = jax.lax.dynamic_index_in_dim(cache_v, layer_idx, 0, keepdims=False)
     group = nh // nkv
     qg = q.reshape(b, t, nkv, group, hd)
     scores = jnp.einsum(
-        "btkgh,bskh->bkgts", qg, cache_k, preferred_element_type=jnp.float32
+        "btkgh,bskh->bkgts", qg, ck, preferred_element_type=jnp.float32
     ) * (hd**-0.5)
     scores = scores + key_mask_bias[:, None, None, :, :]
-    probs = jax.nn.softmax(scores, axis=-1).astype(cache_v.dtype)
-    out = jnp.einsum("bkgts,bskh->btkgh", probs, cache_v)
+    probs = jax.nn.softmax(scores, axis=-1).astype(cv.dtype)
+    out = jnp.einsum("bkgts,bskh->btkgh", probs, cv)
     out = out.reshape(b, t, nh * hd).astype(x.dtype)
     return linear_apply(layer["o"], out), cache_k, cache_v
 
 
-def _write_kv(cache: jax.Array, new: jax.Array, write_pos) -> jax.Array:
-    """Write new K/V (B, T, n_kv, hd) into the cache (B, S, n_kv, hd).
+def _write_kv_at_layer(cache: jax.Array, new: jax.Array, layer_idx, write_pos) -> jax.Array:
+    """Write new K/V (B, T, n_kv, hd) into the stacked cache (L, B, S, n_kv,
+    hd) at plane `layer_idx`.
 
     write_pos scalar → one shared slot (aligned prefill/decode);
     write_pos (B,) vector → per-sequence scatter (continuous batching: every
@@ -189,8 +200,10 @@ def _write_kv(cache: jax.Array, new: jax.Array, write_pos) -> jax.Array:
     new = new.astype(cache.dtype)
     if isinstance(write_pos, jax.Array) and write_pos.ndim == 1:
         b = new.shape[0]
-        return cache.at[jnp.arange(b), write_pos].set(new[:, 0])
-    return jax.lax.dynamic_update_slice(cache, new, (0, write_pos, 0, 0))
+        return cache.at[layer_idx, jnp.arange(b), write_pos].set(new[:, 0])
+    return jax.lax.dynamic_update_slice(
+        cache, new[None], (layer_idx, 0, write_pos, 0, 0)
+    )
 
 
 def _mlp_block(layer, x: jax.Array) -> jax.Array:
@@ -212,23 +225,27 @@ def qwen_forward(
     """Token ids → logits (B, T, V) and updated cache.
 
     The transformer stack runs as a lax.scan over the stacked layer params —
-    one compiled layer body regardless of depth."""
+    one compiled layer body regardless of depth.  The KV caches travel in the
+    scan CARRY (not as per-layer outputs) so XLA aliases them in place across
+    layers and across decode steps — no whole-cache copies per token."""
     x = embed_lookup(params, input_ids)
 
-    def layer_step(x, xs):
-        layer, ck, cv = xs
+    def layer_step(carry, layer):
+        x, ck_all, cv_all, li = carry
         residual = x
         y = rms_norm_apply(layer["ln1"], x, eps=cfg.rms_norm_eps)
-        attn_out, ck, cv = _attention_block(
-            layer, y, positions, ck, cv, write_pos, key_mask_bias, cfg,
+        attn_out, ck_all, cv_all = _attention_block(
+            layer, y, positions, ck_all, cv_all, li, write_pos, key_mask_bias, cfg,
             flash_start=flash_start,
         )
         x = residual + attn_out
         y = rms_norm_apply(layer["ln2"], x, eps=cfg.rms_norm_eps)
         x = x + _mlp_block(layer, y)
-        return x, (ck, cv)
+        return (x, ck_all, cv_all, li + 1), None
 
-    x, (new_k, new_v) = jax.lax.scan(layer_step, x, (params["layers"], cache.k, cache.v))
+    (x, new_k, new_v, _), _ = jax.lax.scan(
+        layer_step, (x, cache.k, cache.v, jnp.zeros((), jnp.int32)), params["layers"]
+    )
 
     x = rms_norm_apply(params["final_ln"], x, eps=cfg.rms_norm_eps)
     if cfg.tie_word_embeddings:

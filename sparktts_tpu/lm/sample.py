@@ -16,9 +16,7 @@ import jax.numpy as jnp
 
 NEG_INF = -1e9
 
-# two-stage top-k kicks in above this vocab size
-_TWO_STAGE_MIN_V = 16384
-_CHUNK = 2048
+_CHUNK = 2048  # per-chunk width for the two-stage top-k utility
 
 
 def topk_two_stage(x: jax.Array, k: int):
