@@ -42,6 +42,15 @@ FRAME_RATE = 50
 
 def main():
     import jax
+
+    # persistent XLA compilation cache: repeat bench runs skip the 1-3 min
+    # compile phase entirely
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from sparktts_tpu.codec.bicodec import bicodec_detokenize, init_bicodec

@@ -22,8 +22,8 @@ _CHUNK = 2048  # per-chunk width for the two-stage top-k utility
 def topk_two_stage(x: jax.Array, k: int):
     """Exact top-k over a large last axis in two stages: per-chunk top-k then
     top-k over the chunk winners.  Exact because every global top-k element is
-    necessarily in its own chunk's top-k.  ~3x cheaper than a flat
-    `lax.top_k` over a 166k vocab on TPU."""
+    necessarily in its own chunk's top-k.  (Measured neutral vs flat lax.top_k
+    on v5e at V=166k — kept as a utility; the sampler uses the flat path.)"""
     b, v = x.shape
     c = max(_CHUNK, k)
     n = -(-v // c)
