@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Benchmark runner (role of reference run.sh stage 5 + client_grpc.py):
+offline and streaming RTF/latency over a jsonl manifest or synthetic tasks.
+
+    python scripts/benchmark.py --model_dir ... --manifest data.jsonl \
+        --mode offline --concurrency 2
+"""
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model_dir", default=None)
+    parser.add_argument("--manifest", default=None, help="jsonl with target_text/reference_wav_path")
+    parser.add_argument("--mode", choices=["offline", "streaming"], default="offline")
+    parser.add_argument("--concurrency", type=int, default=1)
+    parser.add_argument("--num_synthetic", type=int, default=4)
+    parser.add_argument("--max_new_tokens", type=int, default=3000)
+    parser.add_argument("--output", default=None, help="write stats JSON here")
+    args = parser.parse_args()
+
+    import numpy as np
+
+    from sparktts_tpu.bench.harness import (
+        BenchTask,
+        load_manifest,
+        run_offline_benchmark,
+        run_streaming_benchmark,
+    )
+    from sparktts_tpu.pipeline import SparkTTSPipeline
+
+    pipe = SparkTTSPipeline(model_dir=args.model_dir, max_new_tokens=args.max_new_tokens)
+
+    if args.manifest:
+        tasks = load_manifest(args.manifest)
+    else:
+        sr = 16000
+        t = np.arange(2 * sr) / sr
+        wav = 0.3 * np.sin(2 * np.pi * 220 * t)
+        tasks = [BenchTask(text=f"synthetic utterance {i}", prompt_wav=wav) for i in range(args.num_synthetic)]
+
+    if args.mode == "offline":
+        stats = run_offline_benchmark(pipe, tasks, concurrency=args.concurrency)
+    else:
+        stats = run_streaming_benchmark(pipe, tasks)
+
+    line = json.dumps(stats, indent=2)
+    print(line)
+    if args.output:
+        Path(args.output).write_text(line)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,34 @@
+#!/usr/bin/env python
+"""Deploy script (role of reference runtime/triton_trtllm/run.sh stages 3-4):
+load/convert the checkpoint, start the batching HTTP TTS server.
+
+    python scripts/run_server.py --model_dir pretrained_models/Spark-TTS-0.5B \
+        --port 8000 --max_batch 16
+"""
+import argparse
+import logging
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model_dir", default=None, help="checkpoint dir (random-init if omitted)")
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--max_batch", type=int, default=16)
+    parser.add_argument("--max_new_tokens", type=int, default=3000)
+    args = parser.parse_args()
+
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
+    from sparktts_tpu.pipeline import SparkTTSPipeline
+    from sparktts_tpu.serve.server import serve_http
+
+    pipe = SparkTTSPipeline(model_dir=args.model_dir, max_new_tokens=args.max_new_tokens)
+    serve_http(pipe, host=args.host, port=args.port, max_batch=args.max_batch)
+
+
+if __name__ == "__main__":
+    main()

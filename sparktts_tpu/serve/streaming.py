@@ -131,6 +131,7 @@ class StreamingSynthesizer:
             temperature,
             top_k,
             top_p,
+            use_flash=getattr(pipe, "use_flash", False),
         )
 
         schedule = chunk_sizes(self.cfg)
