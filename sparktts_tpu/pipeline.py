@@ -114,14 +114,15 @@ class SparkTTSPipeline:
         `cli/SparkTTS.py:48-50`).  Converted trees are cached under
         `<model_dir>/_tpu_cache/` (orbax) so later loads skip conversion."""
         cache_root = model_dir / "_tpu_cache"
-        cached = CKPT.load_param_cache(cache_root / "bicodec")
-        if cached is not None:
-            self.bicodec_params = cached
-            self.w2v_params = CKPT.load_param_cache(cache_root / "wav2vec2")
-            llm = CKPT.load_param_cache(cache_root / "llm")
+        cached_bc = CKPT.load_param_cache(cache_root / "bicodec")
+        cached_w2v = CKPT.load_param_cache(cache_root / "wav2vec2")
+        cached_llm = CKPT.load_param_cache(cache_root / "llm")
+        if cached_bc is not None and cached_w2v is not None and cached_llm is not None:
+            self.bicodec_params = cached_bc
+            self.w2v_params = cached_w2v
             self.llm_params = jax.tree.map(
                 lambda x: x.astype(lm_dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
-                llm,
+                cached_llm,
             )
             return
 

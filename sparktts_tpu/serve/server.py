@@ -192,13 +192,22 @@ class TTSServer:
                 )
                 globals_list.append(g)
 
-        generated = pipe.generate_tokens_batch(
-            prompts,
-            temperature=batch[0].temperature,
-            top_k=batch[0].top_k,
-            top_p=batch[0].top_p,
-            seed=batch[0].seed,
-        )
+        # one jitted generate per group of identical sampling params (requests
+        # in a window may carry different temperature/top_k/top_p)
+        generated: List[np.ndarray] = [None] * len(batch)
+        groups: Dict[tuple, List[int]] = {}
+        for i, req in enumerate(batch):
+            groups.setdefault((req.temperature, req.top_k, req.top_p, req.seed), []).append(i)
+        for (temperature, top_k, top_p, seed), idxs in groups.items():
+            outs = pipe.generate_tokens_batch(
+                [prompts[i] for i in idxs],
+                temperature=temperature,
+                top_k=top_k,
+                top_p=top_p,
+                seed=seed,
+            )
+            for i, out in zip(idxs, outs):
+                generated[i] = out
 
         token_num = pipe.config.bicodec.speaker_encoder.token_num
         sem_list, glob_rows = [], []
