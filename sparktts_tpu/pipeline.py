@@ -71,7 +71,11 @@ class SparkTTSPipeline:
     ):
         if model_dir is not None:
             self.config = load_spark_config(model_dir)
-            self.tokenizer: SparkTokenizerBase = HFSparkTokenizer(model_dir)
+            self.tokenizer: SparkTokenizerBase = HFSparkTokenizer(
+                model_dir,
+                n_semantic=self.config.bicodec.quantizer.codebook_size,
+                n_global=int(np.prod(self.config.bicodec.speaker_encoder.fsq_levels)),
+            )
             self._load_params(Path(model_dir), lm_dtype)
         else:
             self.config = config or tiny_test_config()

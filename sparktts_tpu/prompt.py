@@ -56,7 +56,7 @@ class HFSparkTokenizer(SparkTokenizerBase):
     """Wraps the checkpoint's HF tokenizer (reference `cli/SparkTTS.py:48`)
     and discovers the contiguous special-token id ranges once at init."""
 
-    def __init__(self, model_dir: str | Path):
+    def __init__(self, model_dir: str | Path, n_semantic: int = 8192, n_global: int = 4096):
         from transformers import AutoTokenizer
 
         self.tok = AutoTokenizer.from_pretrained(f"{model_dir}/LLM")
@@ -71,8 +71,8 @@ class HFSparkTokenizer(SparkTokenizerBase):
         assert (
             self.tok.convert_tokens_to_ids("<|bicodec_global_1|>") == self.global_base + 1
         ), "global token ids are not contiguous"
-        self.n_semantic = 8192
-        self.n_global = 4096
+        self.n_semantic = n_semantic
+        self.n_global = n_global
         eos = self.tok.eos_token_id
         self.eos_ids = tuple(eos) if isinstance(eos, (list, tuple)) else (eos,)
         self.pad_id = self.tok.pad_token_id if self.tok.pad_token_id is not None else self.eos_ids[0]
