@@ -137,6 +137,53 @@ def decode_step(
 
 @functools.partial(
     jax.jit,
+    static_argnames=(
+        "cfg", "n_first", "top_k", "eos_ids", "pad_id", "greedy", "use_flash"
+    ),
+)
+def prefill_and_decode(
+    params,
+    cfg: QwenConfig,
+    input_ids: jax.Array,
+    prompt_mask: jax.Array,
+    cache: KVCache,
+    rng: jax.Array,
+    n_first: int,
+    temperature: float = 0.8,
+    top_k: int = 50,
+    top_p: float = 0.95,
+    eos_ids: Tuple[int, ...] = (),
+    pad_id: int = 0,
+    greedy: bool = False,
+    use_flash: bool = False,
+) -> Tuple[GenState, jax.Array]:
+    """Prefill + the first `n_first` decode steps as ONE program — first-chunk
+    latency pays a single dispatch instead of two (matters on tunneled TPUs
+    where each dispatch costs tens of ms)."""
+    t_pad = input_ids.shape[1]
+    state = prefill(
+        params, cfg, input_ids, prompt_mask, cache, rng,
+        temperature, top_k, top_p, greedy, use_flash,
+    )
+    return _decode_scan(
+        params, cfg, state, t_pad, n_first, temperature, top_k, top_p, eos_ids, pad_id, greedy
+    )
+
+
+def _decode_scan(params, cfg, state, t_pad, n_steps, temperature, top_k, top_p, eos_ids, pad_id, greedy):
+    def body(state, _):
+        emitted = jnp.where(state.done, pad_id, state.cur_token)
+        new_state, _ = decode_step(
+            params, cfg, state, t_pad, temperature, top_k, top_p, eos_ids, pad_id, greedy
+        )
+        return new_state, emitted
+
+    state, tokens = jax.lax.scan(body, state, None, length=n_steps)
+    return state, tokens.T  # (n, B) → (B, n)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("cfg", "t_pad", "n_steps", "top_k", "eos_ids", "pad_id", "greedy"),
 )
 def decode_chunk(
@@ -156,16 +203,9 @@ def decode_chunk(
     emitted tokens (B, n_steps).  The streaming server uses this to amortize
     dispatch overhead while keeping chunk-level control in Python
     (reference's streaming loop granularity, `spark_tts/1/model.py:347-385`)."""
-
-    def body(state, _):
-        emitted = jnp.where(state.done, pad_id, state.cur_token)
-        new_state, _ = decode_step(
-            params, cfg, state, t_pad, temperature, top_k, top_p, eos_ids, pad_id, greedy
-        )
-        return new_state, emitted
-
-    state, tokens = jax.lax.scan(body, state, None, length=n_steps)
-    return state, tokens.T  # (n_steps, B) → (B, n_steps)
+    return _decode_scan(
+        params, cfg, state, t_pad, n_steps, temperature, top_k, top_p, eos_ids, pad_id, greedy
+    )
 
 
 @functools.partial(
