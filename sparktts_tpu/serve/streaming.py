@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sparktts_tpu.config import StreamingConfig
-from sparktts_tpu.lm.generate import decode_chunk, prefill_and_decode
+from sparktts_tpu.lm.generate import decode_chunk, prefill
 from sparktts_tpu.lm.qwen import init_kv_cache
 from sparktts_tpu.prompt import extract_semantic_ids
 
@@ -124,33 +124,27 @@ class StreamingSynthesizer:
         ov_tokens = overlap_tokens(self.cfg)
         target = next(schedule)
 
-        # prefill and the first chunk's worth of decode steps in ONE dispatch
-        n_first = min(max(target, 1), max_new)
         cache = init_kv_cache(pipe.config.llm, 1, t_pad + max_new, pipe.lm_dtype)
-        state, first_toks = prefill_and_decode(
+        # measured on v5e: separate prefill + decode dispatches beat the fused
+        # prefill_and_decode program for first-chunk latency (307 → 219 ms)
+        state = prefill(
             pipe.llm_params,
             pipe.config.llm,
             jnp.asarray(input_ids),
             jnp.asarray(mask),
             cache,
             jax.random.PRNGKey(seed),
-            n_first,
             temperature,
             top_k,
             top_p,
-            tuple(tok.eos_ids),
-            tok.pad_id,
             use_flash=getattr(pipe, "use_flash", False),
         )
 
         token_buf: List[int] = []
         pending: List[np.ndarray] = []  # raw LLM ids not yet vocoded
         tail: Optional[np.ndarray] = None  # overlap samples held for fading
-        total_steps = n_first
-        raw0 = np.asarray(first_toks)[0]
-        pending.append(raw0)
-        done = bool(len(raw0) and raw0[-1] == tok.pad_id)
-        token_buf.extend(extract_semantic_ids(tok, raw0).tolist())
+        total_steps = 0
+        done = False
 
         def vocode(sem_ids: np.ndarray) -> np.ndarray:
             nonlocal global_token_ids
