@@ -11,7 +11,6 @@ import argparse
 import logging
 import os
 from datetime import datetime
-from pathlib import Path
 
 
 def parse_args(argv=None):

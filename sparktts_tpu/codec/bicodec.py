@@ -18,7 +18,6 @@ from __future__ import annotations
 from typing import Dict, Tuple
 
 import jax
-import jax.numpy as jnp
 
 from sparktts_tpu.codec.feat_decoder import feat_decoder_apply, init_feat_decoder
 from sparktts_tpu.codec.feat_encoder import feat_encoder_apply, init_feat_encoder

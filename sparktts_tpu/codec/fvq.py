@@ -8,7 +8,7 @@ The nearest-code search is a single (B*T, D) x (D, K) matmul on the MXU; the
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

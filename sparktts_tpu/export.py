@@ -15,11 +15,10 @@ from __future__ import annotations
 
 import json
 from pathlib import Path
-from typing import Dict, Optional, Sequence
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import export as jax_export
 
 

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sparktts_tpu.config import QwenConfig
-from sparktts_tpu.lm.qwen import KVCache, init_kv_cache, prefill_inputs, qwen_forward
+from sparktts_tpu.lm.qwen import KVCache, init_kv_cache, qwen_forward
 from sparktts_tpu.lm.sample import greedy_token, sample_token
 
 

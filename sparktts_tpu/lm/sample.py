@@ -9,8 +9,6 @@ full-vocab op left is one `top_k` scan.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -8,7 +8,6 @@ the same TP/DP shardings as inference (`parallel/shardings.py`).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Tuple
 
 import jax

@@ -14,11 +14,8 @@ folded to plain convs at load time (reference folds them too at inference —
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def trunc_normal(key, shape, std=0.02, dtype=jnp.float32):

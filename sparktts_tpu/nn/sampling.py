@@ -7,7 +7,6 @@ XLA fuses into the surrounding ops.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from sparktts_tpu.nn.layers import (

@@ -17,7 +17,7 @@ frontend is bf16-sensitive); the transformer may run in bf16.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

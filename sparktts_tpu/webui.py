@@ -12,8 +12,6 @@ import logging
 from datetime import datetime
 from pathlib import Path
 
-import numpy as np
-
 from sparktts_tpu.utils.tokens import LEVELS_MAP_UI
 
 logger = logging.getLogger(__name__)
