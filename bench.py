@@ -28,8 +28,12 @@ def _watchdog(signum, frame):
     try:
         with open(LAST_RESULT) as f:
             line = f.read().strip()
+        # mark the emission so a stale number can never be mistaken for a
+        # fresh measurement
+        rec = json.loads(line)
+        rec["cached"] = True
         print("watchdog fired; emitting cached result", file=sys.stderr)
-        print(line)
+        print(json.dumps(rec))
         sys.stdout.flush()
     except Exception:
         print("watchdog fired; no cached result", file=sys.stderr)
