@@ -113,6 +113,78 @@ def run_offline_benchmark(
     return asyncio.new_event_loop().run_until_complete(run())
 
 
+def run_network_streaming_benchmark(
+    host: str, port: int, tasks: List[BenchTask], concurrency: int = 1,
+    max_new_tokens: Optional[int] = None,
+) -> Dict[str, Any]:
+    """Streaming through the HTTP /tts_stream endpoint: first-chunk latency is
+    measured through the full network + serving stack (the reference measures
+    the same through Triton's decoupled gRPC, `client_grpc.py:332-433`)."""
+    import threading
+
+    from sparktts_tpu.serve import client as C
+
+    latencies: List[float] = []
+    first_chunk: List[float] = []
+    audio_s_lock = threading.Lock()
+    totals = {"audio_s": 0.0}
+
+    def one(task: BenchTask):
+        t0 = time.perf_counter()
+        got_first = False
+        local_audio = 0.0
+        for chunk, sr in C.synthesize_stream(
+            host,
+            port,
+            task.text,
+            prompt_wav=task.prompt_wav,
+            prompt_text=task.prompt_text,
+            gender=task.gender,
+            pitch=task.pitch if task.gender else None,
+            speed=task.speed if task.gender else None,
+            max_new_tokens=max_new_tokens,
+        ):
+            if not got_first:
+                first_chunk.append(time.perf_counter() - t0)
+                got_first = True
+            local_audio += len(chunk) / sr
+        with audio_s_lock:
+            totals["audio_s"] += local_audio
+            latencies.append(time.perf_counter() - t0)
+
+    t_start = time.perf_counter()
+    idx = {"next": 0}
+    idx_lock = threading.Lock()
+
+    def worker():
+        while True:
+            with idx_lock:
+                i = idx["next"]
+                if i >= len(tasks):
+                    return
+                idx["next"] = i + 1
+            one(tasks[i])
+
+    threads = [threading.Thread(target=worker) for _ in range(concurrency)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    wall = time.perf_counter() - t_start
+    fc = np.asarray(first_chunk) if first_chunk else np.asarray([0.0])
+    return _summarize(
+        latencies,
+        totals["audio_s"],
+        wall,
+        {
+            "mode": "network_streaming",
+            "concurrency": concurrency,
+            "first_chunk_p50_ms": round(float(np.percentile(fc, 50)) * 1000, 2),
+            "first_chunk_p90_ms": round(float(np.percentile(fc, 90)) * 1000, 2),
+        },
+    )
+
+
 def run_streaming_benchmark(pipeline, tasks: List[BenchTask], streaming_cfg=None) -> Dict[str, Any]:
     """Streaming mode: measures first-chunk latency per task (reference
     `client_grpc.py:332-433`)."""

@@ -107,7 +107,9 @@ def astp_apply(p, x):
     """x: (B, T, F) → (B, 2F) attentive mean‖std (reference
     `pooling_layers.py:119-144`)."""
     mean = jnp.mean(x, axis=1, keepdims=True)
-    var = jnp.var(x, axis=1, keepdims=True)
+    # torch.var defaults to the UNBIASED estimator (correction=1) — matching
+    # it matters: biased var here is a ~2% error at T≈40 frames
+    var = jnp.var(x, axis=1, keepdims=True, ddof=1)
     std = jnp.sqrt(var + 1e-7)
     t = x.shape[1]
     x_in = jnp.concatenate(

@@ -47,6 +47,56 @@ def synthesize(
     return wav, body["sample_rate"], stats
 
 
+def synthesize_stream(
+    host: str,
+    port: int,
+    text: str,
+    prompt_wav: Optional[np.ndarray] = None,
+    prompt_text: Optional[str] = None,
+    gender: Optional[str] = None,
+    pitch: Optional[str] = None,
+    speed: Optional[str] = None,
+    max_new_tokens: Optional[int] = None,
+    timeout: float = 300.0,
+):
+    """POST /tts_stream → generator of (wav_chunk float32, sample_rate).
+
+    Network counterpart of the reference's decoupled streaming transactions
+    (reference `client_grpc.py:332-433`): audio chunks arrive over chunked
+    transfer encoding as NDJSON lines while synthesis is still running, so the
+    caller observes true first-chunk latency through the wire.
+    """
+    payload = {"text": text}
+    if prompt_wav is not None:
+        payload["prompt_wav_b64"] = base64.b64encode(
+            np.asarray(prompt_wav, np.float32).tobytes()
+        ).decode()
+    if prompt_text:
+        payload["prompt_text"] = prompt_text
+    if gender:
+        payload.update(gender=gender, pitch=pitch, speed=speed)
+    if max_new_tokens is not None:
+        payload["max_new_tokens"] = max_new_tokens
+
+    req = urllib.request.Request(
+        f"http://{host}:{port}/tts_stream",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        for line in resp:
+            if not line.strip():
+                continue
+            obj = json.loads(line)
+            if obj.get("done"):
+                return
+            if "error" in obj:
+                raise RuntimeError(f"server stream error: {obj['error']}")
+            yield np.frombuffer(base64.b64decode(obj["wav_b64"]), np.float32), obj[
+                "sample_rate"
+            ]
+
+
 def get_stats(host: str, port: int) -> dict:
     with urllib.request.urlopen(f"http://{host}:{port}/stats", timeout=10) as resp:
         return json.loads(resp.read())
@@ -63,6 +113,9 @@ def main():
     parser.add_argument("--pitch", default="moderate")
     parser.add_argument("--speed", default="moderate")
     parser.add_argument("--output", default="output.wav")
+    parser.add_argument(
+        "--stream", action="store_true", help="use the chunked /tts_stream endpoint"
+    )
     args = parser.parse_args()
 
     prompt_wav = None
@@ -71,16 +124,37 @@ def main():
 
         prompt_wav = load_audio(args.prompt_wav, sampling_rate=16000, volume_normalize=True)
 
-    wav, sr, stats = synthesize(
-        args.host,
-        args.port,
-        args.text,
-        prompt_wav=prompt_wav,
-        prompt_text=args.prompt_text,
-        gender=args.gender,
-        pitch=args.pitch,
-        speed=args.speed,
-    )
+    if args.stream:
+        import time
+
+        t0 = time.perf_counter()
+        chunks, sr = [], 16000
+        for chunk, sr in synthesize_stream(
+            args.host,
+            args.port,
+            args.text,
+            prompt_wav=prompt_wav,
+            prompt_text=args.prompt_text,
+            gender=args.gender,
+            pitch=args.pitch,
+            speed=args.speed,
+        ):
+            if not chunks:
+                print(f"first chunk after {(time.perf_counter() - t0) * 1000:.0f} ms")
+            chunks.append(chunk)
+        wav = np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
+        stats = {"chunks": len(chunks)}
+    else:
+        wav, sr, stats = synthesize(
+            args.host,
+            args.port,
+            args.text,
+            prompt_wav=prompt_wav,
+            prompt_text=args.prompt_text,
+            gender=args.gender,
+            pitch=args.pitch,
+            speed=args.speed,
+        )
     from sparktts_tpu.io.audio import write_wav
 
     write_wav(args.output, wav, sr)

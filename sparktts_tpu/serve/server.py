@@ -248,49 +248,78 @@ class TTSServer:
 # ---------------------------------------------------------------------------
 
 
-def serve_http(pipeline, host: str = "0.0.0.0", port: int = 8000, max_batch: int = 16):
-    """Blocking HTTP JSON server.  POST /tts with
-    {"text": ..., "prompt_wav_b64": <base64 float32 pcm>, ...} → {"wav_b64",
-    "sample_rate"}.  GET /stats → scheduler statistics."""
+def serve_http(
+    pipeline,
+    host: str = "0.0.0.0",
+    port: int = 8000,
+    max_batch: int = 16,
+    streaming: bool = True,
+    stream_max_slots: int = 2,
+    stream_steps_per_dispatch: int = 16,
+):
+    """Blocking HTTP JSON server.
+
+    Endpoints (role of the reference's Triton gRPC/HTTP front, reference
+    `client_http.py`, `model_repo/spark_tts/1/model.py:347-399`):
+
+      * POST /tts        — offline: {"text", "prompt_wav_b64": <b64 f32 pcm>,
+                           ...} → {"wav_b64", "sample_rate", ...}
+      * POST /tts_stream — decoupled streaming over chunked transfer encoding:
+                           NDJSON lines {"wav_b64", "sample_rate"} as each
+                           audio chunk is ready, terminated by {"done": true}.
+                           Backed by the continuous-batching engine so
+                           concurrent streams share the decode batch.
+      * GET /stats, GET /health
+    """
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     server = TTSServer(pipeline, max_batch=max_batch)
+    cserver = None
+    if streaming:
+        from sparktts_tpu.serve.continuous_server import ContinuousTTSServer
+
+        cserver = ContinuousTTSServer(
+            pipeline,
+            max_slots=stream_max_slots,
+            steps_per_dispatch=stream_steps_per_dispatch,
+        )
     loop = asyncio.new_event_loop()
 
     def loop_thread():
         asyncio.set_event_loop(loop)
         loop.run_until_complete(server.start())
+        if cserver is not None:
+            loop.run_until_complete(cserver.start())
         loop.run_forever()
 
     t = threading.Thread(target=loop_thread, daemon=True)
     t.start()
 
     class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"  # required for chunked transfer encoding
+
+        def _send_json(self, obj, code: int = 200):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_GET(self):
             if self.path == "/stats":
-                body = json.dumps(server.stats_summary()).encode()
-                self.send_response(200)
-                self.send_header("Content-Type", "application/json")
-                self.end_headers()
-                self.wfile.write(body)
+                stats = server.stats_summary()
+                if cserver is not None:
+                    stats["streaming"] = dict(cserver.stats)
+                self._send_json(stats)
             elif self.path == "/health":
                 ok = server.healthy
-                body = json.dumps({"healthy": ok}).encode()
-                self.send_response(200 if ok else 503)
-                self.send_header("Content-Type", "application/json")
-                self.end_headers()
-                self.wfile.write(body)
+                self._send_json({"healthy": ok}, 200 if ok else 503)
             else:
-                self.send_response(404)
-                self.end_headers()
+                self._send_json({"error": "not found"}, 404)
 
-        def do_POST(self):
-            if self.path != "/tts":
-                self.send_response(404)
-                self.end_headers()
-                return
-            length = int(self.headers.get("Content-Length", 0))
-            payload = json.loads(self.rfile.read(length))
+        @staticmethod
+        def _parse_payload(payload) -> TTSRequest:
             req = TTSRequest(
                 text=payload["text"],
                 prompt_text=payload.get("prompt_text"),
@@ -306,20 +335,95 @@ def serve_http(pipeline, host: str = "0.0.0.0", port: int = 8000, max_batch: int
                 req.prompt_wav = np.frombuffer(
                     base64.b64decode(payload["prompt_wav_b64"]), dtype=np.float32
                 )
+            return req
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            try:
+                payload = json.loads(self.rfile.read(length))
+                if not isinstance(payload, dict) or "text" not in payload:
+                    raise ValueError('missing required field "text"')
+            except (json.JSONDecodeError, ValueError) as e:
+                self._send_json({"error": f"bad request: {e}"}, 400)
+                return
+            if self.path == "/tts":
+                self._do_tts(payload)
+            elif self.path == "/tts_stream":
+                self._do_tts_stream(payload)
+            else:
+                self._send_json({"error": "not found"}, 404)
+
+        def _do_tts(self, payload):
+            req = self._parse_payload(payload)
             fut = asyncio.run_coroutine_threadsafe(server.synthesize(req), loop)
             res: TTSResult = fut.result()
-            body = json.dumps(
+            self._send_json(
                 {
                     "wav_b64": base64.b64encode(res.wav.astype(np.float32).tobytes()).decode(),
                     "sample_rate": res.sample_rate,
                     "queue_ms": res.queue_ms,
                     "infer_ms": res.infer_ms,
                 }
-            ).encode()
+            )
+
+        def _do_tts_stream(self, payload):
+            if cserver is None:
+                self._send_json({"error": "streaming disabled"}, 501)
+                return
+            import queue as _queue
+
+            req = self._parse_payload(payload)
+            chunk_q: _queue.Queue = _queue.Queue()
+
+            async def pump():
+                try:
+                    agen = cserver.synthesize_streaming(
+                        text=req.text,
+                        prompt_wav=req.prompt_wav,
+                        prompt_text=req.prompt_text,
+                        gender=req.gender,
+                        pitch=req.pitch,
+                        speed=req.speed,
+                        max_new_tokens=payload.get("max_new_tokens"),
+                    )
+                    async for chunk in agen:
+                        chunk_q.put(("chunk", chunk))
+                    chunk_q.put(("done", None))
+                except Exception as e:  # surfaced as an in-band error line
+                    logger.exception("stream failed")
+                    chunk_q.put(("error", str(e)))
+
+            asyncio.run_coroutine_threadsafe(pump(), loop)
+
             self.send_response(200)
-            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Transfer-Encoding", "chunked")
             self.end_headers()
-            self.wfile.write(body)
+
+            def write_http_chunk(data: bytes):
+                self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
+                self.wfile.flush()
+
+            while True:
+                kind, val = chunk_q.get()
+                if kind == "chunk":
+                    line = json.dumps(
+                        {
+                            "wav_b64": base64.b64encode(
+                                np.asarray(val, np.float32).tobytes()
+                            ).decode(),
+                            "sample_rate": pipeline.sample_rate,
+                        }
+                    )
+                    write_http_chunk(line.encode() + b"\n")
+                elif kind == "done":
+                    write_http_chunk(json.dumps({"done": True}).encode() + b"\n")
+                    break
+                else:
+                    write_http_chunk(json.dumps({"error": val}).encode() + b"\n")
+                    break
+            self.wfile.write(b"0\r\n\r\n")
+            self.wfile.flush()
 
         def log_message(self, fmt, *args):
             logger.debug(fmt, *args)

@@ -1,0 +1,560 @@
+"""Cross-implementation numeric parity: JAX codec stack vs the reference
+PyTorch modules (loaded from /root/reference with RANDOM weights).
+
+For every codec sub-module we build the reference torch module, randomize its
+parameters, convert the state dict through `sparktts_tpu.checkpoint`, and
+assert the JAX forward matches the torch forward (fp32, rtol ~1e-4).  This is
+the counterpart of tests/test_qwen.py's HF-transformers parity, extended to
+the full BiCodec stack (reference `bicodec.py:151-189`,
+`speaker_encoder.py:81-112`, `vocos.py:26-335`, `ecapa_tdnn.py:152-250`,
+`perceiver_encoder.py:297-350`, `feat_encoder.py`, `feat_decoder.py`,
+`wave_generator.py`, `factorized_vector_quantize.py`).
+
+The reference tree has no torchaudio in this image, so the mel frontend is
+instead verified against a from-scratch numpy STFT + independently coded
+slaney filterbank (np.fft ground truth).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+if not os.path.isdir(os.path.join(REF, "sparktts")):
+    pytest.skip("reference tree unavailable", allow_module_level=True)
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+import jax.numpy as jnp  # noqa: E402
+
+from sparktts_tpu import checkpoint as ckpt  # noqa: E402
+from sparktts_tpu.config import (  # noqa: E402
+    DecoderConfig,
+    EncoderConfig,
+    MelParams,
+    QuantizerConfig,
+    SpeakerEncoderConfig,
+    WaveGeneratorConfig,
+)
+
+RTOL, ATOL = 2e-4, 3e-5
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _randomize(module: "torch.nn.Module", seed: int) -> "torch.nn.Module":
+    """Fill every float parameter + BN running stat with random values so the
+    parity check can't pass on lucky default-initialized zeros/ones."""
+    g = torch.Generator().manual_seed(seed)
+    sd = module.state_dict()
+    new = {}
+    for k, v in sd.items():
+        if not v.dtype.is_floating_point:
+            new[k] = v
+        elif "running_var" in k or k.endswith("alpha"):
+            new[k] = (torch.rand(v.shape, generator=g) + 0.5).to(v.dtype)
+        else:
+            new[k] = (torch.randn(v.shape, generator=g) * 0.1).to(v.dtype)
+    module.load_state_dict(new)
+    module.eval()
+    return module
+
+
+def _state(module: "torch.nn.Module", prefix: str) -> dict:
+    """state_dict → numpy, with keys prefixed so the `checkpoint.py`
+    sub-converters (written for the composite BiCodec layout) apply."""
+    return {
+        f"{prefix}.{k}": v.detach().cpu().numpy()
+        for k, v in module.state_dict().items()
+    }
+
+
+def _t(x: "torch.Tensor") -> np.ndarray:
+    return x.detach().cpu().numpy()
+
+
+def _allclose(torch_out, jax_out, rtol=RTOL, atol=ATOL):
+    np.testing.assert_allclose(
+        np.asarray(torch_out, np.float32),
+        np.asarray(jax_out, np.float32),
+        rtol=rtol,
+        atol=atol,
+    )
+
+
+# ---------------------------------------------------------------------------
+# VocosBackbone
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("conditioned", [False, True])
+def test_vocos_backbone_parity(conditioned):
+    from sparktts.modules.blocks.vocos import VocosBackbone
+
+    from sparktts_tpu.nn.vocos import vocos_backbone_apply
+
+    cond_dim = 24 if conditioned else None
+    ref = _randomize(
+        VocosBackbone(
+            input_channels=20,
+            dim=32,
+            intermediate_dim=64,
+            num_layers=3,
+            condition_dim=cond_dim,
+        ),
+        seed=0,
+    )
+    p = ckpt._t_vocos_backbone(_state(ref, "m"), "m", 3, conditioned)
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 20, 17)).astype(np.float32)  # torch NCW
+    cond = rng.standard_normal((2, 24)).astype(np.float32) if conditioned else None
+
+    with torch.no_grad():
+        out_t = ref(
+            torch.from_numpy(x),
+            condition=torch.from_numpy(cond) if conditioned else None,
+        )  # (B, T, dim)
+    out_j = vocos_backbone_apply(
+        p, jnp.asarray(x.transpose(0, 2, 1)), jnp.asarray(cond) if conditioned else None
+    )
+    _allclose(_t(out_t), out_j)
+
+
+# ---------------------------------------------------------------------------
+# Feat encoder / decoder
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("ratios", [(1, 1), (2, 2)])
+def test_feat_encoder_parity(ratios):
+    from sparktts.modules.encoder_decoder.feat_encoder import Encoder
+
+    from sparktts_tpu.codec.feat_encoder import feat_encoder_apply
+
+    cfg = EncoderConfig(
+        input_channels=40,
+        vocos_dim=32,
+        vocos_intermediate_dim=64,
+        vocos_num_layers=3,
+        out_channels=24,
+        sample_ratios=ratios,
+    )
+    ref = _randomize(
+        Encoder(
+            input_channels=cfg.input_channels,
+            vocos_dim=cfg.vocos_dim,
+            vocos_intermediate_dim=cfg.vocos_intermediate_dim,
+            vocos_num_layers=cfg.vocos_num_layers,
+            out_channels=cfg.out_channels,
+            sample_ratios=list(ratios),
+        ),
+        seed=1,
+    )
+    p = ckpt._t_feat_encoder(_state(ref, "m"), "m", cfg)
+
+    x = np.random.default_rng(1).standard_normal((2, 40, 48)).astype(np.float32)
+    with torch.no_grad():
+        out_t = ref(torch.from_numpy(x))  # (B, out, T')
+    out_j = feat_encoder_apply(p, jnp.asarray(x.transpose(0, 2, 1)), cfg)
+    _allclose(_t(out_t).transpose(0, 2, 1), out_j)
+
+
+@pytest.mark.parametrize(
+    "conditioned,tanh", [(True, False), (False, False), (False, True)]
+)
+def test_feat_decoder_parity(conditioned, tanh):
+    from sparktts.modules.encoder_decoder.feat_decoder import Decoder
+
+    from sparktts_tpu.codec.feat_decoder import feat_decoder_apply
+
+    cfg = DecoderConfig(
+        input_channels=24,
+        vocos_dim=32,
+        vocos_intermediate_dim=64,
+        vocos_num_layers=3,
+        out_channels=20,
+        condition_dim=24 if conditioned else None,
+        sample_ratios=(2, 2),
+        use_tanh_at_final=tanh,
+    )
+    ref = _randomize(
+        Decoder(
+            input_channels=cfg.input_channels,
+            vocos_dim=cfg.vocos_dim,
+            vocos_intermediate_dim=cfg.vocos_intermediate_dim,
+            vocos_num_layers=cfg.vocos_num_layers,
+            out_channels=cfg.out_channels,
+            condition_dim=cfg.condition_dim,
+            sample_ratios=[2, 2],
+            use_tanh_at_final=tanh,
+        ),
+        seed=2,
+    )
+    p = ckpt._t_feat_decoder(_state(ref, "m"), "m", cfg)
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 24, 12)).astype(np.float32)
+    cond = rng.standard_normal((2, 24)).astype(np.float32) if conditioned else None
+    with torch.no_grad():
+        out_t = ref(
+            torch.from_numpy(x), torch.from_numpy(cond) if conditioned else None
+        )  # (B, out, T')
+    out_j = feat_decoder_apply(
+        p,
+        jnp.asarray(x.transpose(0, 2, 1)),
+        cfg,
+        cond=jnp.asarray(cond) if conditioned else None,
+    )
+    _allclose(_t(out_t).transpose(0, 2, 1), out_j)
+
+
+# ---------------------------------------------------------------------------
+# WaveGenerator
+# ---------------------------------------------------------------------------
+
+
+def test_wave_generator_parity():
+    from sparktts.modules.encoder_decoder.wave_generator import WaveGenerator
+
+    from sparktts_tpu.codec.wave_generator import wave_generator_apply
+
+    cfg = WaveGeneratorConfig(
+        input_channel=24, channels=64, rates=(8, 5, 2), kernel_sizes=(16, 11, 4)
+    )
+    ref = _randomize(
+        WaveGenerator(
+            input_channel=cfg.input_channel,
+            channels=cfg.channels,
+            rates=list(cfg.rates),
+            kernel_sizes=list(cfg.kernel_sizes),
+        ),
+        seed=3,
+    )
+    p = ckpt._t_wave_generator(_state(ref, "m"), "m", cfg)
+
+    x = np.random.default_rng(3).standard_normal((2, 24, 10)).astype(np.float32)
+    with torch.no_grad():
+        out_t = ref(torch.from_numpy(x))  # (B, 1, T*80)
+    out_j = wave_generator_apply(p, jnp.asarray(x.transpose(0, 2, 1)), cfg)
+    assert out_t.shape[-1] == out_j.shape[1]
+    _allclose(_t(out_t).transpose(0, 2, 1), out_j)
+
+
+# ---------------------------------------------------------------------------
+# FactorizedVectorQuantize
+# ---------------------------------------------------------------------------
+
+
+def test_fvq_parity():
+    from sparktts.modules.vq.factorized_vector_quantize import (
+        FactorizedVectorQuantize,
+    )
+
+    from sparktts_tpu.codec.fvq import fvq_detokenize, fvq_tokenize
+
+    cfg = QuantizerConfig(input_dim=24, codebook_size=128, codebook_dim=8)
+    ref = _randomize(
+        FactorizedVectorQuantize(
+            input_dim=cfg.input_dim,
+            codebook_size=cfg.codebook_size,
+            codebook_dim=cfg.codebook_dim,
+            commitment=0.25,
+        ),
+        seed=4,
+    )
+    p = ckpt._t_fvq(_state(ref, "m"), "m", cfg)
+
+    z = np.random.default_rng(4).standard_normal((2, 24, 25)).astype(np.float32)
+    with torch.no_grad():
+        idx_t = ref.tokenize(torch.from_numpy(z))  # (B, T)
+        zq_t = ref.detokenize(idx_t)  # (B, input_dim, T)
+    idx_j = fvq_tokenize(p, jnp.asarray(z.transpose(0, 2, 1)))
+    np.testing.assert_array_equal(_t(idx_t), np.asarray(idx_j))
+    zq_j = fvq_detokenize(p, jnp.asarray(_t(idx_t)))
+    _allclose(_t(zq_t).transpose(0, 2, 1), zq_j)
+
+
+# ---------------------------------------------------------------------------
+# ECAPA-TDNN + Perceiver + SpeakerEncoder (full-size internals are hardcoded
+# in the reference: c512 ECAPA, 1536 context)
+# ---------------------------------------------------------------------------
+
+
+def test_ecapa_parity():
+    from sparktts.modules.speaker.ecapa_tdnn import ECAPA_TDNN_GLOB_c512
+
+    from sparktts_tpu.nn.ecapa import ecapa_tdnn_apply
+
+    ref = _randomize(ECAPA_TDNN_GLOB_c512(feat_dim=32, embed_dim=48), seed=5)
+    p = ckpt._t_ecapa(_state(ref, "m"), "m")
+
+    mels = np.random.default_rng(5).standard_normal((2, 60, 32)).astype(np.float32)
+    with torch.no_grad():
+        xvec_t, latent_t = ref(torch.from_numpy(mels), True)  # latent (B, 1536, T)
+    xvec_j, latent_j = ecapa_tdnn_apply(p, jnp.asarray(mels))
+    _allclose(_t(latent_t).transpose(0, 2, 1), latent_j)
+    _allclose(_t(xvec_t), xvec_j, rtol=5e-4, atol=5e-5)
+
+
+def test_perceiver_parity():
+    from sparktts.modules.speaker.perceiver_encoder import PerceiverResampler
+
+    from sparktts_tpu.nn.perceiver import perceiver_resampler_apply
+
+    ref = _randomize(
+        PerceiverResampler(dim=24, depth=2, dim_context=40, num_latents=8, dim_head=8, heads=4),
+        seed=6,
+    )
+    p = ckpt._t_perceiver(_state(ref, "m"), "m", depth=2)
+
+    x = np.random.default_rng(6).standard_normal((2, 30, 40)).astype(np.float32)
+    with torch.no_grad():
+        out_t = ref(torch.from_numpy(x))  # (B, num_latents, dim)
+    out_j = perceiver_resampler_apply(p, jnp.asarray(x), heads=4)
+    _allclose(_t(out_t), out_j)
+
+
+def test_speaker_encoder_parity():
+    from sparktts.modules.speaker.speaker_encoder import SpeakerEncoder
+
+    from sparktts_tpu.codec.speaker_encoder import (
+        speaker_encoder_detokenize,
+        speaker_encoder_forward,
+        speaker_encoder_tokenize,
+    )
+
+    cfg = SpeakerEncoderConfig(
+        input_dim=32, out_dim=48, latent_dim=16, token_num=4, fsq_levels=(4, 4, 4, 4, 4, 4)
+    )
+    ref = _randomize(
+        SpeakerEncoder(
+            input_dim=cfg.input_dim,
+            out_dim=cfg.out_dim,
+            latent_dim=cfg.latent_dim,
+            token_num=cfg.token_num,
+            fsq_levels=list(cfg.fsq_levels),
+            fsq_num_quantizers=1,
+        ),
+        seed=7,
+    )
+    p = ckpt._t_speaker_encoder(_state(ref, "m"), "m", cfg)
+
+    mels = np.random.default_rng(7).standard_normal((2, 60, 32)).astype(np.float32)
+    with torch.no_grad():
+        xvec_t, dvec_t = ref(torch.from_numpy(mels))
+        idx_t = ref.tokenize(torch.from_numpy(mels))  # (B, T2?, Q) per quantizer layout
+        # onnx_export_mode avoids the reference's einx dependency (absent in
+        # this image); reference residual_fsq.py:112-199 keeps both paths
+        # numerically identical
+        dvec_post_t = ref.detokenize(idx_t, onnx_export_mode=True)
+    xvec_j, dvec_j = speaker_encoder_forward(p, jnp.asarray(mels), cfg)
+    _allclose(_t(xvec_t), xvec_j, rtol=5e-4, atol=5e-5)
+    _allclose(_t(dvec_t), dvec_j, rtol=5e-4, atol=5e-5)
+
+    idx_j = speaker_encoder_tokenize(p, jnp.asarray(mels), cfg)  # (B, token_num)
+    np.testing.assert_array_equal(
+        _t(idx_t).reshape(2, cfg.token_num), np.asarray(idx_j)
+    )
+    dvec_post_j = speaker_encoder_detokenize(p, idx_j, cfg)
+    _allclose(_t(dvec_post_t), dvec_post_j, rtol=5e-4, atol=5e-5)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end BiCodec tokenize/detokenize (composed exactly like reference
+# `bicodec.py:151-189`, mel fed as a precomputed input — torchaudio absent)
+# ---------------------------------------------------------------------------
+
+
+def test_bicodec_end_to_end_parity():
+    from sparktts.modules.encoder_decoder.feat_decoder import Decoder
+    from sparktts.modules.encoder_decoder.feat_encoder import Encoder
+    from sparktts.modules.encoder_decoder.wave_generator import WaveGenerator
+    from sparktts.modules.speaker.speaker_encoder import SpeakerEncoder
+    from sparktts.modules.vq.factorized_vector_quantize import (
+        FactorizedVectorQuantize,
+    )
+
+    from sparktts_tpu.codec.bicodec import bicodec_detokenize
+    from sparktts_tpu.codec.feat_encoder import feat_encoder_apply
+    from sparktts_tpu.codec.fvq import fvq_tokenize
+    from sparktts_tpu.codec.speaker_encoder import speaker_encoder_tokenize
+    from sparktts_tpu.config import BiCodecConfig
+
+    cfg = BiCodecConfig(
+        mel_params=MelParams(num_mels=32),
+        encoder=EncoderConfig(
+            input_channels=40,
+            vocos_dim=32,
+            vocos_intermediate_dim=64,
+            vocos_num_layers=2,
+            out_channels=24,
+            sample_ratios=(2, 2),
+        ),
+        quantizer=QuantizerConfig(input_dim=24, codebook_size=64, codebook_dim=8),
+        prenet=DecoderConfig(
+            input_channels=24,
+            vocos_dim=32,
+            vocos_intermediate_dim=64,
+            vocos_num_layers=2,
+            out_channels=24,
+            condition_dim=24,
+            sample_ratios=(2, 2),
+        ),
+        postnet=DecoderConfig(
+            input_channels=24,
+            vocos_dim=32,
+            vocos_intermediate_dim=64,
+            vocos_num_layers=2,
+            out_channels=32,
+        ),
+        decoder=WaveGeneratorConfig(
+            input_channel=24, channels=32, rates=(4, 2), kernel_sizes=(8, 4)
+        ),
+        speaker_encoder=SpeakerEncoderConfig(
+            input_dim=32, out_dim=24, latent_dim=16, token_num=4,
+            fsq_levels=(4, 4, 4, 4, 4, 4),
+        ),
+    )
+
+    class Shell(torch.nn.Module):
+        """Attribute names match the reference BiCodec module tree so the
+        composite state dict converts via `convert_bicodec`."""
+
+        def __init__(self):
+            super().__init__()
+            self.encoder = Encoder(
+                input_channels=40, vocos_dim=32, vocos_intermediate_dim=64,
+                vocos_num_layers=2, out_channels=24, sample_ratios=[2, 2],
+            )
+            self.quantizer = FactorizedVectorQuantize(
+                input_dim=24, codebook_size=64, codebook_dim=8, commitment=0.25
+            )
+            self.speaker_encoder = SpeakerEncoder(
+                input_dim=32, out_dim=24, latent_dim=16, token_num=4,
+                fsq_levels=[4, 4, 4, 4, 4, 4], fsq_num_quantizers=1,
+            )
+            self.prenet = Decoder(
+                input_channels=24, vocos_dim=32, vocos_intermediate_dim=64,
+                vocos_num_layers=2, out_channels=24, condition_dim=24,
+                sample_ratios=[2, 2],
+            )
+            self.postnet = Decoder(
+                input_channels=24, vocos_dim=32, vocos_intermediate_dim=64,
+                vocos_num_layers=2, out_channels=32,
+            )
+            self.decoder = WaveGenerator(
+                input_channel=24, channels=32, rates=[4, 2], kernel_sizes=[8, 4]
+            )
+
+    shell = _randomize(Shell(), seed=8)
+    state = {k: v.detach().cpu().numpy() for k, v in shell.state_dict().items()}
+    params = ckpt.convert_bicodec(state, cfg)
+
+    rng = np.random.default_rng(8)
+    feat = rng.standard_normal((2, 40, 48)).astype(np.float32)  # torch (B, D, T)
+    mel = rng.standard_normal((2, 50, 32)).astype(np.float32)  # (B, T, n_mels)
+
+    # --- tokenize (reference bicodec.py:151-169, mel precomputed) ---
+    with torch.no_grad():
+        z_t = shell.encoder(torch.from_numpy(feat))
+        sem_t = shell.quantizer.tokenize(z_t)
+        glob_t = shell.speaker_encoder.tokenize(torch.from_numpy(mel))
+
+    z_j = feat_encoder_apply(params["encoder"], jnp.asarray(feat.transpose(0, 2, 1)), cfg.encoder)
+    sem_j = fvq_tokenize(params["quantizer"], z_j)
+    glob_j = speaker_encoder_tokenize(
+        params["speaker_encoder"], jnp.asarray(mel), cfg.speaker_encoder
+    )
+    np.testing.assert_array_equal(_t(sem_t), np.asarray(sem_j))
+    np.testing.assert_array_equal(_t(glob_t).reshape(2, 4), np.asarray(glob_j))
+
+    # --- detokenize (reference bicodec.py:171-189) ---
+    with torch.no_grad():
+        zq_t = shell.quantizer.detokenize(sem_t)
+        dvec_t = shell.speaker_encoder.detokenize(glob_t, onnx_export_mode=True)
+        x_t = shell.prenet(zq_t, dvec_t)
+        x_t = x_t + dvec_t.unsqueeze(-1)
+        wav_t = shell.decoder(x_t)  # (B, 1, T)
+
+    wav_j = bicodec_detokenize(params, cfg, jnp.asarray(_t(sem_t)), glob_j)
+    _allclose(_t(wav_t)[:, 0, :], wav_j, rtol=5e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Mel frontend vs numpy ground truth (torchaudio absent in this image; the
+# framing/window/RFFT/filterbank are validated against np.fft + an
+# independently coded slaney triangular filterbank)
+# ---------------------------------------------------------------------------
+
+
+def _hz_to_mel(f):
+    # slaney: linear < 1 kHz, logarithmic above
+    f = np.asarray(f, dtype=np.float64)
+    lin = f / (200.0 / 3.0)
+    log_region = f >= 1000.0
+    out = np.where(
+        log_region,
+        15.0 + np.log(np.maximum(f, 1000.0) / 1000.0) * (27.0 / np.log(6.4)),
+        lin,
+    )
+    return out
+
+
+def _mel_to_hz(m):
+    m = np.asarray(m, dtype=np.float64)
+    lin = m * (200.0 / 3.0)
+    log_region = m >= 15.0
+    return np.where(log_region, 1000.0 * np.exp(np.log(6.4) / 27.0 * (m - 15.0)), lin)
+
+
+def _np_mel(wav: np.ndarray, p: MelParams) -> np.ndarray:
+    n_freqs = p.n_fft // 2 + 1
+    pad = p.n_fft // 2
+    x = np.pad(wav, ((0, 0), (pad, pad)), mode="reflect")
+    num_frames = (x.shape[1] - p.n_fft) // p.hop_length + 1
+
+    # torch.stft semantics: window center-padded to n_fft, frames of n_fft
+    win = 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(p.win_length) / p.win_length))
+    window = np.zeros(p.n_fft)
+    left = (p.n_fft - p.win_length) // 2
+    window[left : left + p.win_length] = win
+
+    frames = np.stack(
+        [x[:, i * p.hop_length : i * p.hop_length + p.n_fft] for i in range(num_frames)],
+        axis=1,
+    )
+    spec = np.abs(np.fft.rfft(frames * window, axis=-1))  # (B, F, n_freqs)
+
+    f_max = p.mel_fmax if p.mel_fmax is not None else p.sample_rate / 2.0
+    mel_pts = _mel_to_hz(
+        np.linspace(_hz_to_mel(p.mel_fmin), _hz_to_mel(f_max), p.num_mels + 2)
+    )
+    bin_freqs = np.linspace(0, p.sample_rate // 2, n_freqs)
+    fb = np.zeros((n_freqs, p.num_mels))
+    for m in range(p.num_mels):
+        f_lo, f_c, f_hi = mel_pts[m], mel_pts[m + 1], mel_pts[m + 2]
+        up = (bin_freqs - f_lo) / (f_c - f_lo)
+        down = (f_hi - bin_freqs) / (f_hi - f_c)
+        fb[:, m] = np.maximum(0.0, np.minimum(up, down)) * (2.0 / (f_hi - f_lo))
+    return spec @ fb
+
+
+def test_mel_vs_numpy_fft():
+    from sparktts_tpu.dsp.mel import make_mel_basis, mel_spectrogram
+
+    p = MelParams()
+    rng = np.random.default_rng(9)
+    wav = rng.standard_normal((2, 16000)).astype(np.float32) * 0.1
+    ref = _np_mel(wav.astype(np.float64), p)
+    out = mel_spectrogram(jnp.asarray(wav), make_mel_basis(p))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=1e-5)

@@ -12,9 +12,10 @@ from sparktts_tpu.serve import client as C
 
 @pytest.fixture(scope="module")
 def server_port():
-    import asyncio
+    import dataclasses
     import socket
-    from http.server import ThreadingHTTPServer
+
+    from sparktts_tpu.config import StreamingConfig, tiny_test_config
 
     # pick a free port
     s = socket.socket()
@@ -22,11 +23,22 @@ def server_port():
     port = s.getsockname()[1]
     s.close()
 
-    pipe = SparkTTSPipeline(max_new_tokens=12, prompt_bucket=32)
+    # tiny chunk schedule (2 tokens/chunk) so a 12-token generation produces
+    # multiple streamed chunks over the wire
+    cfg = dataclasses.replace(
+        tiny_test_config(),
+        streaming=StreamingConfig(
+            audio_chunk_duration=0.04,
+            max_audio_chunk_duration=0.2,
+            audio_chunk_size_scale_factor=2.0,
+            audio_chunk_overlap_duration=0.0,
+        ),
+    )
+    pipe = SparkTTSPipeline(config=cfg, max_new_tokens=12, prompt_bucket=32)
 
     t = threading.Thread(
         target=lambda: __import__("sparktts_tpu.serve.server", fromlist=["serve_http"]).serve_http(
-            pipe, host="127.0.0.1", port=port, max_batch=2
+            pipe, host="127.0.0.1", port=port, max_batch=2, stream_steps_per_dispatch=4
         ),
         daemon=True,
     )
@@ -55,6 +67,42 @@ def test_http_stats_and_health(server_port):
 
     with urllib.request.urlopen(f"http://127.0.0.1:{server_port}/health", timeout=10) as r:
         assert json.loads(r.read())["healthy"] is True
+
+
+def test_http_streaming_chunks(server_port):
+    """≥2 audio chunks must arrive over the chunked-transfer /tts_stream
+    endpoint (reference capability: Triton decoupled transactions,
+    `model_repo/spark_tts/1/model.py:347-399`)."""
+    sr = 16000
+    tt = np.arange(sr) / sr
+    prompt = (0.3 * np.sin(2 * np.pi * 240 * tt)).astype(np.float32)
+    chunks = []
+    for chunk, rate in C.synthesize_stream(
+        "127.0.0.1",
+        server_port,
+        "hello streaming",
+        prompt_wav=prompt,
+        max_new_tokens=48,
+        timeout=300,
+    ):
+        assert rate == 16000
+        assert np.isfinite(chunk).all()
+        chunks.append(chunk)
+    assert len(chunks) >= 2, f"expected multiple streamed chunks, got {len(chunks)}"
+    assert sum(len(c) for c in chunks) > 0
+
+
+def test_network_streaming_benchmark(server_port):
+    from sparktts_tpu.bench.harness import BenchTask, run_network_streaming_benchmark
+
+    sr = 16000
+    tt = np.arange(sr) / sr
+    prompt = (0.25 * np.sin(2 * np.pi * 200 * tt)).astype(np.float32)
+    tasks = [BenchTask(text=f"bench {i}", prompt_wav=prompt) for i in range(2)]
+    stats = run_network_streaming_benchmark("127.0.0.1", server_port, tasks, concurrency=2)
+    assert stats["num_tasks"] == 2
+    assert stats["first_chunk_p50_ms"] > 0
+    assert stats["mode"] == "network_streaming"
 
 
 def test_webui_gated_without_gradio():
