@@ -141,15 +141,17 @@ def decode_steps(
     eos_ids: Tuple[int, ...] = (),
     pad_id: int = 0,
     greedy: bool = False,
-) -> Tuple[SlotState, jax.Array]:
-    """Advance every active slot by n_steps tokens; returns emitted tokens
-    (B, n_steps) with pad_id on inactive/done slots."""
+) -> Tuple[SlotState, jax.Array, jax.Array]:
+    """Advance every active slot by n_steps tokens; returns (slots, tokens
+    (B, n_steps), valid (B, n_steps) bool).  `valid` is the explicit emission
+    mask — pad_id may be a legitimately sampled id, so callers must not infer
+    liveness from token values."""
     max_cache = slots.cache.max_len
     k_idx = jnp.arange(max_cache)[None, None, :]
 
     def body(s: SlotState, _):
         live = s.active & ~s.done
-        emitted = jnp.where(live, s.cur_token, pad_id)
+        emitted = s.cur_token
 
         bias = jnp.where(
             (k_idx >= s.start[:, None, None]) & (k_idx <= s.write_pos[:, None, None]),
@@ -187,10 +189,10 @@ def decode_steps(
             done=done,
             rng=rng,
         )
-        return new_s, emitted
+        return new_s, (emitted, live)
 
-    slots, toks = jax.lax.scan(body, slots, None, length=n_steps)
-    return slots, toks.T  # (B, n)
+    slots, (toks, valid) = jax.lax.scan(body, slots, None, length=n_steps)
+    return slots, toks.T, valid.T  # (B, n)
 
 
 class ContinuousBatchingEngine:
@@ -271,7 +273,7 @@ class ContinuousBatchingEngine:
         if all(o is None for o in self.owner):
             return {}
         temperature, top_k, top_p = self.sampling
-        self.slots, toks = decode_steps(
+        self.slots, toks, valid = decode_steps(
             self.params,
             self.slots,
             self.cfg,
@@ -283,13 +285,13 @@ class ContinuousBatchingEngine:
             self.pad_id,
             self.greedy,
         )
-        toks = np.asarray(toks)
-        done = np.asarray(self.slots.done)
+        # one host round-trip for all three arrays
+        toks, valid, done = jax.device_get((toks, valid, self.slots.done))
         out: Dict[int, np.ndarray] = {}
         for slot, req in enumerate(self.owner):
             if req is None:
                 continue
-            new = toks[slot][toks[slot] != self.pad_id]
+            new = toks[slot][valid[slot]]
             if new.size:
                 self.buffers[req].extend(new.tolist())
                 out[req] = new

@@ -156,10 +156,10 @@ def prefill_and_decode(
     pad_id: int = 0,
     greedy: bool = False,
     use_flash: bool = False,
-) -> Tuple[GenState, jax.Array]:
+) -> Tuple[GenState, jax.Array, jax.Array]:
     """Prefill + the first `n_first` decode steps as ONE program — first-chunk
     latency pays a single dispatch instead of two (matters on tunneled TPUs
-    where each dispatch costs tens of ms)."""
+    where each dispatch costs tens of ms).  Returns (state, tokens, valid)."""
     t_pad = input_ids.shape[1]
     state = prefill(
         params, cfg, input_ids, prompt_mask, cache, rng,
@@ -171,15 +171,23 @@ def prefill_and_decode(
 
 
 def _decode_scan(params, cfg, state, t_pad, n_steps, temperature, top_k, top_p, eos_ids, pad_id, greedy):
+    """Returns (state, tokens (B, n), valid (B, n) bool).
+
+    `valid` is the explicit emission mask — callers must NOT infer liveness
+    from token values: pad_id can be a legitimately sampled id (it defaults to
+    eos when the checkpoint tokenizer has no pad token), so in-band filtering
+    silently eats real emissions."""
+
     def body(state, _):
-        emitted = jnp.where(state.done, pad_id, state.cur_token)
+        emitted = state.cur_token
+        valid = ~state.done
         new_state, _ = decode_step(
             params, cfg, state, t_pad, temperature, top_k, top_p, eos_ids, pad_id, greedy
         )
-        return new_state, emitted
+        return new_state, (emitted, valid)
 
-    state, tokens = jax.lax.scan(body, state, None, length=n_steps)
-    return state, tokens.T  # (n, B) → (B, n)
+    state, (tokens, valid) = jax.lax.scan(body, state, None, length=n_steps)
+    return state, tokens.T, valid.T  # (n, B) → (B, n)
 
 
 @functools.partial(
@@ -198,11 +206,12 @@ def decode_chunk(
     eos_ids: Tuple[int, ...] = (),
     pad_id: int = 0,
     greedy: bool = False,
-) -> Tuple[GenState, jax.Array]:
-    """Run `n_steps` decode steps as one XLA program (lax.scan) and return the
-    emitted tokens (B, n_steps).  The streaming server uses this to amortize
-    dispatch overhead while keeping chunk-level control in Python
-    (reference's streaming loop granularity, `spark_tts/1/model.py:347-385`)."""
+) -> Tuple[GenState, jax.Array, jax.Array]:
+    """Run `n_steps` decode steps as one XLA program (lax.scan) and return
+    (state, tokens (B, n_steps), valid (B, n_steps) bool).  The streaming
+    server uses this to amortize dispatch overhead while keeping chunk-level
+    control in Python (reference's streaming loop granularity,
+    `spark_tts/1/model.py:347-385`)."""
     return _decode_scan(
         params, cfg, state, t_pad, n_steps, temperature, top_k, top_p, eos_ids, pad_id, greedy
     )
@@ -251,24 +260,27 @@ def generate(
     )
 
     tokens0 = jnp.full((b, max_new_tokens), pad_id, jnp.int32)
+    valid0 = jnp.zeros((b, max_new_tokens), bool)
 
     def cond(carry):
-        state, _ = carry
+        state, _, _ = carry
         return (state.step < max_new_tokens) & ~jnp.all(state.done)
 
     def body(carry):
-        state, tokens = carry
+        state, tokens, valid = carry
         # the token produced for position `step` is state.cur_token, masked if
         # its sequence finished on a previous step
         emitted = jnp.where(state.done, pad_id, state.cur_token)
         tokens = jax.lax.dynamic_update_slice(tokens, emitted[:, None], (0, state.step))
+        # explicit emission-validity mask: lengths must not be inferred from
+        # token values (pad_id may be a legal sampled id)
+        valid = jax.lax.dynamic_update_slice(valid, (~state.done)[:, None], (0, state.step))
         new_state, _ = decode_step(
             params, cfg, state, t_pad, temperature, top_k, top_p, eos_ids, pad_id, greedy
         )
-        return (new_state, tokens)
+        return (new_state, tokens, valid)
 
-    state, tokens = jax.lax.while_loop(cond, body, (state, tokens0))
+    state, tokens, valid = jax.lax.while_loop(cond, body, (state, tokens0, valid0))
 
-    is_pad = tokens == pad_id
-    lengths = jnp.sum(~is_pad, axis=1).astype(jnp.int32)
+    lengths = jnp.sum(valid, axis=1).astype(jnp.int32)
     return tokens, lengths

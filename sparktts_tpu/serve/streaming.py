@@ -170,7 +170,7 @@ class StreamingSynthesizer:
             need = max(1, target - len(token_buf))
             n = self.steps if need <= self.steps else big_dispatch
             n = min(n, max_new - total_steps)
-            state, toks = decode_chunk(
+            state, toks, valid = decode_chunk(
                 pipe.llm_params,
                 pipe.config.llm,
                 state,
@@ -183,11 +183,13 @@ class StreamingSynthesizer:
                 tok.pad_id,
             )
             total_steps += n
-            raw = np.asarray(toks)[0]
+            # one host round trip for both arrays; the explicit valid mask
+            # replaces the old `last emission == pad` done-proxy, which ate
+            # tokens whenever pad_id was a legitimately sampled id
+            toks_h, valid_h = jax.device_get((toks, valid))
+            raw = toks_h[0][valid_h[0]]
             pending.append(raw)
-            # done-proxy: after EOS every emission is pad — avoids a second
-            # device→host round trip for state.done (~30 ms on relayed TPUs)
-            done = bool(raw[-1] == tok.pad_id)
+            done = not bool(valid_h[0][-1])
             sem = extract_semantic_ids(tok, raw)
             token_buf.extend(sem.tolist())
 

@@ -106,3 +106,32 @@ def test_slot_recycling(params):
     eng.run_until_done(n_steps=4)
     assert r3 in eng.finished
     assert len(eng.finished) == 3
+
+
+def test_pad_id_as_legal_token_not_dropped(params):
+    """VERDICT item 7: emissions must survive even when pad_id is a token the
+    model legitimately generates — liveness comes from the explicit valid
+    mask, not in-band token filtering."""
+    prompt = _prompt(3, 12)
+    n_new = 8
+
+    # discover what greedy emits, then rebuild the engine with pad_id set to
+    # one of those very tokens
+    eng = ContinuousBatchingEngine(
+        params, CFG, max_slots=2, cache_len=64, prompt_pad=16,
+        eos_ids=(), pad_id=PAD, greedy=True, cache_dtype=jnp.float32,
+    )
+    rid = eng.submit(prompt, max_new_tokens=n_new)
+    eng.run_until_done(n_steps=4)
+    ref = eng.finished.pop(rid)
+    assert ref.size == n_new
+
+    evil_pad = int(ref[0])  # a token guaranteed to be emitted
+    eng2 = ContinuousBatchingEngine(
+        params, CFG, max_slots=2, cache_len=64, prompt_pad=16,
+        eos_ids=(), pad_id=evil_pad, greedy=True, cache_dtype=jnp.float32,
+    )
+    rid2 = eng2.submit(prompt, max_new_tokens=n_new)
+    eng2.run_until_done(n_steps=4)
+    out = eng2.finished.pop(rid2)
+    np.testing.assert_array_equal(out, ref)  # nothing eaten, nothing reordered

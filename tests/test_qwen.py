@@ -206,7 +206,7 @@ def test_prefill_and_decode_matches_separate_path(hf_pair):
     n = 6
 
     cache1 = init_kv_cache(cfg, 1, t + n, jnp.float32)
-    state, toks_fused = prefill_and_decode(
+    state, toks_fused, valid_fused = prefill_and_decode(
         params, cfg, jnp.asarray(ids), mask, cache1, jax.random.PRNGKey(0), n,
         eos_ids=(), pad_id=PAD, greedy=True,
     )
@@ -214,6 +214,55 @@ def test_prefill_and_decode_matches_separate_path(hf_pair):
     cache2 = init_kv_cache(cfg, 1, t + n, jnp.float32)
     st = prefill(params, cfg, jnp.asarray(ids), mask, cache2, jax.random.PRNGKey(0),
                  0.8, 50, 0.95, greedy=True)
-    st, toks_sep = decode_chunk(params, cfg, st, t, n, eos_ids=(), pad_id=PAD, greedy=True)
+    st, toks_sep, valid_sep = decode_chunk(params, cfg, st, t, n, eos_ids=(), pad_id=PAD, greedy=True)
 
     np.testing.assert_array_equal(np.asarray(toks_fused), np.asarray(toks_sep))
+    np.testing.assert_array_equal(np.asarray(valid_fused), np.asarray(valid_sep))
+
+
+def test_mid_sequence_eos_stops_one_row(hf_pair):
+    """A specific EOS terminates ONE row of the batch mid-sequence while the
+    other row keeps generating (the old test used eos_ids=range(VOCAB), which
+    only proved the loop stops when everything is EOS)."""
+    _, cfg, params = hf_pair
+    rng = np.random.default_rng(21)
+    t = 8
+    ids = rng.integers(10, VOCAB, size=(2, t)).astype(np.int32)
+    mask = jnp.ones((2, t), bool)
+    n = 10
+
+    # sampled path (deterministic per key) — tiny greedy models degenerate to
+    # one repeated token, which leaves no usable mid-sequence EOS candidate
+    eos = None
+    for seed in range(8):
+        key = jax.random.PRNGKey(seed)
+        free_run, _ = generate(
+            params, cfg, jnp.asarray(ids), mask, key,
+            max_new_tokens=n, cache_len=t + n, temperature=1.0, top_k=VOCAB,
+            eos_ids=(), pad_id=PAD, cache_dtype=jnp.float32,
+        )
+        free_run = np.asarray(free_run)
+        # an EOS id whose FIRST occurrence in row 0 is mid-sequence and that
+        # never appears in row 1
+        for k in range(1, n - 1):
+            cand = int(free_run[0, k])
+            if cand not in free_run[1] and cand not in free_run[0, :k] and cand != PAD:
+                eos, k_hit = cand, k
+                break
+        if eos is not None:
+            break
+    assert eos is not None, f"no usable eos candidate in {free_run}"
+
+    toks, lengths = generate(
+        params, cfg, jnp.asarray(ids), mask, key,
+        max_new_tokens=n, cache_len=t + n, temperature=1.0, top_k=VOCAB,
+        eos_ids=(eos,), pad_id=PAD, cache_dtype=jnp.float32,
+    )
+    toks, lengths = np.asarray(toks), np.asarray(lengths)
+    # row 0 stops right after its EOS (EOS included, HF semantics)
+    assert lengths[0] == k_hit + 1
+    np.testing.assert_array_equal(toks[0, : k_hit + 1], free_run[0, : k_hit + 1])
+    assert (toks[0, k_hit + 1 :] == PAD).all()
+    # row 1 is unaffected and runs to the budget
+    assert lengths[1] == n
+    np.testing.assert_array_equal(toks[1], free_run[1])
