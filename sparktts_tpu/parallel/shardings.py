@@ -21,22 +21,30 @@ from jax.sharding import PartitionSpec as P
 from sparktts_tpu.config import QwenConfig
 
 
-def qwen_layer_specs() -> dict:
-    """Specs for the STACKED layer params (leading L dim unsharded)."""
+def qwen_layer_specs(pp: bool = False) -> dict:
+    """Specs for the STACKED layer params.
+
+    pp=True shards the leading L (layer) dim over the 'pp' mesh axis —
+    stage-sliced layer stacking: mesh group pp=s owns layers
+    [s*L/pp, (s+1)*L/pp).  The scan-over-layers forward then streams each
+    stage's weights from its owner while activations stay resident (the
+    reference exposes the same axis as TRT-LLM --pp_size,
+    `convert_checkpoint.py:25-28`).  Requires num_hidden_layers % pp == 0."""
+    lp = "pp" if pp else None
     return {
-        "ln1": {"gamma": P()},
-        "qkv": {"w": P(None, None, "tp"), "b": P(None, "tp")},
-        "o": {"w": P(None, "tp", None)},
-        "ln2": {"gamma": P()},
-        "gateup": {"w": P(None, None, "tp")},
-        "down": {"w": P(None, "tp", None)},
+        "ln1": {"gamma": P(lp, None)},
+        "qkv": {"w": P(lp, None, "tp"), "b": P(lp, "tp")},
+        "o": {"w": P(lp, "tp", None)},
+        "ln2": {"gamma": P(lp, None)},
+        "gateup": {"w": P(lp, None, "tp")},
+        "down": {"w": P(lp, "tp", None)},
     }
 
 
-def qwen_param_specs(cfg: QwenConfig) -> dict:
+def qwen_param_specs(cfg: QwenConfig, pp: bool = False) -> dict:
     specs = {
         "embed": P("tp", None),
-        "layers": qwen_layer_specs(),
+        "layers": qwen_layer_specs(pp),
         "final_ln": {"gamma": P()},
     }
     if not cfg.tie_word_embeddings:

@@ -38,7 +38,9 @@ def _sharded_params(mesh):
 def test_mesh_construction():
     assert len(jax.devices()) == 8, "conftest should provide 8 virtual CPU devices"
     mesh = make_mesh()
-    assert mesh.shape == {"dp": 4, "tp": 2}
+    assert mesh.shape == {"dp": 4, "tp": 2, "pp": 1}
+    mesh3 = make_mesh(dp=2, tp=2, pp=2)
+    assert mesh3.shape == {"dp": 2, "tp": 2, "pp": 2}
 
 
 def test_tp_sharded_forward_matches_single_device():
@@ -57,6 +59,44 @@ def test_tp_sharded_forward_matches_single_device():
         ids_sh = jax.device_put(jnp.asarray(ids), NamedSharding(mesh, batch_spec()))
         tokens_sh, _ = generate(sharded, CFG, ids_sh, mask, jax.random.PRNGKey(1), **kwargs)
     np.testing.assert_array_equal(np.asarray(tokens_ref), np.asarray(tokens_sh))
+
+
+def test_pp_sharded_forward_matches_single_device():
+    """dp=2/tp=2/pp=2: stage-sliced layer stacking must be bit-identical to
+    the single-device forward (reference capability: TRT-LLM --pp_size,
+    `convert_checkpoint.py:25-28`)."""
+    mesh = make_mesh(dp=2, tp=2, pp=2)
+    params = init_qwen(jax.random.PRNGKey(0), CFG)
+    specs = qwen_param_specs(CFG, pp=True)
+    sharded = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+    ids = np.random.default_rng(3).integers(5, 250, size=(4, 8)).astype(np.int32)
+    mask = jnp.ones((4, 8), bool)
+    kwargs = dict(max_new_tokens=4, cache_len=16, eos_ids=(), pad_id=1, greedy=True)
+    tokens_ref, _ = generate(params, CFG, jnp.asarray(ids), mask, jax.random.PRNGKey(1), **kwargs)
+    with mesh:
+        ids_sh = jax.device_put(jnp.asarray(ids), NamedSharding(mesh, batch_spec()))
+        tokens_sh, _ = generate(sharded, CFG, ids_sh, mask, jax.random.PRNGKey(1), **kwargs)
+    np.testing.assert_array_equal(np.asarray(tokens_ref), np.asarray(tokens_sh))
+
+
+def test_pp_train_step_runs():
+    mesh = make_mesh(dp=2, tp=2, pp=2)
+    params = init_qwen(jax.random.PRNGKey(0), CFG)
+    specs = qwen_param_specs(CFG, pp=True)
+    sharded = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+    optimizer = make_optimizer()
+    state = init_train_state(sharded, optimizer)
+    ids = jax.device_put(jnp.ones((4, 16), jnp.int32), NamedSharding(mesh, batch_spec()))
+    mask = jax.device_put(jnp.ones((4, 16), bool), NamedSharding(mesh, batch_spec()))
+    step = jax.jit(functools.partial(train_step, cfg=CFG, optimizer=optimizer))
+    with mesh:
+        _, loss = step(state, input_ids=ids, loss_mask=mask)
+    assert np.isfinite(float(loss))
 
 
 def test_train_step_runs_on_mesh():
