@@ -107,7 +107,7 @@ def residual_fsq_apply(
     """
     orig_dtype = x.dtype
     if "project_in" in p:
-        x = linear_apply(p["project_in"], x.astype(p["project_in"]["w"].dtype))
+        x = linear_apply(p["project_in"], x)
     x = x.astype(jnp.float32)
 
     scales = residual_fsq_scales(levels, num_quantizers)
@@ -141,5 +141,8 @@ def residual_fsq_output_from_indices(
         codes = fsq_indices_to_codes(indices[..., q], levels) * jnp.asarray(scales[q])
         total = codes if total is None else total + codes
     if "project_out" in p:
-        total = linear_apply(p["project_out"], total.astype(p["project_out"]["w"].dtype))
+        w = p["project_out"].get("w")
+        if w is not None:
+            total = total.astype(w.dtype)
+        total = linear_apply(p["project_out"], total)
     return total

@@ -85,9 +85,18 @@ def conv1d_apply(
     FLOP on the MXU and composes without the layout thrash XLA's conv op
     exhibits when chained (measured 2-5x on the vocoder stack).  Grouped or
     strided convs use lax.conv_general_dilated.
+
+    Weight-only int8 kernels ({"w_q": int8, "scale": (Cout,)}) apply the
+    per-out-channel scale to the OUTPUT — conv is linear per out channel, so
+    this is exact and never materializes a dequantized kernel in HBM.
     """
-    x = x.astype(p["w"].dtype)
-    k = p["w"].shape[0]
+    quant = "w_q" in p
+    w = p["w_q"] if quant else p["w"]
+    # unquantized: weights define the compute dtype (bf16 params → bf16 MXU);
+    # int8: the activation dtype does (the int8 kernel is cast up per use)
+    dtype = x.dtype if quant else w.dtype
+    x = x.astype(dtype)
+    k = w.shape[0]
     if groups == 1 and stride == 1:
         t_out = x.shape[1] + 2 * padding - dilation * (k - 1)
         if t_out > 0:
@@ -95,20 +104,24 @@ def conv1d_apply(
             y = None
             for i in range(k):
                 xi = jax.lax.dynamic_slice_in_dim(xp, i * dilation, t_out, 1)
-                o = jnp.einsum("btc,cd->btd", xi, p["w"][i])
+                o = jnp.einsum("btc,cd->btd", xi, w[i].astype(dtype))
                 y = o if y is None else y + o
+            if quant:
+                y = y * p["scale"].astype(dtype)
             if "b" in p:
                 y = y + p["b"]
             return y
     y = jax.lax.conv_general_dilated(
         x,
-        p["w"],
+        w.astype(dtype),
         window_strides=(stride,),
         padding=[(padding, padding)],
         rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=groups,
     )
+    if quant:
+        y = y * p["scale"].astype(dtype)
     if "b" in p:
         y = y + p["b"]
     return y
@@ -155,21 +168,26 @@ def conv_transpose1d_apply(
     back to lax with lhs_dilation (XLA has no output_padding; the asymmetric
     explicit padding reproduces it).
     """
-    x = x.astype(p["w"].dtype)
-    k = p["w"].shape[0]
+    quant = "w_q" in p
+    w = p["w_q"] if quant else p["w"]
+    dtype = x.dtype if quant else w.dtype
+    x = x.astype(dtype)
+    k = w.shape[0]
     if groups == 1:
         return _conv_transpose1d_subpixel(p, x, stride, padding, output_padding)
     lo = k - 1 - padding
     hi = k - 1 - padding + output_padding
     y = jax.lax.conv_general_dilated(
         x,
-        p["w"],
+        w.astype(dtype),
         window_strides=(1,),
         padding=[(lo, hi)],
         lhs_dilation=(stride,),
         dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=groups,
     )
+    if quant:
+        y = y * p["scale"].astype(dtype)
     if "b" in p:
         y = y + p["b"]
     return y
@@ -180,7 +198,8 @@ def _conv_transpose1d_subpixel(p, x, stride: int, padding: int, output_padding: 
     forward-conv WIO kernel; torch tap m corresponds to w[K-1-m].  Output
     position t = s*u + φ - p with φ = (t+p) mod s pulls taps m = φ + s*d from
     inputs x[u-d]."""
-    w = p["w"]
+    quant = "w_q" in p
+    w = p["w_q"].astype(x.dtype) if quant else p["w"]
     k, cin, cout = w.shape
     s = stride
     d_taps = -(-k // s)
@@ -206,6 +225,8 @@ def _conv_transpose1d_subpixel(p, x, stride: int, padding: int, output_padding: 
         o = jnp.einsum("btc,cd->btd", xd, mats[d])
         y = o if y is None else y + o
     y = y.reshape(b, u_count * s, cout)[:, padding : padding + out_len]
+    if quant:
+        y = y * p["scale"].astype(y.dtype)
     if "b" in p:
         y = y + p["b"]
     return y
