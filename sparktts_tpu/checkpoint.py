@@ -384,6 +384,32 @@ def _t_ecapa(state: State, pre: str) -> dict:
     }
 
 
+def _t_mhastp(state: State, pre: str, layer_num: int = 2, head_num: int = 2) -> dict:
+    """MHASTP pooling (reference `pooling_layers.py:150-213`): per-head 1x1
+    conv attention stacks → linears."""
+    return {
+        "heads": [
+            [
+                _t_conv1x1_as_linear(state, f"{pre}.heads_att_trans.{h}.att_{i}")
+                for i in range(layer_num)
+            ]
+            for h in range(head_num)
+        ]
+    }
+
+
+def _t_mqmhastp(
+    state: State, pre: str, layer_num: int = 2, query_num: int = 2, head_num: int = 8
+) -> dict:
+    """MQMHASTP pooling (reference `pooling_layers.py:216-285`)."""
+    return {
+        "queries": [
+            _t_mhastp(state, f"{pre}.n_query.{q}", layer_num, head_num)
+            for q in range(query_num)
+        ]
+    }
+
+
 def _t_perceiver(state: State, pre: str, depth: int) -> dict:
     p = {
         "latents": state[f"{pre}.latents"].copy(),

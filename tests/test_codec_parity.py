@@ -306,6 +306,36 @@ def test_ecapa_parity():
     _allclose(_t(xvec_t), xvec_j, rtol=5e-4, atol=5e-5)
 
 
+def test_pooling_layers_parity():
+    """TAP/TSDP/TSTP/MHASTP/MQMHASTP vs reference `pooling_layers.py:27-285`
+    (ASTP covered via the ECAPA parity test)."""
+    from sparktts.modules.speaker import pooling_layers as RP
+
+    from sparktts_tpu.nn import pooling as JP
+
+    rng = np.random.default_rng(10)
+    x = rng.standard_normal((2, 37, 32)).astype(np.float32)  # (B, T, F)
+    xt = torch.from_numpy(x.transpose(0, 2, 1))  # torch (B, F, T)
+    xj = jnp.asarray(x)
+
+    with torch.no_grad():
+        _allclose(_t(RP.TAP(32)(xt)), JP.tap_apply(xj))
+        _allclose(_t(RP.TSDP(32)(xt)), JP.tsdp_apply(xj))
+        _allclose(_t(RP.TSTP(32)(xt)), JP.tstp_apply(xj))
+
+    mh = _randomize(RP.MHASTP(32, layer_num=2, head_num=2), seed=11)
+    p = ckpt._t_mhastp(_state(mh, "m"), "m", layer_num=2, head_num=2)
+    with torch.no_grad():
+        ref = mh(xt)
+    _allclose(_t(ref), JP.mhastp_apply(p, xj))
+
+    mq = _randomize(RP.MQMHASTP(32, layer_num=2, query_num=2, head_num=4), seed=12)
+    pq = ckpt._t_mqmhastp(_state(mq, "m"), "m", layer_num=2, query_num=2, head_num=4)
+    with torch.no_grad():
+        refq = mq(xt)
+    _allclose(_t(refq), JP.mqmhastp_apply(pq, xj))
+
+
 def test_perceiver_parity():
     from sparktts.modules.speaker.perceiver_encoder import PerceiverResampler
 
