@@ -12,6 +12,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+from sparktts_tpu.utils.platform import apply_platform_env  # noqa: E402
+
+apply_platform_env()
+
 
 def main():
     parser = argparse.ArgumentParser()
