@@ -59,7 +59,9 @@ def init_slots(cfg: QwenConfig, max_slots: int, cache_len: int, rng, cache_dtype
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "slot_cache_len", "top_k", "greedy"), donate_argnums=(1,)
+    jax.jit,
+    static_argnames=("cfg", "slot_cache_len", "top_k", "greedy", "vocab_slice", "extra_ids"),
+    donate_argnums=(1,),
 )
 def admit_prefill(
     params,
@@ -73,6 +75,8 @@ def admit_prefill(
     top_k: int = 50,
     top_p: float = 0.95,
     greedy: bool = False,
+    vocab_slice: Tuple[int, int] | None = None,
+    extra_ids: Tuple[int, ...] = (),
 ) -> SlotState:
     """Prefill one prompt and install it into `slot`.
 
@@ -89,7 +93,10 @@ def admit_prefill(
     q_idx = jnp.arange(t_pad)[None, :, None]
     k_idx = jnp.arange(t_pad)[None, None, :]
     bias = jnp.where((k_idx <= q_idx) & mask[:, None, :], 0.0, -1e9).astype(jnp.float32)
-    logits, tmp_cache = qwen_forward(params, cfg, input_ids, positions, tmp_cache, 0, bias)
+    logits, tmp_cache = qwen_forward(
+        params, cfg, input_ids, positions, tmp_cache, 0, bias,
+        vocab_slice=vocab_slice, extra_ids=extra_ids,
+    )
 
     # last real token's logits
     last = jnp.take_along_axis(logits, (prompt_len - 1)[None, None, None].reshape(1, 1, 1), axis=1)
@@ -98,6 +105,10 @@ def admit_prefill(
         first_tok = greedy_token(last[:, 0])[0]
     else:
         first_tok = sample_token(sub, last[:, 0], temperature, top_k, top_p)[0]
+    if vocab_slice is not None:
+        from sparktts_tpu.lm.generate import _expand_constrained
+
+        first_tok = _expand_constrained(first_tok, vocab_slice, extra_ids)
 
     # install prompt K/V into the slot row: (L, 1, t_pad, nkv, hd) → row
     k_row = jax.lax.dynamic_update_slice(
@@ -127,7 +138,10 @@ def admit_prefill(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "n_steps", "top_k", "eos_ids", "pad_id", "greedy"),
+    static_argnames=(
+        "cfg", "n_steps", "top_k", "eos_ids", "pad_id", "greedy",
+        "vocab_slice", "extra_ids",
+    ),
     donate_argnums=(1,),
 )
 def decode_steps(
@@ -141,23 +155,24 @@ def decode_steps(
     eos_ids: Tuple[int, ...] = (),
     pad_id: int = 0,
     greedy: bool = False,
+    vocab_slice: Tuple[int, int] | None = None,
+    extra_ids: Tuple[int, ...] = (),
 ) -> Tuple[SlotState, jax.Array, jax.Array]:
     """Advance every active slot by n_steps tokens; returns (slots, tokens
     (B, n_steps), valid (B, n_steps) bool).  `valid` is the explicit emission
     mask — pad_id may be a legitimately sampled id, so callers must not infer
-    liveness from token values."""
-    max_cache = slots.cache.max_len
-    k_idx = jnp.arange(max_cache)[None, None, :]
+    liveness from token values.
+
+    The key-validity window is an index compare fused into attention
+    (qwen_forward decode_window) — no (B, 1, S) fp32 bias per step.
+    vocab_slice/extra_ids optionally constrain sampling to the TTS-legal
+    token range (guided decoding, see lm/generate.py)."""
+    from sparktts_tpu.lm.generate import _expand_constrained
 
     def body(s: SlotState, _):
         live = s.active & ~s.done
         emitted = s.cur_token
 
-        bias = jnp.where(
-            (k_idx >= s.start[:, None, None]) & (k_idx <= s.write_pos[:, None, None]),
-            0.0,
-            -1e9,
-        ).astype(jnp.float32)
         logits, cache = qwen_forward(
             params,
             cfg,
@@ -165,13 +180,17 @@ def decode_steps(
             s.position[:, None],
             s.cache,
             s.write_pos,  # (B,) vector → per-slot scatter
-            bias,
+            None,
+            decode_window=(s.start, s.write_pos),
+            vocab_slice=vocab_slice,
+            extra_ids=extra_ids,
         )
         rng, sub = jax.random.split(s.rng)
         if greedy:
             nxt = greedy_token(logits[:, -1])
         else:
             nxt = sample_token(sub, logits[:, -1], temperature, top_k, top_p)
+        nxt = _expand_constrained(nxt, vocab_slice, extra_ids)
 
         is_eos = jnp.zeros_like(s.done)
         for e in eos_ids:
@@ -213,6 +232,8 @@ class ContinuousBatchingEngine:
         greedy: bool = False,
         seed: int = 0,
         cache_dtype=jnp.bfloat16,
+        vocab_slice: Tuple[int, int] | None = None,
+        extra_ids: Tuple[int, ...] = (),
     ):
         self.params = params
         self.cfg = cfg
@@ -223,6 +244,8 @@ class ContinuousBatchingEngine:
         self.pad_id = pad_id
         self.sampling = (temperature, top_k, top_p)
         self.greedy = greedy
+        self.vocab_slice = vocab_slice
+        self.extra_ids = tuple(extra_ids)
         self.slots = init_slots(cfg, max_slots, cache_len, jax.random.PRNGKey(seed), cache_dtype)
         self.owner: List[Optional[int]] = [None] * max_slots  # request ids
         self.budget = np.zeros(max_slots, np.int64)  # remaining tokens per slot
@@ -258,6 +281,8 @@ class ContinuousBatchingEngine:
             top_k,
             top_p,
             self.greedy,
+            self.vocab_slice,
+            self.extra_ids,
         )
         req_id = self._next_req
         self._next_req += 1
@@ -284,6 +309,8 @@ class ContinuousBatchingEngine:
             self.eos_ids,
             self.pad_id,
             self.greedy,
+            self.vocab_slice,
+            self.extra_ids,
         )
         # one host round-trip for all three arrays
         toks, valid, done = jax.device_get((toks, valid, self.slots.done))

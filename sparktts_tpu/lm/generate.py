@@ -22,7 +22,6 @@ import jax.numpy as jnp
 from sparktts_tpu.config import QwenConfig
 from sparktts_tpu.lm.qwen import (
     KVCache,
-    decode_mask_bias,
     init_kv_cache,
     prefill_inputs,
     qwen_forward,
@@ -42,8 +41,23 @@ class GenState(NamedTuple):
     prompt_len: jax.Array  # (B,) true prompt lengths
 
 
+def _expand_constrained(idx: jax.Array, vocab_slice, extra_ids) -> jax.Array:
+    """Map a packed constrained-logits index (slice rows then extras) back to
+    a full-vocab token id."""
+    if vocab_slice is None:
+        return idx
+    lo, hi = vocab_slice
+    width = hi - lo
+    if not extra_ids:
+        return idx + lo
+    lut = jnp.asarray(extra_ids, jnp.int32)
+    ex = lut[jnp.clip(idx - width, 0, len(extra_ids) - 1)]
+    return jnp.where(idx < width, idx + lo, ex)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "top_k", "greedy", "use_flash")
+    jax.jit,
+    static_argnames=("cfg", "top_k", "greedy", "use_flash", "vocab_slice", "extra_ids"),
 )
 def prefill(
     params,
@@ -57,15 +71,21 @@ def prefill(
     top_p: float,
     greedy: bool = False,
     use_flash: bool = False,
+    vocab_slice: Tuple[int, int] | None = None,
+    extra_ids: Tuple[int, ...] = (),
 ) -> GenState:
-    """Run the prompt through the model, sample the first new token."""
+    """Run the prompt through the model, sample the first new token.
+
+    vocab_slice/extra_ids constrain sampling to embedding rows [lo, hi) plus
+    the listed ids (guided decoding — see qwen_forward)."""
     t_pad = input_ids.shape[1]
     positions, bias = prefill_inputs(prompt_mask, cache.max_len)
     flash_start = None
     if use_flash:
         flash_start = t_pad - jnp.sum(prompt_mask.astype(jnp.int32), axis=1)
     logits, cache = qwen_forward(
-        params, cfg, input_ids, positions, cache, 0, bias, flash_start=flash_start
+        params, cfg, input_ids, positions, cache, 0, bias, flash_start=flash_start,
+        vocab_slice=vocab_slice, extra_ids=extra_ids, logits_last_only=True,
     )
     last_logits = logits[:, -1]
 
@@ -74,6 +94,7 @@ def prefill(
         tok = greedy_token(last_logits)
     else:
         tok = sample_token(sub, last_logits, temperature, top_k, top_p)
+    tok = _expand_constrained(tok, vocab_slice, extra_ids)
 
     prompt_len = jnp.sum(prompt_mask.astype(jnp.int32), axis=1)
     start = t_pad - prompt_len
@@ -99,21 +120,28 @@ def decode_step(
     eos_ids: Sequence[int],
     pad_id: int,
     greedy: bool = False,
+    vocab_slice: Tuple[int, int] | None = None,
+    extra_ids: Tuple[int, ...] = (),
 ) -> Tuple[GenState, jax.Array]:
     """Feed the last sampled token, sample the next.  Returns (state, token
-    that was *consumed* this step — i.e. the token at position `step`)."""
+    that was *consumed* this step — i.e. the token at position `step`).
+
+    The key-validity mask is an index compare fused into the attention
+    (decode_window) — no per-step (B, 1, S) fp32 bias materialized."""
     cache_pos = t_pad + state.step
     positions = (state.prompt_len + state.step)[:, None]
-    bias = decode_mask_bias(state.start, cache_pos, state.cache.max_len)
 
     logits, cache = qwen_forward(
-        params, cfg, state.cur_token[:, None], positions, state.cache, cache_pos, bias
+        params, cfg, state.cur_token[:, None], positions, state.cache, cache_pos,
+        None, decode_window=(state.start, cache_pos),
+        vocab_slice=vocab_slice, extra_ids=extra_ids,
     )
     rng, sub = jax.random.split(state.rng)
     if greedy:
         nxt = greedy_token(logits[:, -1])
     else:
         nxt = sample_token(sub, logits[:, -1], temperature, top_k, top_p)
+    nxt = _expand_constrained(nxt, vocab_slice, extra_ids)
 
     # `done` flips once the token just consumed/emitted was EOS — the EOS
     # itself is still part of the output (HF generate semantics).
@@ -138,7 +166,8 @@ def decode_step(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cfg", "n_first", "top_k", "eos_ids", "pad_id", "greedy", "use_flash"
+        "cfg", "n_first", "top_k", "eos_ids", "pad_id", "greedy", "use_flash",
+        "vocab_slice", "extra_ids",
     ),
 )
 def prefill_and_decode(
@@ -156,6 +185,8 @@ def prefill_and_decode(
     pad_id: int = 0,
     greedy: bool = False,
     use_flash: bool = False,
+    vocab_slice: Tuple[int, int] | None = None,
+    extra_ids: Tuple[int, ...] = (),
 ) -> Tuple[GenState, jax.Array, jax.Array]:
     """Prefill + the first `n_first` decode steps as ONE program — first-chunk
     latency pays a single dispatch instead of two (matters on tunneled TPUs
@@ -163,14 +194,16 @@ def prefill_and_decode(
     t_pad = input_ids.shape[1]
     state = prefill(
         params, cfg, input_ids, prompt_mask, cache, rng,
-        temperature, top_k, top_p, greedy, use_flash,
+        temperature, top_k, top_p, greedy, use_flash, vocab_slice, extra_ids,
     )
     return _decode_scan(
-        params, cfg, state, t_pad, n_first, temperature, top_k, top_p, eos_ids, pad_id, greedy
+        params, cfg, state, t_pad, n_first, temperature, top_k, top_p, eos_ids, pad_id,
+        greedy, vocab_slice, extra_ids,
     )
 
 
-def _decode_scan(params, cfg, state, t_pad, n_steps, temperature, top_k, top_p, eos_ids, pad_id, greedy):
+def _decode_scan(params, cfg, state, t_pad, n_steps, temperature, top_k, top_p,
+                 eos_ids, pad_id, greedy, vocab_slice=None, extra_ids=()):
     """Returns (state, tokens (B, n), valid (B, n) bool).
 
     `valid` is the explicit emission mask — callers must NOT infer liveness
@@ -182,7 +215,8 @@ def _decode_scan(params, cfg, state, t_pad, n_steps, temperature, top_k, top_p, 
         emitted = state.cur_token
         valid = ~state.done
         new_state, _ = decode_step(
-            params, cfg, state, t_pad, temperature, top_k, top_p, eos_ids, pad_id, greedy
+            params, cfg, state, t_pad, temperature, top_k, top_p, eos_ids, pad_id,
+            greedy, vocab_slice, extra_ids,
         )
         return new_state, (emitted, valid)
 
@@ -192,7 +226,10 @@ def _decode_scan(params, cfg, state, t_pad, n_steps, temperature, top_k, top_p, 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "t_pad", "n_steps", "top_k", "eos_ids", "pad_id", "greedy"),
+    static_argnames=(
+        "cfg", "t_pad", "n_steps", "top_k", "eos_ids", "pad_id", "greedy",
+        "vocab_slice", "extra_ids",
+    ),
 )
 def decode_chunk(
     params,
@@ -206,6 +243,8 @@ def decode_chunk(
     eos_ids: Tuple[int, ...] = (),
     pad_id: int = 0,
     greedy: bool = False,
+    vocab_slice: Tuple[int, int] | None = None,
+    extra_ids: Tuple[int, ...] = (),
 ) -> Tuple[GenState, jax.Array, jax.Array]:
     """Run `n_steps` decode steps as one XLA program (lax.scan) and return
     (state, tokens (B, n_steps), valid (B, n_steps) bool).  The streaming
@@ -213,7 +252,8 @@ def decode_chunk(
     control in Python (reference's streaming loop granularity,
     `spark_tts/1/model.py:347-385`)."""
     return _decode_scan(
-        params, cfg, state, t_pad, n_steps, temperature, top_k, top_p, eos_ids, pad_id, greedy
+        params, cfg, state, t_pad, n_steps, temperature, top_k, top_p, eos_ids, pad_id,
+        greedy, vocab_slice, extra_ids,
     )
 
 
@@ -229,6 +269,8 @@ def decode_chunk(
         "greedy",
         "cache_dtype",
         "use_flash",
+        "vocab_slice",
+        "extra_ids",
     ),
 )
 def generate(
@@ -247,16 +289,23 @@ def generate(
     greedy: bool = False,
     cache_dtype=jnp.bfloat16,
     use_flash: bool = False,
+    vocab_slice: Tuple[int, int] | None = None,
+    extra_ids: Tuple[int, ...] = (),
 ) -> Tuple[jax.Array, jax.Array]:
     """Full generation.  Returns (tokens (B, max_new_tokens) int32 padded with
-    pad_id after EOS, lengths (B,) including the EOS token)."""
+    pad_id after EOS, lengths (B,) including the EOS token).
+
+    vocab_slice/extra_ids: optional guided-decoding constraint — sampling is
+    restricted to embedding rows [lo, hi) plus extra_ids (returned ids are in
+    the FULL vocab space).  For TTS this is the semantic/global token range
+    plus EOS, which also guarantees the output is parseable."""
     b, t_pad = input_ids.shape
     assert cache_len >= t_pad + max_new_tokens, "cache too small"
 
     cache = init_kv_cache(cfg, b, cache_len, cache_dtype)
     state = prefill(
         params, cfg, input_ids, prompt_mask, cache, rng, temperature, top_k, top_p, greedy,
-        use_flash=use_flash,
+        use_flash=use_flash, vocab_slice=vocab_slice, extra_ids=extra_ids,
     )
 
     tokens0 = jnp.full((b, max_new_tokens), pad_id, jnp.int32)
@@ -276,7 +325,8 @@ def generate(
         # token values (pad_id may be a legal sampled id)
         valid = jax.lax.dynamic_update_slice(valid, (~state.done)[:, None], (0, state.step))
         new_state, _ = decode_step(
-            params, cfg, state, t_pad, temperature, top_k, top_p, eos_ids, pad_id, greedy
+            params, cfg, state, t_pad, temperature, top_k, top_p, eos_ids, pad_id,
+            greedy, vocab_slice, extra_ids,
         )
         return (new_state, tokens, valid)
 

@@ -125,21 +125,27 @@ def _attention_block(
     cache_v: jax.Array,
     layer_idx: jax.Array,
     write_pos: int | jax.Array,
-    key_mask_bias: jax.Array,
+    key_mask_bias: Optional[jax.Array],
     cfg: QwenConfig,
     flash_start: Optional[jax.Array] = None,
+    decode_window: Optional[Tuple[jax.Array, jax.Array]] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Shared attention for prefill (T>=1) and decode (T=1).
 
     cache_k/v: (L, B, S, n_kv, hd) full stacked caches (aliasable scan carry);
     layer_idx selects the plane; new keys written at [write_pos, write_pos+T).
     key_mask_bias: (B, T, S) additive fp32 bias (0 valid / -inf invalid),
-    already encoding causality and left-pad masking.
+    already encoding causality and left-pad masking.  May be None when
+    decode_window is given.
 
     flash_start: when given (prefill-from-zero only, T > 1), attention runs
     through the Pallas flash kernel over the freshly-computed K/V instead of
     the materialized-bias einsum path; `flash_start[b]` is the first non-pad
     slot (same semantics as the bias).
+
+    decode_window: ((B,) start, scalar-or-(B,) pos) — T == 1 decode masking as
+    an index compare fused into the scores, replacing the materialized
+    (B, 1, S) fp32 bias (start[b] <= key slot <= pos is valid).
     """
     b, t, h = x.shape
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -183,7 +189,15 @@ def _attention_block(
     scores = jnp.einsum(
         "btkgh,bskh->bkgts", qg, ck, preferred_element_type=jnp.float32
     ) * (hd**-0.5)
-    scores = scores + key_mask_bias[:, None, None, :, :]
+    if decode_window is not None:
+        start, pos = decode_window
+        k_idx = jnp.arange(ck.shape[1])  # (S,)
+        valid = (k_idx[None, :] >= start[:, None]) & (
+            k_idx[None, :] <= jnp.broadcast_to(pos, start.shape)[:, None]
+        )  # (B, S)
+        scores = jnp.where(valid[:, None, None, None, :], scores, -1e9)
+    else:
+        scores = scores + key_mask_bias[:, None, None, :, :]
     probs = jax.nn.softmax(scores, axis=-1).astype(cv.dtype)
     out = jnp.einsum("bkgts,bskh->btkgh", probs, cv)
     out = out.reshape(b, t, nh * hd).astype(x.dtype)
@@ -219,15 +233,36 @@ def qwen_forward(
     positions: jax.Array,        # (B, T) RoPE positions
     cache: KVCache,
     write_pos: int | jax.Array,  # cache slot of input_ids[:, 0]
-    key_mask_bias: jax.Array,    # (B, T, S) additive bias
+    key_mask_bias: Optional[jax.Array],  # (B, T, S) additive bias
     flash_start: Optional[jax.Array] = None,  # enable Pallas flash prefill
+    decode_window: Optional[Tuple[jax.Array, jax.Array]] = None,
+    vocab_slice: Optional[Tuple[int, int]] = None,
+    extra_ids: Tuple[int, ...] = (),
+    logits_last_only: bool = False,
 ) -> Tuple[jax.Array, KVCache]:
     """Token ids → logits (B, T, V) and updated cache.
 
     The transformer stack runs as a lax.scan over the stacked layer params —
     one compiled layer body regardless of depth.  The KV caches travel in the
     scan CARRY (not as per-layer outputs) so XLA aliases them in place across
-    layers and across decode steps — no whole-cache copies per token."""
+    layers and across decode steps — no whole-cache copies per token.
+
+    decode_window: optional ((B,) start, scalar pos) valid-key window for
+    T == 1 decode — the mask is an index compare fused into the attention
+    einsum, no (B, 1, S) fp32 bias materialized per step (pass
+    key_mask_bias=None then).
+
+    vocab_slice/extra_ids: optional static constraint on the OUTPUT vocabulary
+    (guided decoding).  Logits are computed only over embedding rows
+    [lo, hi) plus `extra_ids`, returned in that packed order — for a TTS task
+    the legal emission set is ~8k semantic tokens + EOS out of a 166k vocab,
+    so this cuts the logits matmul and the sampler's top-k to <8%% of the
+    full-vocab cost (the reference samples the full vocab and regex-drops
+    illegal tokens afterwards, cli/SparkTTS.py:213-228).
+
+    logits_last_only: compute logits for the final position only (prefill
+    needs just the next-token distribution; skips a (B, T, V) materialize).
+    """
     x = embed_lookup(params, input_ids)
 
     def layer_step(carry, layer):
@@ -236,7 +271,7 @@ def qwen_forward(
         y = rms_norm_apply(layer["ln1"], x, eps=cfg.rms_norm_eps)
         attn_out, ck_all, cv_all = _attention_block(
             layer, y, positions, ck_all, cv_all, li, write_pos, key_mask_bias, cfg,
-            flash_start=flash_start,
+            flash_start=flash_start, decode_window=decode_window,
         )
         x = residual + attn_out
         y = rms_norm_apply(layer["ln2"], x, eps=cfg.rms_norm_eps)
@@ -247,11 +282,13 @@ def qwen_forward(
         layer_step, (x, cache.k, cache.v, jnp.zeros((), jnp.int32)), params["layers"]
     )
 
+    if logits_last_only:
+        x = x[:, -1:]
     x = rms_norm_apply(params["final_ln"], x, eps=cfg.rms_norm_eps)
     if cfg.tie_word_embeddings:
-        logits = lm_logits(params, x)
+        logits = lm_logits(params, x, vocab_slice=vocab_slice, extra_ids=extra_ids)
     else:
-        logits = linear_apply(params["lm_head"], x).astype(jnp.float32)
+        logits = head_logits(params, x, vocab_slice=vocab_slice, extra_ids=extra_ids)
     return logits, KVCache(k=new_k, v=new_v)
 
 
@@ -266,16 +303,65 @@ def embed_lookup(params, input_ids: jax.Array) -> jax.Array:
     return jnp.take(emb, input_ids, axis=0)
 
 
-def lm_logits(params, x: jax.Array) -> jax.Array:
+def _select_vocab_rows(w: jax.Array, vocab_slice, extra_ids):
+    """Static row selection for constrained logits: rows [lo, hi) then the
+    `extra_ids` rows, concatenated (w is (V, ...))."""
+    lo, hi = vocab_slice
+    rows = jax.lax.slice_in_dim(w, lo, hi, axis=0)
+    if extra_ids:
+        ex = jnp.take(w, jnp.asarray(extra_ids, jnp.int32), axis=0)
+        rows = jnp.concatenate([rows, ex], axis=0)
+    return rows
+
+
+def lm_logits(
+    params,
+    x: jax.Array,
+    vocab_slice: Optional[Tuple[int, int]] = None,
+    extra_ids: Tuple[int, ...] = (),
+) -> jax.Array:
     """Tied-embedding logits in fp32; int8 tables apply the per-row scale to
-    the matmul output (no dequantized table materialized)."""
+    the matmul output (no dequantized table materialized).  With vocab_slice,
+    only rows [lo, hi) + extra_ids participate (guided decoding)."""
     emb = params["embed"]
     if isinstance(emb, dict):
-        logits = jnp.einsum(
-            "bth,vh->btv", x, emb["w_q"].astype(x.dtype), preferred_element_type=jnp.float32
-        )
-        return logits * emb["scale"][:, 0]
-    return jnp.einsum("bth,vh->btv", x, emb, preferred_element_type=jnp.float32)
+        w, scale = emb["w_q"], emb["scale"][:, 0]
+    else:
+        w, scale = emb, None
+    if vocab_slice is not None:
+        w = _select_vocab_rows(w, vocab_slice, extra_ids)
+        if scale is not None:
+            scale = _select_vocab_rows(scale, vocab_slice, extra_ids)
+    logits = jnp.einsum(
+        "bth,vh->btv", x, w.astype(x.dtype), preferred_element_type=jnp.float32
+    )
+    return logits if scale is None else logits * scale
+
+
+def head_logits(
+    params,
+    x: jax.Array,
+    vocab_slice: Optional[Tuple[int, int]] = None,
+    extra_ids: Tuple[int, ...] = (),
+) -> jax.Array:
+    """Untied lm_head logits in fp32 with optional vocab constraint (the head
+    weight is (H, V): selection transposes row-selection onto columns)."""
+    head = params["lm_head"]
+    if vocab_slice is None:
+        return linear_apply(head, x).astype(jnp.float32)
+    if "w_q" in head:
+        w = _select_vocab_rows(head["w_q"].T, vocab_slice, extra_ids)
+        scale = _select_vocab_rows(head["scale"].reshape(-1), vocab_slice, extra_ids)
+    else:
+        w, scale = _select_vocab_rows(head["w"].T, vocab_slice, extra_ids), None
+    logits = jnp.einsum(
+        "bth,vh->btv", x, w.astype(x.dtype), preferred_element_type=jnp.float32
+    )
+    if scale is not None:
+        logits = logits * scale
+    if "b" in head:
+        logits = logits + _select_vocab_rows(head["b"], vocab_slice, extra_ids)
+    return logits
 
 
 # ---------------------------------------------------------------------------
@@ -297,11 +383,3 @@ def prefill_inputs(prompt_mask: jax.Array, max_cache_len: int):
     return positions, bias
 
 
-def decode_mask_bias(start: jax.Array, current_pos: jax.Array, max_cache_len: int):
-    """Per-step key mask for decode: valid keys are [start[b], current_pos].
-
-    start: (B,) first valid cache slot (= T_pad - prompt_len); current_pos:
-    scalar cache slot being written.  Returns (B, 1, S) fp32 bias."""
-    k_idx = jnp.arange(max_cache_len)[None, None, :]
-    valid = (k_idx >= start[:, None, None]) & (k_idx <= current_pos)
-    return jnp.where(valid, 0.0, -1e9).astype(jnp.float32)

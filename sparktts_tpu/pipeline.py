@@ -68,6 +68,7 @@ class SparkTTSPipeline:
         wav_bucket_s: float = 1.0,
         max_new_tokens: Optional[int] = None,
         use_flash: Optional[bool] = None,
+        guided: bool = True,
     ):
         if model_dir is not None:
             self.config = load_spark_config(model_dir)
@@ -93,6 +94,13 @@ class SparkTTSPipeline:
         if use_flash is None:  # auto: Pallas prefill on real accelerators only
             use_flash = jax.default_backend() != "cpu"
         self.use_flash = use_flash  # Pallas flash-attention prefill
+        # guided decoding: constrain sampling to the TTS-legal token range —
+        # ~8k semantic ids (+ globals/controls in controllable mode) + EOS out
+        # of a 166k vocab.  Cuts the decode logits matmul and top-k to <8% of
+        # full-vocab cost AND guarantees parseable output (the reference
+        # samples the full vocab and regex-drops illegal tokens afterwards,
+        # reference cli/SparkTTS.py:197-228).
+        self.guided = guided
 
         # encoder time-compression: semantic tokens per wav2vec2 frame
         self._enc_ratio = int(np.prod(self.config.bicodec.encoder.sample_ratios))
@@ -279,6 +287,7 @@ class SparkTTSPipeline:
             max_new_tokens=max_new_tokens,
             seed=seed,
             greedy=greedy,
+            mode="control" if gender is not None else "clone",
         )
 
         semantic_ids = extract_semantic_ids(self.tokenizer, generated)
@@ -299,6 +308,32 @@ class SparkTTSPipeline:
 
         return self.detokenize(global_token_ids, semantic_ids[None, :])
 
+    def guided_constraint(self, mode: str = "clone"):
+        """(vocab_slice, extra_ids) for guided decoding, or (None, ()) when
+        disabled.  clone mode emits only semantic tokens + EOS; controllable
+        mode additionally emits global tokens and the global/semantic control
+        markers (reference cli/SparkTTS.py:157-228 output grammar)."""
+        if not self.guided:
+            return None, ()
+        tok = self.tokenizer
+        if mode == "control":
+            lo = min(tok.semantic_base, tok.global_base)
+            hi = max(tok.semantic_base + tok.n_semantic, tok.global_base + tok.n_global)
+            extras = tuple(tok.eos_ids) + tuple(
+                tok.token_id(t)
+                for t in (
+                    "<|start_global_token|>",
+                    "<|end_global_token|>",
+                    "<|start_semantic_token|>",
+                    "<|end_semantic_token|>",
+                )
+            )
+        else:
+            lo, hi = tok.semantic_base, tok.semantic_base + tok.n_semantic
+            extras = tuple(tok.eos_ids)
+        extras = tuple(e for e in extras if not lo <= e < hi)
+        return (lo, hi), extras
+
     def generate_tokens(
         self,
         prompt_ids,
@@ -308,6 +343,7 @@ class SparkTTSPipeline:
         max_new_tokens: Optional[int] = None,
         seed: int = 0,
         greedy: bool = False,
+        mode: str = "clone",
     ) -> np.ndarray:
         """Run the LLM on one prompt; returns the generated id array (new
         tokens only, trimmed at EOS)."""
@@ -319,6 +355,7 @@ class SparkTTSPipeline:
         mask[0, t_pad - len(prompt_ids) :] = True
 
         cache_len = t_pad + max_new
+        vocab_slice, extra_ids = self.guided_constraint(mode)
         with stage("llm_generate"):
             tokens, lengths = generate(
                 self.llm_params,
@@ -336,6 +373,8 @@ class SparkTTSPipeline:
                 greedy=greedy,
                 cache_dtype=self.lm_dtype,
                 use_flash=self.use_flash,
+                vocab_slice=vocab_slice,
+                extra_ids=extra_ids,
             )
         n = int(lengths[0])
         return np.asarray(tokens)[0, :n]
@@ -419,6 +458,7 @@ class SparkTTSPipeline:
         max_new_tokens: Optional[int] = None,
         seed: int = 0,
         greedy: bool = False,
+        mode: str = "clone",
     ):
         """List of prompt-id lists → list of generated id arrays.  One padded
         batch through one jitted generate program (the reference delegates
@@ -433,6 +473,7 @@ class SparkTTSPipeline:
             input_ids[i, t_pad - len(p) :] = p
             mask[i, t_pad - len(p) :] = True
 
+        vocab_slice, extra_ids = self.guided_constraint(mode)
         tokens, lengths = generate(
             self.llm_params,
             self.config.llm,
@@ -449,6 +490,8 @@ class SparkTTSPipeline:
             greedy=greedy,
             cache_dtype=self.lm_dtype,
             use_flash=self.use_flash,
+            vocab_slice=vocab_slice,
+            extra_ids=extra_ids,
         )
         tokens = np.asarray(tokens)
         lengths = np.asarray(lengths)

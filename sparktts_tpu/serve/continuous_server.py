@@ -67,6 +67,10 @@ class ContinuousTTSServer:
         self.steps = steps_per_dispatch
         self.default_max_new = default_max_new_tokens or pipeline.max_new_tokens
         cache_len = cache_len or (pipeline.prompt_bucket * 4 + self.default_max_new)
+        # one engine serves clone AND controllable requests, so use the
+        # superset constraint (semantic + global ranges + control markers +
+        # EOS) — still <8% of the full vocab
+        vocab_slice, extra_ids = pipeline.guided_constraint("control")
         self.engine = ContinuousBatchingEngine(
             pipeline.llm_params,
             pipeline.config.llm,
@@ -76,6 +80,8 @@ class ContinuousTTSServer:
             eos_ids=tuple(pipeline.tokenizer.eos_ids),
             pad_id=pipeline.tokenizer.pad_id,
             cache_dtype=pipeline.lm_dtype,
+            vocab_slice=vocab_slice,
+            extra_ids=extra_ids,
         )
         self.waiting: asyncio.Queue = asyncio.Queue()
         self.inflight: Dict[int, _Pending] = {}

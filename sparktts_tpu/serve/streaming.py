@@ -125,6 +125,9 @@ class StreamingSynthesizer:
         target = next(schedule)
 
         cache = init_kv_cache(pipe.config.llm, 1, t_pad + max_new, pipe.lm_dtype)
+        vocab_slice, extra_ids = pipe.guided_constraint(
+            "control" if gender is not None else "clone"
+        )
         # measured on v5e: separate prefill + decode dispatches beat the fused
         # prefill_and_decode program for first-chunk latency (307 → 219 ms)
         state = prefill(
@@ -138,6 +141,8 @@ class StreamingSynthesizer:
             top_k,
             top_p,
             use_flash=getattr(pipe, "use_flash", False),
+            vocab_slice=vocab_slice,
+            extra_ids=extra_ids,
         )
 
         token_buf: List[int] = []
@@ -181,6 +186,8 @@ class StreamingSynthesizer:
                 top_p,
                 tuple(tok.eos_ids),
                 tok.pad_id,
+                vocab_slice=vocab_slice,
+                extra_ids=extra_ids,
             )
             total_steps += n
             # one host round trip for both arrays; the explicit valid mask

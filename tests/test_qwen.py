@@ -266,3 +266,103 @@ def test_mid_sequence_eos_stops_one_row(hf_pair):
     # row 1 is unaffected and runs to the budget
     assert lengths[1] == n
     np.testing.assert_array_equal(toks[1], free_run[1])
+
+
+def test_guided_full_cover_slice_matches_unconstrained(hf_pair):
+    """A vocab_slice covering the whole vocab must reproduce the
+    unconstrained greedy token sequence exactly (index mapping identity)."""
+    _, cfg, params = hf_pair
+    rng = np.random.default_rng(11)
+    ids = rng.integers(10, VOCAB, size=(2, 7)).astype(np.int32)
+    mask = jnp.ones((2, 7), bool)
+    kwargs = dict(max_new_tokens=8, cache_len=16, eos_ids=(), pad_id=PAD, greedy=True)
+    ref, _ = generate(params, cfg, jnp.asarray(ids), mask, jax.random.PRNGKey(0), **kwargs)
+    got, _ = generate(
+        params, cfg, jnp.asarray(ids), mask, jax.random.PRNGKey(0),
+        vocab_slice=(0, VOCAB), **kwargs
+    )
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_guided_decode_emits_only_allowed_ids(hf_pair):
+    """With vocab_slice + extra_ids, every emitted token is in the allowed
+    set, and greedy picks the argmax over exactly that set."""
+    _, cfg, params = hf_pair
+    rng = np.random.default_rng(12)
+    lo, hi = 40, 72
+    ids = rng.integers(10, VOCAB, size=(1, 6)).astype(np.int32)
+    mask = jnp.ones((1, 6), bool)
+    toks, lengths = generate(
+        params, cfg, jnp.asarray(ids), mask, jax.random.PRNGKey(3),
+        max_new_tokens=10, cache_len=20, eos_ids=(EOS,), pad_id=PAD,
+        greedy=True, vocab_slice=(lo, hi), extra_ids=(EOS,),
+    )
+    toks, n = np.asarray(toks)[0], int(np.asarray(lengths)[0])
+    allowed = set(range(lo, hi)) | {EOS}
+    assert all(int(t) in allowed for t in toks[:n])
+
+    # cross-check the first guided greedy token against a full-vocab forward
+    # masked down to the allowed set
+    cache = init_kv_cache(cfg, 1, 20, jnp.float32)
+    pos, bias = prefill_inputs(mask, 20)
+    logits, _ = qwen_forward(params, cfg, jnp.asarray(ids), pos, cache, 0, bias)
+    full = np.asarray(logits[0, -1])
+    masked = np.full_like(full, -np.inf)
+    masked[lo:hi] = full[lo:hi]
+    masked[EOS] = full[EOS]
+    assert int(toks[0]) == int(np.argmax(masked))
+
+
+def test_guided_sampled_decode_respects_constraint(hf_pair):
+    """Sampling (temperature/top-k/top-p) through the constrained path also
+    only emits allowed ids, across a batch with left-padding."""
+    _, cfg, params = hf_pair
+    rng = np.random.default_rng(13)
+    b, t = 3, 9
+    ids = rng.integers(10, VOCAB, size=(b, t)).astype(np.int32)
+    mask = np.ones((b, t), bool)
+    mask[2, :3] = False
+    ids[2, :3] = PAD
+    lo, hi = 16, 48
+    toks, lengths = generate(
+        params, cfg, jnp.asarray(ids), jnp.asarray(mask), jax.random.PRNGKey(5),
+        max_new_tokens=12, cache_len=t + 12, temperature=1.0, top_k=20, top_p=0.9,
+        eos_ids=(EOS,), pad_id=PAD, vocab_slice=(lo, hi), extra_ids=(EOS,),
+    )
+    toks, lengths = np.asarray(toks), np.asarray(lengths)
+    allowed = set(range(lo, hi)) | {EOS}
+    for i in range(b):
+        assert all(int(x) in allowed for x in toks[i, : lengths[i]])
+
+
+def test_decode_window_matches_bias_path(hf_pair):
+    """The index-compare decode mask (decode_window) must be numerically
+    identical to the materialized fp32 bias it replaced."""
+    _, cfg, params = hf_pair
+    rng = np.random.default_rng(14)
+    b, t, s = 2, 6, 16
+    ids = rng.integers(10, VOCAB, size=(b, t)).astype(np.int32)
+    mask = np.ones((b, t), bool)
+    mask[1, :2] = False
+    cache = init_kv_cache(cfg, b, s, jnp.float32)
+    pos, bias = prefill_inputs(jnp.asarray(mask), s)
+    _, cache = qwen_forward(params, cfg, jnp.asarray(ids), pos, cache, 0, bias)
+
+    start = jnp.asarray([0, 2], jnp.int32)
+    cache_pos = jnp.asarray(t, jnp.int32)
+    next_tok = jnp.asarray([[7], [9]], jnp.int32)
+    positions = jnp.asarray([[t], [t - 2]], jnp.int32)
+
+    # legacy bias path
+    k_idx = jnp.arange(s)[None, None, :]
+    legacy = jnp.where(
+        (k_idx >= start[:, None, None]) & (k_idx <= cache_pos), 0.0, -1e9
+    ).astype(jnp.float32)
+    logits_bias, _ = qwen_forward(params, cfg, next_tok, positions, cache, t, legacy)
+    logits_win, _ = qwen_forward(
+        params, cfg, next_tok, positions, cache, t, None,
+        decode_window=(start, cache_pos),
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_bias), np.asarray(logits_win), rtol=1e-6, atol=1e-6
+    )
