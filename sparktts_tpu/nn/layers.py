@@ -258,6 +258,11 @@ def init_ada_layer_norm(key, condition_dim: int, dim: int):
     scale = init_linear(k1, condition_dim, dim)
     shift = init_linear(k2, condition_dim, dim)
     scale["w"] = jnp.ones((condition_dim, dim))
+    # scale BIAS inits to 1 so a zero condition vector modulates as identity
+    # instead of zeroing the activation (the FSQ mid-code global token decodes
+    # to an exactly-zero d-vector, which would silence the whole waveform at
+    # random init; trained checkpoints overwrite this via the converter)
+    scale["b"] = jnp.ones((dim,))
     shift["w"] = jnp.zeros((condition_dim, dim))
     return {"scale": scale, "shift": shift}
 

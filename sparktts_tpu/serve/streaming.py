@@ -164,9 +164,12 @@ class StreamingSynthesizer:
                 global_token_ids = g[None, :token_num]
             return pipe.detokenize(global_token_ids, sem_ids[None, :])
 
-        overlap_samples = int(
-            self.cfg.audio_chunk_overlap_duration * pipe.sample_rate
-        )
+        # derive the sample overlap from the TOKEN overlap and the model's
+        # true token→sample ratio — computing it from wall-clock duration ×
+        # sample rate desynchronizes the two whenever cfg.frame_rate doesn't
+        # match the codec (the fade guard then silently emits duplicated
+        # seam audio)
+        overlap_samples = ov_tokens * pipe._wave_upsample
 
         # dispatch sizes: small first chunk (latency), large after (throughput);
         # fixed set keeps the XLA compile cache to two decode programs

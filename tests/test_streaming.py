@@ -74,3 +74,52 @@ def test_stream_produces_audio(pipe, prompt_wav):
     total = np.concatenate(chunks)
     assert np.isfinite(total).all()
     assert len(total) > 0
+
+
+def test_chunk_boundary_quality_vs_full_context_vocode(pipe, prompt_wav):
+    """VERDICT weak-7: the streaming path vocodes each chunk with only
+    `overlap` tokens of left context and hides the seam with a cross-fade.
+    Measure the boundary artifact: streamed audio vs one full-context vocode
+    of the SAME token sequence must stay within a small log-mel distance."""
+    from sparktts_tpu.bench.metrics import mel_distance
+    from sparktts_tpu.prompt import build_clone_prompt, extract_semantic_ids
+
+    from sparktts_tpu.io.audio import write_wav
+
+    scfg = StreamingConfig(
+        audio_chunk_duration=0.2,        # 10 tokens per chunk → several seams
+        max_audio_chunk_duration=0.4,
+        audio_chunk_size_scale_factor=2.0,
+        audio_chunk_overlap_duration=0.04,  # 2 tokens
+    )
+    # noise prompt: a pure tone can tokenize to the FSQ mid-code global token,
+    # whose code vector is exactly 0 — at random init that zeroes the whole
+    # waveform (zero AdaLN biases) and makes every distance vacuously 0
+    rng = np.random.default_rng(41)
+    noise = (0.3 * rng.standard_normal(16000)).astype(np.float32)
+    noise_path = prompt_wav.parent / "noise.wav"
+    write_wav(noise_path, noise, 16000)
+
+    syn = StreamingSynthesizer(pipe, scfg, steps_per_dispatch=8)
+    chunks = list(syn.stream("hello world", prompt_speech_path=noise_path, seed=3))
+    assert len(chunks) >= 3, "need multiple chunks to exercise seams"
+    streamed = np.concatenate(chunks)
+
+    # reproduce the identical token sequence offline (same prompt, same rng
+    # threading through prefill/decode), then vocode it in ONE call
+    tok = pipe.tokenizer
+    g, s = pipe.tokenize_audio(noise_path)
+    ids = build_clone_prompt(tok, "hello world", g, None, None)
+    gen = pipe.generate_tokens(ids, seed=3)
+    sem = extract_semantic_ids(tok, gen)
+    full = pipe.detokenize(g, sem[None, :])
+    assert np.abs(full).max() > 0, "degenerate (all-zero) vocode — test is vacuous"
+
+    # streamed output covers the same tokens end-to-end, sample-exact in
+    # length (no duplicated or dropped seam audio)
+    assert len(streamed) == len(full)
+    d = mel_distance(streamed, full, pipe.config.bicodec.mel_params)
+    # identical vocode would be 0; seams with 2 tokens of left context must
+    # stay small relative to typical inter-utterance distances (~1.0+).
+    # measured 0.035 at random init — 0.1 leaves margin without going vacuous
+    assert d < 0.1, f"chunk-boundary mel distance too high: {d}"
