@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Dataset-scale benchmark (role of the reference's 26-pair seed_tts run,
+reference client_grpc.py:608-820): a 20+ utterance manifest with varied
+prompt/target lengths through the continuous (inflight) batching server,
+offline at concurrency {1,2,4} and streaming at {1,2}, with avg/P50/P90/P99
+latency + RTF per mode.  Writes one JSON document with every summary.
+
+    python scripts/run_dataset_bench.py --out BENCH_DATASET.json
+    python scripts/run_dataset_bench.py --tiny --tasks 6   # CPU smoke
+"""
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from sparktts_tpu.utils.platform import apply_platform_env  # noqa: E402
+
+apply_platform_env()
+
+
+def make_tasks(n: int, max_new_choices, prompt_secs=(3, 6)):
+    """Synthetic manifest: seeded noise prompts in a few duration buckets and
+    per-task generation budgets — varied prompt AND target lengths, but a
+    bounded set of XLA shape buckets."""
+    import numpy as np
+
+    from sparktts_tpu.bench.harness import BenchTask
+
+    rng = np.random.default_rng(0)
+    sr = 16000
+    words = ("the quick brown fox jumps over the lazy dog and runs far away "
+             "while birds sing in the tall green trees near the river").split()
+    tasks = []
+    for i in range(n):
+        dur = prompt_secs[i % len(prompt_secs)]
+        wav = (0.2 * rng.standard_normal(dur * sr)).astype(np.float32)
+        n_words = 6 + (i * 7) % 18
+        text = " ".join(words[(i * 3 + j) % len(words)] for j in range(n_words))
+        tasks.append(
+            BenchTask(
+                text=text,
+                prompt_wav=wav,
+                max_new_tokens=max_new_choices[i % len(max_new_choices)],
+            )
+        )
+    return tasks
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model_dir", default=None)
+    parser.add_argument("--tasks", type=int, default=24)
+    parser.add_argument("--out", default="BENCH_DATASET.json")
+    parser.add_argument("--tiny", action="store_true", help="tiny CPU config")
+    parser.add_argument("--offline_conc", default="1,2,4")
+    parser.add_argument("--streaming_conc", default="1,2")
+    parser.add_argument("--max_slots", type=int, default=8)
+    parser.add_argument("--no_int8_lm", action="store_true")
+    parser.add_argument("--no_warmup", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+
+    try:  # persistent compile cache: repeat runs skip the compile phase
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+
+    from sparktts_tpu.bench.harness import run_continuous_benchmark
+    from sparktts_tpu.pipeline import SparkTTSPipeline
+
+    if args.tiny:
+        pipe = SparkTTSPipeline(max_new_tokens=32, prompt_bucket=32)
+        max_new_choices = (16, 24, 32)
+        prompt_secs = (1,)
+    else:
+        from sparktts_tpu.config import SparkTTSConfig
+
+        pipe = SparkTTSPipeline(
+            model_dir=args.model_dir,
+            config=None if args.model_dir else SparkTTSConfig(),
+            max_new_tokens=500,
+        )
+        max_new_choices = (200, 350, 500)
+        prompt_secs = (3, 6)
+        if not args.no_int8_lm:
+            from sparktts_tpu.lm.quant import quantize_qwen_int8
+
+            pipe.llm_params = jax.tree.map(
+                jnp.asarray, quantize_qwen_int8(pipe.llm_params)
+            )
+
+    tasks = make_tasks(args.tasks, max_new_choices, prompt_secs)
+    results = {"tasks": args.tasks, "backend": jax.default_backend(), "runs": []}
+
+    # warmup: populate every XLA program bucket so recorded numbers measure
+    # execution, not compilation
+    if not args.no_warmup:
+        t0 = time.time()
+        run_continuous_benchmark(
+            pipe, tasks[: max(3, len(max_new_choices) * len(prompt_secs))],
+            concurrency=2, streaming=False, max_slots=args.max_slots,
+        )
+        print(f"warmup done in {time.time() - t0:.1f}s", file=sys.stderr)
+
+    for conc in [int(c) for c in args.offline_conc.split(",") if c]:
+        stats = run_continuous_benchmark(
+            pipe, tasks, concurrency=conc, streaming=False, max_slots=args.max_slots
+        )
+        print(json.dumps(stats), file=sys.stderr)
+        results["runs"].append(stats)
+
+    for conc in [int(c) for c in args.streaming_conc.split(",") if c]:
+        stats = run_continuous_benchmark(
+            pipe, tasks, concurrency=conc, streaming=True, max_slots=args.max_slots
+        )
+        print(json.dumps(stats), file=sys.stderr)
+        results["runs"].append(stats)
+
+    out = json.dumps(results, indent=2)
+    Path(args.out).write_text(out + "\n")
+    print(out)
+
+
+if __name__ == "__main__":
+    main()

@@ -28,6 +28,7 @@ class BenchTask:
     gender: Optional[str] = None
     pitch: str = "moderate"
     speed: str = "moderate"
+    max_new_tokens: Optional[int] = None  # per-task target-length override
 
 
 def load_manifest(path: str | Path) -> List[BenchTask]:
@@ -183,6 +184,83 @@ def run_network_streaming_benchmark(
             "first_chunk_p90_ms": round(float(np.percentile(fc, 90)) * 1000, 2),
         },
     )
+
+
+def run_continuous_benchmark(
+    pipeline,
+    tasks: List[BenchTask],
+    concurrency: int = 1,
+    streaming: bool = False,
+    max_slots: int = 8,
+    steps_per_dispatch: int = 16,
+    max_new_tokens: Optional[int] = None,
+) -> Dict[str, Any]:
+    """Dataset benchmark through the continuous (inflight) batching server —
+    the closest analogue of the reference's Triton+TRT-LLM serving stack
+    (reference `client_grpc.py:517-607` offline / `:332-433` streaming task
+    semantics).  `concurrency` bounds how many requests are in flight at
+    once; with streaming=True, per-task first-chunk latency is recorded."""
+    from sparktts_tpu.serve.continuous_server import ContinuousTTSServer
+
+    async def run():
+        server = ContinuousTTSServer(
+            pipeline, max_slots=max_slots, steps_per_dispatch=steps_per_dispatch,
+            default_max_new_tokens=max_new_tokens,
+        )
+        await server.start()
+        latencies: List[float] = []
+        first_chunk: List[float] = []
+        totals = {"audio_s": 0.0}
+        sem = asyncio.Semaphore(concurrency)
+
+        async def one(task: BenchTask, seed: int):
+            async with sem:
+                t0 = time.perf_counter()
+                if streaming:
+                    got_first = False
+                    async for chunk in server.synthesize_streaming(
+                        task.text,
+                        prompt_wav=task.prompt_wav,
+                        prompt_text=task.prompt_text,
+                        gender=task.gender,
+                        pitch=task.pitch if task.gender else None,
+                        speed=task.speed if task.gender else None,
+                        max_new_tokens=task.max_new_tokens or max_new_tokens,
+                    ):
+                        if not got_first:
+                            first_chunk.append(time.perf_counter() - t0)
+                            got_first = True
+                        totals["audio_s"] += len(chunk) / pipeline.sample_rate
+                else:
+                    wav = await server.synthesize(
+                        task.text,
+                        prompt_wav=task.prompt_wav,
+                        prompt_text=task.prompt_text,
+                        gender=task.gender,
+                        pitch=task.pitch if task.gender else None,
+                        speed=task.speed if task.gender else None,
+                        max_new_tokens=task.max_new_tokens or max_new_tokens,
+                    )
+                    totals["audio_s"] += len(wav) / pipeline.sample_rate
+                latencies.append(time.perf_counter() - t0)
+
+        t0 = time.perf_counter()
+        await asyncio.gather(*(one(t, i) for i, t in enumerate(tasks)))
+        wall = time.perf_counter() - t0
+        await server.stop()
+        extra: Dict[str, Any] = {
+            "mode": "continuous_streaming" if streaming else "continuous_offline",
+            "concurrency": concurrency,
+            "server_stats": dict(server.stats),
+        }
+        if streaming and first_chunk:
+            fc = np.asarray(first_chunk)
+            extra["first_chunk_p50_ms"] = round(float(np.percentile(fc, 50)) * 1000, 2)
+            extra["first_chunk_p90_ms"] = round(float(np.percentile(fc, 90)) * 1000, 2)
+            extra["first_chunk_avg_ms"] = round(float(fc.mean()) * 1000, 2)
+        return _summarize(latencies, totals["audio_s"], wall, extra)
+
+    return asyncio.new_event_loop().run_until_complete(run())
 
 
 def run_streaming_benchmark(pipeline, tasks: List[BenchTask], streaming_cfg=None) -> Dict[str, Any]:

@@ -33,3 +33,23 @@ def test_streaming_benchmark(pipe):
     stats = run_streaming_benchmark(pipe, tasks, scfg)
     assert stats["num_tasks"] == 1
     assert stats["first_chunk_p50_ms"] >= 0
+
+
+def test_continuous_benchmark_offline_and_streaming(pipe):
+    from sparktts_tpu.bench.harness import run_continuous_benchmark
+
+    tasks = [
+        BenchTask(text=f"text {i}", prompt_wav=_wav(), max_new_tokens=8 + 4 * (i % 2))
+        for i in range(3)
+    ]
+    stats = run_continuous_benchmark(pipe, tasks, concurrency=2, max_slots=4)
+    assert stats["mode"] == "continuous_offline"
+    assert stats["num_tasks"] == 3
+    assert stats["rtf"] > 0 and stats["total_audio_s"] > 0
+
+    stats_s = run_continuous_benchmark(
+        pipe, tasks, concurrency=2, streaming=True, max_slots=4
+    )
+    assert stats_s["mode"] == "continuous_streaming"
+    assert stats_s["num_tasks"] == 3
+    assert stats_s["first_chunk_p50_ms"] > 0
