@@ -82,7 +82,12 @@ def main():
     mask = jnp.ones((1, PROMPT_LEN), bool)
     cache_len = PROMPT_LEN + NEW_TOKENS
 
-    def run_llm(seed):
+    # guided decoding (the pipeline's production default): sampling restricted
+    # to the 8192-token semantic range + EOS, exactly the real checkpoint's
+    # layout (semantic base 151665, eos 151645)
+    SEM_BASE, N_SEM, EOS = 151665, 8192, 151645
+
+    def run_llm(seed, guided=True):
         tokens, lengths = generate(
             llm_params,
             cfg.llm,
@@ -96,6 +101,8 @@ def main():
             top_p=0.95,
             eos_ids=(),          # fixed budget: never stop early
             pad_id=0,
+            vocab_slice=(SEM_BASE, SEM_BASE + N_SEM) if guided else None,
+            extra_ids=(EOS,) if guided else (),
         )
         # force a host transfer: on this platform block_until_ready alone
         # does not guarantee execution completed
@@ -135,6 +142,17 @@ def main():
         t0 = time.perf_counter()
         run_vocoder()
         voc_times.append(time.perf_counter() - t0)
+
+    # reference point: full-vocab sampling (what the reference's stack does;
+    # guided decoding is this framework's production default)
+    run_llm(0, guided=False)  # compile
+    t0 = time.perf_counter()
+    run_llm(50, guided=False)
+    t_full = time.perf_counter() - t0
+    print(
+        f"full-vocab llm {t_full * 1000:.1f} ms ({NEW_TOKENS / t_full:.0f} tok/s)",
+        file=sys.stderr,
+    )
 
     t_llm = min(llm_times)
     t_voc = min(voc_times)
