@@ -110,6 +110,14 @@ def main():
         print(f"warmup done in {time.time() - t0:.1f}s", file=sys.stderr)
 
     for conc in [int(c) for c in args.offline_conc.split(",") if c]:
+        # aligned window-batching server: one whole-generation XLA program
+        # per batch — the strongest offline configuration (bench.py's path)
+        from sparktts_tpu.bench.harness import run_offline_benchmark
+
+        stats = run_offline_benchmark(pipe, tasks, concurrency=conc)
+        print(json.dumps(stats), file=sys.stderr)
+        results["runs"].append(stats)
+
         stats = run_continuous_benchmark(
             pipe, tasks, concurrency=conc, streaming=False, max_slots=args.max_slots
         )

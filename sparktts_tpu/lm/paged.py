@@ -1,0 +1,468 @@
+"""Paged-KV continuous batching engine.
+
+TPU-native replacement for TensorRT-LLM's paged KV cache + inflight fused
+batching (reference `runtime/triton_trtllm/run.sh:65` builds the engine with
+paged KV; SURVEY.md §2.2 row 1).  The dense engine (`lm/continuous.py`)
+preallocates max_slots × cache_len of KV per layer — every admitted request
+reserves its worst case.  Here K/V live in a shared page pool:
+
+  * pools: (L, n_kv, n_pages, page_size, hd), page 0 reserved as a trash page
+    (inactive slots scatter their dead writes there)
+  * each slot holds a page table row (pages_per_slot ids); pages are
+    allocated lazily as decode crosses page boundaries and returned to the
+    free list the moment a request finishes
+  * decode attention runs through the Pallas paged kernel
+    (`kernels/paged_attention.py`): the page table is scalar-prefetched and
+    drives the per-page DMA — no gather of the pool is ever materialized
+
+Total KV memory = pages-in-use × page_size, so slot count scales with actual
+load instead of worst-case budget: at cache_len 3600 / page 64, a dense slot
+costs 56 pages while a typical 500-token request peaks at 9.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sparktts_tpu.config import QwenConfig
+from sparktts_tpu.kernels.paged_attention import paged_decode_attention
+from sparktts_tpu.lm.generate import _expand_constrained
+from sparktts_tpu.lm.qwen import (
+    apply_rope,
+    embed_lookup,
+    head_logits,
+    init_kv_cache,
+    lm_logits,
+    qwen_forward,
+)
+from sparktts_tpu.lm.sample import greedy_token, sample_token
+from sparktts_tpu.nn.layers import linear_apply, rms_norm_apply
+
+
+class PagedSlotState(NamedTuple):
+    """Device state: shared page pools + per-slot vectors (B = max_slots)."""
+
+    k_pages: jax.Array     # (L, n_kv, n_pages, page_size, hd)
+    v_pages: jax.Array     # (L, n_kv, n_pages, page_size, hd)
+    page_table: jax.Array  # (B, pages_per_slot) int32
+    cur_token: jax.Array   # (B,) next token to feed
+    write_pos: jax.Array   # (B,) token index the next K/V lands at
+    active: jax.Array      # (B,) bool
+    done: jax.Array        # (B,) bool
+    rng: jax.Array
+
+
+def init_paged_slots(
+    cfg: QwenConfig,
+    max_slots: int,
+    n_pages: int,
+    page_size: int,
+    pages_per_slot: int,
+    rng,
+    cache_dtype=jnp.bfloat16,
+) -> PagedSlotState:
+    pool_shape = (
+        cfg.num_hidden_layers,
+        cfg.num_key_value_heads,
+        n_pages,
+        page_size,
+        cfg.head_dim,
+    )
+    return PagedSlotState(
+        k_pages=jnp.zeros(pool_shape, cache_dtype),
+        v_pages=jnp.zeros(pool_shape, cache_dtype),
+        page_table=jnp.zeros((max_slots, pages_per_slot), jnp.int32),
+        cur_token=jnp.zeros((max_slots,), jnp.int32),
+        write_pos=jnp.zeros((max_slots,), jnp.int32),
+        active=jnp.zeros((max_slots,), bool),
+        done=jnp.ones((max_slots,), bool),
+        rng=rng,
+    )
+
+
+def _write_token_kv(pages: jax.Array, new: jax.Array, layer_idx, page_idx, offset):
+    """Scatter one token's K or V into the stacked pool.
+
+    pages: (L, n_kv, n_pages, P, hd); new: (B, n_kv, hd);
+    page_idx/offset: (B,).  Inactive slots must point at the trash page.
+
+    NB: the advanced indices (dims 0, 2, 3) are separated by the head slice,
+    so numpy semantics move the broadcasted (B,) index dims to the FRONT —
+    the update shape is (B, n_kv, hd) exactly as produced."""
+    return pages.at[layer_idx, :, page_idx, offset].set(new.astype(pages.dtype))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "n_steps", "top_k", "eos_ids", "pad_id", "greedy",
+        "vocab_slice", "extra_ids", "interpret",
+    ),
+    donate_argnums=(1,),
+)
+def paged_decode_steps(
+    params,
+    slots: PagedSlotState,
+    cfg: QwenConfig,
+    n_steps: int,
+    temperature: float = 0.8,
+    top_k: int = 50,
+    top_p: float = 0.95,
+    eos_ids: Tuple[int, ...] = (),
+    pad_id: int = 0,
+    greedy: bool = False,
+    vocab_slice: Tuple[int, int] | None = None,
+    extra_ids: Tuple[int, ...] = (),
+    interpret: bool = False,
+) -> Tuple[PagedSlotState, jax.Array, jax.Array]:
+    """Advance every active slot n_steps tokens over the paged pools.
+    Returns (slots, tokens (B, n), valid (B, n)) — same contract as the dense
+    engine's decode_steps (`lm/continuous.py`)."""
+    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    page_size = slots.k_pages.shape[3]
+
+    def step(s: PagedSlotState, _):
+        live = s.active & ~s.done
+        emitted = s.cur_token
+
+        # page slot for this token; dead slots scatter into trash page 0
+        pidx = jnp.take_along_axis(
+            s.page_table, (s.write_pos // page_size)[:, None], axis=1
+        )[:, 0]
+        pidx = jnp.where(live, pidx, 0)
+        poff = s.write_pos % page_size
+
+        x = embed_lookup(params, s.cur_token[:, None])  # (B, 1, H)
+        positions = s.write_pos[:, None]
+
+        def layer_step(carry, layer):
+            x, kp, vp, li = carry
+            residual = x
+            y = rms_norm_apply(layer["ln1"], x, eps=cfg.rms_norm_eps)
+
+            b, t, _ = y.shape
+            qkv = linear_apply(layer["qkv"], y)
+            q_dim, kv_dim = nh * hd, nkv * hd
+            q = qkv[..., :q_dim].reshape(b, t, nh, hd)
+            k = qkv[..., q_dim : q_dim + kv_dim].reshape(b, t, nkv, hd)
+            v = qkv[..., q_dim + kv_dim :].reshape(b, t, nkv, hd)
+            q = apply_rope(q, positions, cfg)
+            k = apply_rope(k, positions, cfg)
+
+            kp = _write_token_kv(kp, k[:, 0], li, pidx, poff)
+            vp = _write_token_kv(vp, v[:, 0], li, pidx, poff)
+
+            attn = paged_decode_attention(
+                q[:, 0],                      # (B, Hq, hd)
+                kp,
+                vp,
+                s.page_table,
+                s.write_pos + 1,              # keys [0, write_pos] valid
+                layer=li,
+                sm_scale=hd**-0.5,
+                interpret=interpret,
+            )
+            attn = linear_apply(layer["o"], attn.reshape(b, 1, nh * hd).astype(x.dtype))
+            x = residual + attn
+            y = rms_norm_apply(layer["ln2"], x, eps=cfg.rms_norm_eps)
+            gu = linear_apply(layer["gateup"], y)
+            gate, up = jnp.split(gu, 2, axis=-1)
+            x = x + linear_apply(layer["down"], jax.nn.silu(gate) * up)
+            return (x, kp, vp, li + 1), None
+
+        (x, kp, vp, _), _ = jax.lax.scan(
+            layer_step,
+            (x, s.k_pages, s.v_pages, jnp.zeros((), jnp.int32)),
+            params["layers"],
+        )
+
+        x = rms_norm_apply(params["final_ln"], x, eps=cfg.rms_norm_eps)
+        if cfg.tie_word_embeddings:
+            logits = lm_logits(params, x, vocab_slice=vocab_slice, extra_ids=extra_ids)
+        else:
+            logits = head_logits(params, x, vocab_slice=vocab_slice, extra_ids=extra_ids)
+
+        rng, sub = jax.random.split(s.rng)
+        if greedy:
+            nxt = greedy_token(logits[:, -1])
+        else:
+            nxt = sample_token(sub, logits[:, -1], temperature, top_k, top_p)
+        nxt = _expand_constrained(nxt, vocab_slice, extra_ids)
+
+        is_eos = jnp.zeros_like(s.done)
+        for e in eos_ids:
+            is_eos = is_eos | (s.cur_token == e)
+        done = s.done | (is_eos & s.active)
+        nxt = jnp.where(live & ~done, nxt, pad_id)
+
+        new_s = PagedSlotState(
+            k_pages=kp,
+            v_pages=vp,
+            page_table=s.page_table,
+            cur_token=nxt,
+            write_pos=jnp.where(live, s.write_pos + 1, s.write_pos),
+            active=s.active,
+            done=done,
+            rng=rng,
+        )
+        return new_s, (emitted, live)
+
+    slots, (toks, valid) = jax.lax.scan(step, slots, None, length=n_steps)
+    return slots, toks.T, valid.T
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "top_k", "greedy", "vocab_slice", "extra_ids"),
+    donate_argnums=(1,),
+)
+def paged_admit_prefill(
+    params,
+    slots: PagedSlotState,
+    cfg: QwenConfig,
+    slot: jax.Array,        # scalar int32
+    input_ids: jax.Array,   # (1, t_pad) right-padded, t_pad % page_size == 0
+    prompt_len: jax.Array,  # scalar int32
+    page_ids: jax.Array,    # (t_pad // page_size,) freshly allocated pages
+    table_row: jax.Array,   # (pages_per_slot,) the slot's full new table row
+    temperature: float = 0.8,
+    top_k: int = 50,
+    top_p: float = 0.95,
+    greedy: bool = False,
+    vocab_slice: Tuple[int, int] | None = None,
+    extra_ids: Tuple[int, ...] = (),
+) -> PagedSlotState:
+    """Prefill one prompt densely, scatter its K/V into the slot's pages, and
+    install the slot (same admission contract as the dense engine's
+    admit_prefill, `lm/continuous.py`)."""
+    t_pad = input_ids.shape[1]
+    page_size = slots.k_pages.shape[3]
+    mask = jnp.arange(t_pad)[None, :] < prompt_len
+    tmp_cache = init_kv_cache(cfg, 1, t_pad, slots.k_pages.dtype)
+    positions = jnp.minimum(jnp.arange(t_pad)[None, :], prompt_len - 1)
+    q_idx = jnp.arange(t_pad)[None, :, None]
+    k_idx = jnp.arange(t_pad)[None, None, :]
+    bias = jnp.where((k_idx <= q_idx) & mask[:, None, :], 0.0, -1e9).astype(jnp.float32)
+    logits, tmp_cache = qwen_forward(
+        params, cfg, input_ids, positions, tmp_cache, 0, bias,
+        vocab_slice=vocab_slice, extra_ids=extra_ids,
+    )
+
+    last = jnp.take_along_axis(logits, (prompt_len - 1).reshape(1, 1, 1), axis=1)
+    rng, sub = jax.random.split(slots.rng)
+    if greedy:
+        first_tok = greedy_token(last[:, 0])[0]
+    else:
+        first_tok = sample_token(sub, last[:, 0], temperature, top_k, top_p)[0]
+    first_tok = _expand_constrained(first_tok, vocab_slice, extra_ids)
+
+    # (L, 1, t_pad, nkv, hd) → (L, nkv, n_prompt_pages, page_size, hd)
+    def to_pages(c):
+        c = c[:, 0].transpose(0, 2, 1, 3)  # (L, nkv, t_pad, hd)
+        return c.reshape(
+            cfg.num_hidden_layers, cfg.num_key_value_heads,
+            t_pad // page_size, page_size, cfg.head_dim,
+        )
+
+    k_pages = slots.k_pages.at[:, :, page_ids].set(to_pages(tmp_cache.k))
+    v_pages = slots.v_pages.at[:, :, page_ids].set(to_pages(tmp_cache.v))
+
+    return PagedSlotState(
+        k_pages=k_pages,
+        v_pages=v_pages,
+        page_table=slots.page_table.at[slot].set(table_row),
+        cur_token=slots.cur_token.at[slot].set(first_tok),
+        write_pos=slots.write_pos.at[slot].set(prompt_len),
+        active=slots.active.at[slot].set(True),
+        done=slots.done.at[slot].set(False),
+        rng=rng,
+    )
+
+
+class PagedContinuousEngine:
+    """Host-side page allocator + slot manager (same public API as
+    `ContinuousBatchingEngine`: submit / step / run_until_done / finished)."""
+
+    def __init__(
+        self,
+        params,
+        cfg: QwenConfig,
+        max_slots: int = 8,
+        n_pages: int = 256,
+        page_size: int = 64,
+        pages_per_slot: int = 64,
+        prompt_pad: int = 64,
+        eos_ids: Tuple[int, ...] = (),
+        pad_id: int = 0,
+        temperature: float = 0.8,
+        top_k: int = 50,
+        top_p: float = 0.95,
+        greedy: bool = False,
+        seed: int = 0,
+        cache_dtype=jnp.bfloat16,
+        vocab_slice: Tuple[int, int] | None = None,
+        extra_ids: Tuple[int, ...] = (),
+    ):
+        assert prompt_pad % page_size == 0, "prompt bucket must be page-aligned"
+        self.params = params
+        self.cfg = cfg
+        self.max_slots = max_slots
+        self.page_size = page_size
+        self.pages_per_slot = pages_per_slot
+        self.prompt_pad = prompt_pad
+        self.eos_ids = tuple(eos_ids)
+        self.pad_id = pad_id
+        self.sampling = (temperature, top_k, top_p)
+        self.greedy = greedy
+        self.vocab_slice = vocab_slice
+        self.extra_ids = tuple(extra_ids)
+        self.interpret = jax.default_backend() == "cpu"
+        self.slots = init_paged_slots(
+            cfg, max_slots, n_pages, page_size, pages_per_slot,
+            jax.random.PRNGKey(seed), cache_dtype,
+        )
+        # page 0 is the trash page — never allocated
+        self.free_pages: List[int] = list(range(1, n_pages))
+        self.slot_pages: List[List[int]] = [[] for _ in range(max_slots)]
+        self.tokens_seen = np.zeros(max_slots, np.int64)  # prompt + decoded
+        self.owner: List[Optional[int]] = [None] * max_slots
+        self.budget = np.zeros(max_slots, np.int64)
+        self.buffers: Dict[int, List[int]] = {}
+        self.finished: Dict[int, np.ndarray] = {}
+        self._next_req = 0
+
+    # ------------------------------------------------------------------
+
+    def free_slots(self) -> int:
+        return sum(1 for o in self.owner if o is None)
+
+    def pages_in_use(self) -> int:
+        return sum(len(p) for p in self.slot_pages)
+
+    def _alloc(self, n: int) -> List[int]:
+        if len(self.free_pages) < n:
+            raise RuntimeError(
+                f"page pool exhausted: need {n}, free {len(self.free_pages)}"
+            )
+        got, self.free_pages = self.free_pages[:n], self.free_pages[n:]
+        return got
+
+    def _table_row(self, slot: int) -> np.ndarray:
+        row = np.zeros(self.pages_per_slot, np.int32)
+        pages = self.slot_pages[slot]
+        row[: len(pages)] = pages
+        return row
+
+    def submit(self, prompt_ids, max_new_tokens: int = 512) -> int:
+        slot = next((i for i, o in enumerate(self.owner) if o is None), None)
+        if slot is None:
+            raise RuntimeError("no free slot")
+        n = len(prompt_ids)
+        t_pad = ((n + self.prompt_pad - 1) // self.prompt_pad) * self.prompt_pad
+        total_pages = (t_pad + max_new_tokens + self.page_size - 1) // self.page_size
+        assert total_pages <= self.pages_per_slot, "prompt+budget exceeds page table"
+        self.slot_pages[slot] = self._alloc(t_pad // self.page_size)
+        ids = np.full((1, t_pad), self.pad_id, np.int32)
+        ids[0, :n] = prompt_ids
+        temperature, top_k, top_p = self.sampling
+        self.slots = paged_admit_prefill(
+            self.params,
+            self.slots,
+            self.cfg,
+            jnp.asarray(slot, jnp.int32),
+            jnp.asarray(ids),
+            jnp.asarray(n, jnp.int32),
+            jnp.asarray(self.slot_pages[slot], jnp.int32),
+            jnp.asarray(self._table_row(slot)),
+            temperature,
+            top_k,
+            top_p,
+            self.greedy,
+            self.vocab_slice,
+            self.extra_ids,
+        )
+        req_id = self._next_req
+        self._next_req += 1
+        self.owner[slot] = req_id
+        self.budget[slot] = max_new_tokens
+        self.tokens_seen[slot] = n
+        self.buffers[req_id] = []
+        return req_id
+
+    def _ensure_pages(self, n_steps: int):
+        """Grow page tables so every active slot can absorb n_steps tokens."""
+        table_dirty = False
+        for slot, req in enumerate(self.owner):
+            if req is None:
+                continue
+            need = min(
+                -(-(int(self.tokens_seen[slot]) + n_steps) // self.page_size),
+                self.pages_per_slot,
+            )
+            have = len(self.slot_pages[slot])
+            if need > have:
+                self.slot_pages[slot].extend(self._alloc(need - have))
+                table_dirty = True
+        if table_dirty:
+            table = np.stack([self._table_row(s) for s in range(self.max_slots)])
+            self.slots = self.slots._replace(page_table=jnp.asarray(table))
+
+    def _release(self, slot: int):
+        self.free_pages.extend(self.slot_pages[slot])
+        self.slot_pages[slot] = []
+        self.tokens_seen[slot] = 0
+        self.slots = self.slots._replace(
+            page_table=self.slots.page_table.at[slot].set(
+                jnp.zeros(self.pages_per_slot, jnp.int32)
+            ),
+            active=self.slots.active.at[slot].set(False),
+            done=self.slots.done.at[slot].set(True),
+        )
+
+    def step(self, n_steps: int = 16) -> Dict[int, np.ndarray]:
+        if all(o is None for o in self.owner):
+            return {}
+        self._ensure_pages(n_steps)
+        temperature, top_k, top_p = self.sampling
+        self.slots, toks, valid = paged_decode_steps(
+            self.params,
+            self.slots,
+            self.cfg,
+            n_steps,
+            temperature,
+            top_k,
+            top_p,
+            self.eos_ids,
+            self.pad_id,
+            self.greedy,
+            self.vocab_slice,
+            self.extra_ids,
+            self.interpret,
+        )
+        toks, valid, done = jax.device_get((toks, valid, self.slots.done))
+        out: Dict[int, np.ndarray] = {}
+        for slot, req in enumerate(self.owner):
+            if req is None:
+                continue
+            new = toks[slot][valid[slot]]
+            if new.size:
+                self.buffers[req].extend(new.tolist())
+                out[req] = new
+            self.tokens_seen[slot] += int(valid[slot].sum())
+            self.budget[slot] -= n_steps
+            if done[slot] or self.budget[slot] <= 0:
+                self.finished[req] = np.asarray(self.buffers.pop(req), np.int32)
+                self.owner[slot] = None
+                self._release(slot)
+        return out
+
+    def run_until_done(self, n_steps: int = 16, max_iters: int = 10_000) -> None:
+        for _ in range(max_iters):
+            if all(o is None for o in self.owner):
+                return
+            self.step(n_steps)

@@ -60,9 +60,10 @@ class ContinuousTTSServer:
         cache_len: Optional[int] = None,
         steps_per_dispatch: int = 16,
         default_max_new_tokens: Optional[int] = None,
+        paged: bool = False,
+        page_size: int = 64,
+        n_pages: Optional[int] = None,
     ):
-        from sparktts_tpu.lm.continuous import ContinuousBatchingEngine
-
         self.pipe = pipeline
         self.steps = steps_per_dispatch
         self.default_max_new = default_max_new_tokens or pipeline.max_new_tokens
@@ -71,11 +72,7 @@ class ContinuousTTSServer:
         # superset constraint (semantic + global ranges + control markers +
         # EOS) — still <8% of the full vocab
         vocab_slice, extra_ids = pipeline.guided_constraint("control")
-        self.engine = ContinuousBatchingEngine(
-            pipeline.llm_params,
-            pipeline.config.llm,
-            max_slots=max_slots,
-            cache_len=cache_len,
+        common = dict(
             prompt_pad=pipeline.prompt_bucket,
             eos_ids=tuple(pipeline.tokenizer.eos_ids),
             pad_id=pipeline.tokenizer.pad_id,
@@ -83,6 +80,34 @@ class ContinuousTTSServer:
             vocab_slice=vocab_slice,
             extra_ids=extra_ids,
         )
+        if paged:
+            from sparktts_tpu.lm.paged import PagedContinuousEngine
+
+            if pipeline.prompt_bucket % page_size != 0:
+                page_size = pipeline.prompt_bucket  # keep admission page-aligned
+            pages_per_slot = -(-cache_len // page_size)
+            # default pool: half the dense worst case — the paged engine's
+            # point is that requests only hold ceil(written/page) pages
+            n_pages = n_pages or (max_slots * pages_per_slot // 2 + 1)
+            self.engine = PagedContinuousEngine(
+                pipeline.llm_params,
+                pipeline.config.llm,
+                max_slots=max_slots,
+                n_pages=n_pages,
+                page_size=page_size,
+                pages_per_slot=pages_per_slot,
+                **common,
+            )
+        else:
+            from sparktts_tpu.lm.continuous import ContinuousBatchingEngine
+
+            self.engine = ContinuousBatchingEngine(
+                pipeline.llm_params,
+                pipeline.config.llm,
+                max_slots=max_slots,
+                cache_len=cache_len,
+                **common,
+            )
         self.waiting: asyncio.Queue = asyncio.Queue()
         self.inflight: Dict[int, _Pending] = {}
         self._task: Optional[asyncio.Task] = None

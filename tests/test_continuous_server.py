@@ -109,3 +109,27 @@ def test_failure_containment(pipe):
     bad_exc, wav = asyncio.new_event_loop().run_until_complete(run())
     # the bad request either errored or synthesized garbage; the good one is fine
     assert np.isfinite(wav).all()
+
+
+def test_paged_server_matches_dense(pipe):
+    """The server on the paged engine must produce the same waveforms as the
+    dense engine for identical requests (greedy engines aren't exposed here,
+    but the seeded sampling chain is shared, so outputs are deterministic)."""
+
+    async def run(paged):
+        server = ContinuousTTSServer(
+            pipe, max_slots=4, steps_per_dispatch=6, paged=paged
+        )
+        await server.start()
+        wavs = await asyncio.gather(
+            server.synthesize("paged check one", prompt_wav=_wav(250)),
+            server.synthesize("paged check two", prompt_wav=_wav(350)),
+        )
+        await server.stop()
+        return wavs
+
+    dense = asyncio.new_event_loop().run_until_complete(run(False))
+    paged = asyncio.new_event_loop().run_until_complete(run(True))
+    assert len(paged) == 2
+    for a, b in zip(dense, paged):
+        np.testing.assert_array_equal(a, b)
