@@ -37,7 +37,10 @@ def make_tasks(n: int, max_new_choices, prompt_secs=(3, 6)):
     for i in range(n):
         dur = prompt_secs[i % len(prompt_secs)]
         wav = (0.2 * rng.standard_normal(dur * sr)).astype(np.float32)
-        n_words = 6 + (i * 7) % 18
+        # short enough that every prompt lands in ONE t_pad bucket — batch
+        # composition is timing-dependent, so extra buckets mean fresh
+        # compiles landing inside timed runs
+        n_words = 4 + (i * 3) % 8
         text = " ".join(words[(i * 3 + j) % len(words)] for j in range(n_words))
         tasks.append(
             BenchTask(
@@ -71,6 +74,7 @@ def main():
         pass
 
     import jax.numpy as jnp
+    import numpy as np
 
     from sparktts_tpu.bench.harness import run_continuous_benchmark
     from sparktts_tpu.pipeline import SparkTTSPipeline
@@ -96,20 +100,42 @@ def main():
                 jnp.asarray, quantize_qwen_int8(pipe.llm_params)
             )
 
+    # one vocoder program per budget regardless of where EOS lands — vocode
+    # lengths are sampling-dependent, so fine buckets mean nondeterministic
+    # compiles inside timed runs
+    pipe.vocode_bucket = max(max_new_choices)
+
     tasks = make_tasks(args.tasks, max_new_choices, prompt_secs)
     results = {"tasks": args.tasks, "backend": jax.default_backend(), "runs": []}
 
+    offline_concs = [int(c) for c in args.offline_conc.split(",") if c]
+    streaming_concs = [int(c) for c in args.streaming_conc.split(",") if c]
+
     # warmup: populate every XLA program bucket so recorded numbers measure
-    # execution, not compilation
+    # execution, not compilation.  The aligned path's batch composition is
+    # timing-dependent, so warm generate/vocode for EVERY batch size up to
+    # the max concurrency x every budget deterministically.
     if not args.no_warmup:
         t0 = time.time()
         run_continuous_benchmark(
             pipe, tasks[: max(3, len(max_new_choices) * len(prompt_secs))],
             concurrency=2, streaming=False, max_slots=args.max_slots,
         )
+        prompt_ids = [
+            pipe.tokenizer.encode(t.text)[: pipe.prompt_bucket - 40] for t in tasks
+        ]
+        for b in range(1, max(offline_concs, default=1) + 1):
+            for max_new in max_new_choices:
+                outs = pipe.generate_tokens_batch(
+                    prompt_ids[:b], max_new_tokens=max_new, seed=0
+                )
+                pipe.detokenize_batch(
+                    np.zeros((b, pipe.config.bicodec.speaker_encoder.token_num), np.int32),
+                    [np.zeros(max_new, np.int32)] * b,
+                )
         print(f"warmup done in {time.time() - t0:.1f}s", file=sys.stderr)
 
-    for conc in [int(c) for c in args.offline_conc.split(",") if c]:
+    for conc in offline_concs:
         # aligned window-batching server: one whole-generation XLA program
         # per batch — the strongest offline configuration (bench.py's path)
         from sparktts_tpu.bench.harness import run_offline_benchmark
@@ -124,7 +150,7 @@ def main():
         print(json.dumps(stats), file=sys.stderr)
         results["runs"].append(stats)
 
-    for conc in [int(c) for c in args.streaming_conc.split(",") if c]:
+    for conc in streaming_concs:
         stats = run_continuous_benchmark(
             pipe, tasks, concurrency=conc, streaming=True, max_slots=args.max_slots
         )

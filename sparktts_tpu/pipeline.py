@@ -91,6 +91,10 @@ class SparkTTSPipeline:
         self.wav_bucket = int(wav_bucket_s * self.sample_rate)
         self.max_new_tokens = max_new_tokens or self.config.sampling.max_new_tokens
         self.lm_dtype = lm_dtype
+        # vocoder shape-bucket granularity in semantic tokens: small = less
+        # padding compute, large = fewer compiled programs (benchmarks pin
+        # this to the full budget so every request shares one program)
+        self.vocode_bucket = 50
         if use_flash is None:  # auto: Pallas prefill on real accelerators only
             use_flash = jax.default_backend() != "cpu"
         self.use_flash = use_flash  # Pallas flash-attention prefill
@@ -239,7 +243,7 @@ class SparkTTSPipeline:
         semantic_tokens = np.asarray(semantic_tokens, dtype=np.int32)
         global_tokens = np.asarray(global_tokens, dtype=np.int32).reshape(1, -1)
         t_true = semantic_tokens.shape[1]
-        t_pad = _round_up(max(t_true, 1), 50)
+        t_pad = _round_up(max(t_true, 1), self.vocode_bucket)
         # edge-replicate pad: avoids a spectral discontinuity at the crop point
         padded = np.pad(semantic_tokens, ((0, 0), (0, t_pad - t_true)), mode="edge")
         fn = self._detokenize_fn(t_pad)
@@ -502,7 +506,7 @@ class SparkTTSPipeline:
         longest bucket, one vocoder program, crop per sequence."""
         b = len(semantic_list)
         t_max = max(s.shape[-1] for s in semantic_list)
-        t_pad = _round_up(max(t_max, 1), 50)
+        t_pad = _round_up(max(t_max, 1), self.vocode_bucket)
         padded = np.zeros((b, t_pad), np.int32)
         for i, s in enumerate(semantic_list):
             s = np.asarray(s, np.int32).reshape(-1)
