@@ -1,0 +1,147 @@
+"""Speculative decoding: the greedy invariant — output must be bit-identical
+to vanilla greedy `generate` of the target, for ANY draft (perfect draft,
+random draft, early-exit self-speculative draft)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparktts_tpu.config import QwenConfig
+from sparktts_tpu.lm.generate import generate
+from sparktts_tpu.lm.qwen import init_qwen
+from sparktts_tpu.lm.speculative import (
+    draft_config,
+    draft_from_layers,
+    speculative_generate_greedy,
+)
+
+VOCAB = 96
+EOS = 5
+PAD = 3
+
+CFG = QwenConfig(
+    vocab_size=VOCAB,
+    hidden_size=64,
+    intermediate_size=128,
+    num_hidden_layers=4,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    head_dim=16,
+    eos_token_id=EOS,
+    pad_token_id=PAD,
+)
+
+
+@pytest.fixture(scope="module")
+def target():
+    return init_qwen(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+
+
+def _vanilla(params, ids, mask, max_new, eos_ids=()):
+    toks, lengths = generate(
+        params, CFG, jnp.asarray(ids), jnp.asarray(mask), jax.random.PRNGKey(0),
+        max_new_tokens=max_new, cache_len=ids.shape[1] + max_new + 8,
+        eos_ids=eos_ids, pad_id=PAD, greedy=True,
+    )
+    return np.asarray(toks), np.asarray(lengths)
+
+
+def _spec(params, draft, dcfg, ids, mask, max_new, k=4, eos_ids=(), **kw):
+    toks, lengths, acc = speculative_generate_greedy(
+        params, draft, CFG, dcfg, jnp.asarray(ids), jnp.asarray(mask),
+        max_new_tokens=max_new, cache_len=ids.shape[1] + max_new + 8, k=k,
+        eos_ids=eos_ids, pad_id=PAD, **kw,
+    )
+    return np.asarray(toks), np.asarray(lengths), int(acc)
+
+
+def test_perfect_draft_accepts_everything(target):
+    rng = np.random.default_rng(0)
+    ids = rng.integers(10, VOCAB, size=(1, 8)).astype(np.int32)
+    mask = np.ones((1, 8), bool)
+    ref, ref_len = _vanilla(target, ids, mask, 16)
+    got, got_len, acc = _spec(target, target, CFG, ids, mask, 16, k=4)
+    np.testing.assert_array_equal(ref, got)
+    np.testing.assert_array_equal(ref_len, got_len)
+    # draft == target: every proposal is accepted (k-1 per round)
+    assert acc >= 16 // 4 * 3
+
+
+def test_random_draft_still_exact(target):
+    """The invariant: a draft with completely different weights changes only
+    the speed, never the output."""
+    draft = init_qwen(jax.random.PRNGKey(42), CFG, dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    ids = rng.integers(10, VOCAB, size=(1, 8)).astype(np.int32)
+    mask = np.ones((1, 8), bool)
+    ref, ref_len = _vanilla(target, ids, mask, 16)
+    got, got_len, acc = _spec(target, draft, CFG, ids, mask, 16, k=4)
+    np.testing.assert_array_equal(ref, got)
+    np.testing.assert_array_equal(ref_len, got_len)
+
+
+def test_self_speculative_early_exit_draft(target):
+    draft = draft_from_layers(target, 2)
+    dcfg = draft_config(CFG, 2)
+    rng = np.random.default_rng(2)
+    ids = rng.integers(10, VOCAB, size=(1, 8)).astype(np.int32)
+    mask = np.ones((1, 8), bool)
+    ref, _ = _vanilla(target, ids, mask, 20)
+    got, _, acc = _spec(target, draft, dcfg, ids, mask, 20, k=3)
+    np.testing.assert_array_equal(ref, got)
+
+
+def test_batched_left_padded_exact(target):
+    draft = draft_from_layers(target, 2)
+    dcfg = draft_config(CFG, 2)
+    rng = np.random.default_rng(3)
+    b, t = 3, 10
+    ids = rng.integers(10, VOCAB, size=(b, t)).astype(np.int32)
+    mask = np.ones((b, t), bool)
+    mask[1, :4] = False
+    ids[1, :4] = PAD
+    ref, ref_len = _vanilla(target, ids, mask, 12)
+    got, got_len, _ = _spec(target, draft, dcfg, ids, mask, 12, k=3)
+    np.testing.assert_array_equal(ref, got)
+    np.testing.assert_array_equal(ref_len, got_len)
+
+
+def test_eos_semantics_match_vanilla(target):
+    """Pick an EOS id that actually fires mid-stream in the greedy output and
+    check per-row termination matches vanilla exactly."""
+    draft = init_qwen(jax.random.PRNGKey(7), CFG, dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    ids = rng.integers(10, VOCAB, size=(2, 6)).astype(np.int32)
+    mask = np.ones((2, 6), bool)
+    free, _ = _vanilla(target, ids, mask, 14)
+    eos = None
+    for cand in free[0][2:]:
+        if cand != PAD:
+            eos = int(cand)
+            break
+    assert eos is not None
+    ref, ref_len = _vanilla(target, ids, mask, 14, eos_ids=(eos,))
+    got, got_len, _ = _spec(target, draft, CFG, ids, mask, 14, k=4, eos_ids=(eos,))
+    np.testing.assert_array_equal(ref, got)
+    np.testing.assert_array_equal(ref_len, got_len)
+
+
+def test_guided_constraint_path(target):
+    draft = draft_from_layers(target, 2)
+    dcfg = draft_config(CFG, 2)
+    rng = np.random.default_rng(5)
+    ids = rng.integers(10, VOCAB, size=(1, 8)).astype(np.int32)
+    mask = np.ones((1, 8), bool)
+    lo, hi = 20, 60
+    ref, ref_len = generate(
+        target, CFG, jnp.asarray(ids), jnp.asarray(mask), jax.random.PRNGKey(0),
+        max_new_tokens=12, cache_len=8 + 12 + 8, eos_ids=(EOS,), pad_id=PAD,
+        greedy=True, vocab_slice=(lo, hi), extra_ids=(EOS,),
+    )
+    got, got_len, _ = _spec(
+        target, draft, dcfg, ids, mask, 12, k=3, eos_ids=(EOS,),
+        vocab_slice=(lo, hi), extra_ids=(EOS,),
+    )
+    np.testing.assert_array_equal(np.asarray(ref), got)
+    np.testing.assert_array_equal(np.asarray(ref_len), got_len)
