@@ -125,8 +125,13 @@ def main():
             pipe.tokenizer.encode(t.text)[: pipe.prompt_bucket - 40] for t in tasks
         ]
         for b in range(1, max(offline_concs, default=1) + 1):
+            # batched audio tokenization (wav2vec2) per (b, duration bucket)
+            for dur in prompt_secs:
+                wavs = [t.prompt_wav for t in tasks if len(t.prompt_wav) == dur * 16000]
+                if wavs:
+                    pipe.tokenize_audio_batch((wavs * b)[:b])
             for max_new in max_new_choices:
-                outs = pipe.generate_tokens_batch(
+                pipe.generate_tokens_batch(
                     prompt_ids[:b], max_new_tokens=max_new, seed=0
                 )
                 pipe.detokenize_batch(
