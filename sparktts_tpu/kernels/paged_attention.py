@@ -6,21 +6,22 @@ SURVEY.md §2.2 row 1).  Instead of every slot owning a dense
 (cache_len, n_kv, hd) strip, K/V live in a shared page pool and each slot
 holds a small page table:
 
-  * k_pages / v_pages: (n_kv, n_pages, page_size, hd) pools in HBM
+  * k_pages / v_pages: (L, n_kv, n_pages, page_size, hd) stacked pools in HBM
   * page_table: (B, pages_per_slot) int32 — page ids per slot, scalar-
     prefetched so each grid step's BlockSpec index_map DMAs exactly the page
-    it needs into VMEM (no gather materialization)
+    it needs into VMEM (no gather materialization, no per-layer pool slice)
   * lengths: (B,) — tokens valid per slot; whole pages past the length are
     compute-skipped
 
 Memory for the serving engine drops from max_slots × cache_len to
-pages-in-use, so slot count scales with actual load, not worst-case length
-(dense: every admitted request reserves prompt+budget; paged: it holds only
-ceil(written/page_size) pages).
+pages-in-use, so slot count scales with actual load, not worst-case length.
 
-GQA layout: q is reshaped to (B, n_kv, group, hd) and zero-padded to
-group_pad rows so the score tile keeps TPU-aligned sublanes; each KV page is
-read ONCE per (slot, kv head) — never repeated per q head.
+Grid is (B, pages_per_slot): one step streams ONE page of BOTH kv heads
+(block (1, n_kv, 1, page, hd)) — per-program overhead is what dominates at
+decode shapes (measured on v5e), so blocks are as large as the page allows
+and the engine defaults to 256-token pages.  GQA: q is reshaped to
+(B, n_kv, group, hd), zero-padded to the sublane multiple, and each kv head's
+score tile is computed in a static in-kernel loop — KV is read exactly once.
 """
 
 from __future__ import annotations
@@ -40,20 +41,22 @@ def _paged_kernel(
     page_table_ref,  # scalar prefetch: (B, pages_per_slot) int32
     lengths_ref,     # scalar prefetch: (B,) int32
     layer_ref,       # scalar prefetch: (1,) int32 — pool layer plane
-    q_ref,           # (1, 1, group_pad, d)
-    k_ref,           # (1, 1, 1, page_size, d) — page selected by index_map
-    v_ref,           # (1, 1, 1, page_size, d)
-    o_ref,           # (1, 1, group_pad, d)
-    m_scratch,       # (group_pad, 128) fp32
-    l_scratch,       # (group_pad, 128) fp32
-    acc_scratch,     # (group_pad, d) fp32
+    q_ref,           # (1, n_kv, group_pad, d)
+    k_ref,           # (1, n_kv, 1, page_size, d) — page selected by index_map
+    v_ref,           # (1, n_kv, 1, page_size, d)
+    o_ref,           # (1, n_kv, group_pad, d)
+    m_scratch,       # (n_kv * group_pad, 128) fp32
+    l_scratch,       # (n_kv * group_pad, 128) fp32
+    acc_scratch,     # (n_kv * group_pad, d) fp32
     *,
     sm_scale: float,
     page_size: int,
     pages_per_slot: int,
+    n_kv: int,
+    group_pad: int,
 ):
     b = pl.program_id(0)
-    j = pl.program_id(2)
+    j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _init():
@@ -66,38 +69,44 @@ def _paged_kernel(
     # whole-page skip beyond the slot's valid length
     @pl.when(j * page_size < length)
     def _run():
-        q = q_ref[0, 0].astype(jnp.float32)            # (g, d)
-        k = k_ref[0, 0, 0].astype(jnp.float32)         # (p, d)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )                                               # (g, p)
-        if sm_scale != 1.0:
-            s = s * sm_scale
+        col = jax.lax.broadcasted_iota(
+            jnp.int32, (group_pad, page_size), 1
+        ) + j * page_size
+        key_ok = col < length
+        for h in range(n_kv):  # static unroll: one score tile per kv head
+            q = q_ref[0, h].astype(jnp.float32)          # (g, d)
+            k = k_ref[0, h, 0].astype(jnp.float32)       # (p, d)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )                                             # (g, p)
+            if sm_scale != 1.0:
+                s = s * sm_scale
+            s = jnp.where(key_ok, s, MASK_VALUE)
 
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * page_size
-        s = jnp.where(col < length, s, MASK_VALUE)
+            rows = slice(h * group_pad, (h + 1) * group_pad)
+            m_prev = m_scratch[rows, :1]
+            l_prev = l_scratch[rows, :1]
+            m_curr = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next)
+            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
 
-        m_prev = m_scratch[...][:, :1]
-        l_prev = l_scratch[...][:, :1]
-        m_curr = jnp.max(s, axis=1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next)
-        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            m_scratch[rows, :] = jnp.broadcast_to(m_next, (group_pad, 128))
+            l_scratch[rows, :] = jnp.broadcast_to(l_next, (group_pad, 128))
 
-        m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
-        l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
-
-        v = v_ref[0, 0, 0].astype(jnp.float32)         # (p, d)
-        acc_scratch[...] = acc_scratch[...] * alpha + jax.lax.dot(
-            p, v, preferred_element_type=jnp.float32
-        )
+            v = v_ref[0, h, 0].astype(jnp.float32)       # (p, d)
+            acc_scratch[rows, :] = acc_scratch[rows, :] * alpha + jax.lax.dot(
+                p, v, preferred_element_type=jnp.float32
+            )
 
     @pl.when(j == pages_per_slot - 1)
     def _store():
-        l = l_scratch[...][:, :1]
-        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+        for h in range(n_kv):
+            rows = slice(h * group_pad, (h + 1) * group_pad)
+            l = l_scratch[rows, :1]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o_ref[0, h] = (acc_scratch[rows, :] * l_inv).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -118,7 +127,7 @@ def paged_decode_attention(
     The pools carry ALL layers stacked (the LM threads them through its
     layer scan); `layer` is resolved inside the BlockSpec index_map, so no
     per-layer slice of the pool is ever materialized — each grid step DMAs
-    exactly one page."""
+    exactly one page (all kv heads at once)."""
     b, hq, d = q.shape
     _, hkv, _, page_size, _ = k_pages.shape
     group = hq // hkv
@@ -129,13 +138,15 @@ def paged_decode_attention(
     if group_pad != group:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, group_pad - group), (0, 0)))
 
-    grid = (b, hkv, pages_per_slot)
+    grid = (b, pages_per_slot)
 
     kernel = functools.partial(
         _paged_kernel,
         sm_scale=sm_scale,
         page_size=page_size,
         pages_per_slot=pages_per_slot,
+        n_kv=hkv,
+        group_pad=group_pad,
     )
 
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
@@ -147,31 +158,31 @@ def paged_decode_attention(
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
-                    (1, 1, group_pad, d), lambda b, h, j, *_: (b, h, 0, 0)
+                    (1, hkv, group_pad, d), lambda b, j, *_: (b, 0, 0, 0)
                 ),
-                # the page table drives the DMA: grid step (b, h, j) streams
-                # page page_table[b, j] of kv head h, layer li into VMEM
+                # the page table drives the DMA: grid step (b, j) streams
+                # page page_table[b, j] (every kv head) of layer li into VMEM
                 pl.BlockSpec(
-                    (1, 1, 1, page_size, d),
-                    lambda b, h, j, pt, lens, li: (li[0], h, pt[b, j], 0, 0),
+                    (1, hkv, 1, page_size, d),
+                    lambda b, j, pt, lens, li: (li[0], 0, pt[b, j], 0, 0),
                 ),
                 pl.BlockSpec(
-                    (1, 1, 1, page_size, d),
-                    lambda b, h, j, pt, lens, li: (li[0], h, pt[b, j], 0, 0),
+                    (1, hkv, 1, page_size, d),
+                    lambda b, j, pt, lens, li: (li[0], 0, pt[b, j], 0, 0),
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (1, 1, group_pad, d), lambda b, h, j, *_: (b, h, 0, 0)
+                (1, hkv, group_pad, d), lambda b, j, *_: (b, 0, 0, 0)
             ),
             scratch_shapes=[
-                pltpu.VMEM((group_pad, 128), jnp.float32),
-                pltpu.VMEM((group_pad, 128), jnp.float32),
-                pltpu.VMEM((group_pad, d), jnp.float32),
+                pltpu.VMEM((hkv * group_pad, 128), jnp.float32),
+                pltpu.VMEM((hkv * group_pad, 128), jnp.float32),
+                pltpu.VMEM((hkv * group_pad, d), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((b, hkv, group_pad, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(

@@ -293,9 +293,9 @@ class PagedContinuousEngine:
         params,
         cfg: QwenConfig,
         max_slots: int = 8,
-        n_pages: int = 256,
-        page_size: int = 64,
-        pages_per_slot: int = 64,
+        n_pages: int = 64,
+        page_size: int = 256,
+        pages_per_slot: int = 16,
         prompt_pad: int = 64,
         eos_ids: Tuple[int, ...] = (),
         pad_id: int = 0,
@@ -308,7 +308,12 @@ class PagedContinuousEngine:
         vocab_slice: Tuple[int, int] | None = None,
         extra_ids: Tuple[int, ...] = (),
     ):
-        assert prompt_pad % page_size == 0, "prompt bucket must be page-aligned"
+        # admission pads prompts to a multiple of BOTH buckets (prefill K/V
+        # scatters whole pages), so one must divide the other
+        assert prompt_pad % page_size == 0 or page_size % prompt_pad == 0, (
+            prompt_pad, page_size,
+        )
+        self._admit_bucket = max(prompt_pad, page_size)
         self.params = params
         self.cfg = cfg
         self.max_slots = max_slots
@@ -363,7 +368,7 @@ class PagedContinuousEngine:
         if slot is None:
             raise RuntimeError("no free slot")
         n = len(prompt_ids)
-        t_pad = ((n + self.prompt_pad - 1) // self.prompt_pad) * self.prompt_pad
+        t_pad = ((n + self._admit_bucket - 1) // self._admit_bucket) * self._admit_bucket
         total_pages = (t_pad + max_new_tokens + self.page_size - 1) // self.page_size
         assert total_pages <= self.pages_per_slot, "prompt+budget exceeds page table"
         self.slot_pages[slot] = self._alloc(t_pad // self.page_size)

@@ -61,7 +61,7 @@ class ContinuousTTSServer:
         steps_per_dispatch: int = 16,
         default_max_new_tokens: Optional[int] = None,
         paged: bool = False,
-        page_size: int = 64,
+        page_size: int = 256,
         n_pages: Optional[int] = None,
     ):
         self.pipe = pipeline
@@ -83,9 +83,18 @@ class ContinuousTTSServer:
         if paged:
             from sparktts_tpu.lm.paged import PagedContinuousEngine
 
-            if pipeline.prompt_bucket % page_size != 0:
+            if (
+                pipeline.prompt_bucket % page_size != 0
+                and page_size % pipeline.prompt_bucket != 0
+            ):
                 page_size = pipeline.prompt_bucket  # keep admission page-aligned
-            pages_per_slot = -(-cache_len // page_size)
+            # admission rounds prompts up to max(prompt_bucket, page_size), so
+            # size the table for the rounded prompt region plus the budget
+            prompt_cap = pipeline.prompt_bucket * 4
+            prompt_cap = -(-prompt_cap // page_size) * page_size
+            pages_per_slot = (
+                prompt_cap // page_size + -(-self.default_max_new // page_size) + 1
+            )
             # default pool: half the dense worst case — the paged engine's
             # point is that requests only hold ceil(written/page) pages
             n_pages = n_pages or (max_slots * pages_per_slot // 2 + 1)
