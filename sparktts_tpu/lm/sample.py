@@ -70,3 +70,26 @@ def sample_token(
 
 def greedy_token(logits: jax.Array) -> jax.Array:
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+def warped_probs(
+    logits: jax.Array,       # (B, V) fp32
+    temperature: float | jax.Array,
+    top_k: int,
+    top_p: float | jax.Array,
+) -> jax.Array:
+    """The full (B, V) probability vector the temperature→top-k→top-p chain
+    samples from (zero outside the warped support).  `sample_token` draws
+    from exactly this distribution; speculative sampling needs it explicitly
+    for its acceptance ratios."""
+    b, v = logits.shape
+    scaled = logits / temperature
+    vals, idx = jax.lax.top_k(scaled, top_k)
+    probs = jax.nn.softmax(vals, axis=-1)
+    cum_exclusive = jnp.cumsum(probs, axis=-1) - probs
+    keep = cum_exclusive < top_p
+    keep = keep.at[:, 0].set(True)
+    filtered = jnp.where(keep, vals, NEG_INF)
+    kept = jax.nn.softmax(filtered, axis=-1)  # renormalized over survivors
+    out = jnp.zeros((b, v), kept.dtype)
+    return out.at[jnp.arange(b)[:, None], idx].set(kept)

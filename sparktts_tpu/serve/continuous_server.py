@@ -121,6 +121,10 @@ class ContinuousTTSServer:
         self.inflight: Dict[int, _Pending] = {}
         self._task: Optional[asyncio.Task] = None
         self.stats = {"requests": 0, "completed": 0, "admitted_midflight": 0}
+        if paged:
+            # live page-pool gauges (KV memory follows load, not slot count)
+            self.stats["pages_in_use"] = 0
+            self.stats["pages_free"] = len(self.engine.free_pages)
 
     async def start(self):
         if self._task is None:
@@ -315,4 +319,7 @@ class ContinuousTTSServer:
                     self._emit_stream_chunks(pending, new_tokens, final=False)
             for req_id in set(self.engine.finished) - before:
                 self._finish(req_id, self.engine.finished.pop(req_id))
+            if "pages_in_use" in self.stats:
+                self.stats["pages_in_use"] = self.engine.pages_in_use()
+                self.stats["pages_free"] = len(self.engine.free_pages)
             await asyncio.sleep(0)

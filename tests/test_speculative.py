@@ -145,3 +145,60 @@ def test_guided_constraint_path(target):
     )
     np.testing.assert_array_equal(np.asarray(ref), got)
     np.testing.assert_array_equal(np.asarray(ref_len), got_len)
+
+
+def test_sampled_topk1_is_deterministic_and_exact(target):
+    """With top_k=1 the sampling chain is argmax — stochastic speculative
+    decode must then equal vanilla generate exactly, for any draft."""
+    from sparktts_tpu.lm.speculative import speculative_generate
+
+    draft = init_qwen(jax.random.PRNGKey(9), CFG, dtype=jnp.float32)
+    rng = np.random.default_rng(6)
+    ids = rng.integers(10, VOCAB, size=(2, 8)).astype(np.int32)
+    mask = np.ones((2, 8), bool)
+    ref, ref_len = generate(
+        target, CFG, jnp.asarray(ids), jnp.asarray(mask), jax.random.PRNGKey(0),
+        max_new_tokens=12, cache_len=8 + 12 + 8, temperature=1.0, top_k=1,
+        top_p=1.0, eos_ids=(EOS,), pad_id=PAD,
+    )
+    got, got_len, _ = speculative_generate(
+        target, draft, CFG, CFG, jnp.asarray(ids), jnp.asarray(mask),
+        jax.random.PRNGKey(123), max_new_tokens=12, cache_len=8 + 12 + 8,
+        k=4, temperature=1.0, top_k=1, top_p=1.0, eos_ids=(EOS,), pad_id=PAD,
+    )
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+    np.testing.assert_array_equal(np.asarray(ref_len), np.asarray(got_len))
+
+
+def test_sampled_distribution_matches_vanilla(target):
+    """Distribution equality: over many seeds, the marginal distribution of
+    the first sampled token must match vanilla generate's (total-variation
+    distance within sampling noise)."""
+    from collections import Counter
+
+    from sparktts_tpu.lm.speculative import draft_from_layers, speculative_generate
+
+    draft = draft_from_layers(target, 2)
+    dcfg = draft_config(CFG, 2)
+    rng = np.random.default_rng(7)
+    ids = jnp.asarray(rng.integers(10, VOCAB, size=(1, 6)).astype(np.int32))
+    mask = jnp.ones((1, 6), bool)
+    n = 1200
+    kw = dict(max_new_tokens=3, cache_len=6 + 3 + 8, temperature=1.0,
+              top_k=8, top_p=0.9, eos_ids=(), pad_id=PAD)
+
+    van, spec = Counter(), Counter()
+    for s in range(n):
+        t, _ = generate(
+            target, CFG, ids, mask, jax.random.PRNGKey(s), **kw
+        )
+        van[int(np.asarray(t)[0, 1])] += 1  # position 1: first SAMPLED token
+        t2, _, _ = speculative_generate(
+            target, draft, CFG, dcfg, ids, mask, jax.random.PRNGKey(10_000 + s),
+            k=3, **kw,
+        )
+        spec[int(np.asarray(t2)[0, 1])] += 1
+
+    support = set(van) | set(spec)
+    tv = 0.5 * sum(abs(van[x] / n - spec[x] / n) for x in support)
+    assert tv < 0.1, f"total-variation distance too high: {tv} (van={van}, spec={spec})"
