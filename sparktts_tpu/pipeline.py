@@ -69,6 +69,8 @@ class SparkTTSPipeline:
         max_new_tokens: Optional[int] = None,
         use_flash: Optional[bool] = None,
         guided: bool = True,
+        speculative_k: int = 0,
+        draft_layers: int = 6,
     ):
         if model_dir is not None:
             self.config = load_spark_config(model_dir)
@@ -105,6 +107,12 @@ class SparkTTSPipeline:
         # samples the full vocab and regex-drops illegal tokens afterwards,
         # reference cli/SparkTTS.py:197-228).
         self.guided = guided
+        # speculative decoding: k > 0 enables draft-k-then-verify-once with an
+        # early-exit self-speculative draft (first `draft_layers` layers of
+        # the LM — zero-copy slice of the stacked layer params).  Exact: the
+        # output distribution equals vanilla decode (lm/speculative.py).
+        self.speculative_k = speculative_k
+        self.draft_layers = draft_layers
 
         # encoder time-compression: semantic tokens per wav2vec2 frame
         self._enc_ratio = int(np.prod(self.config.bicodec.encoder.sample_ratios))
@@ -360,6 +368,41 @@ class SparkTTSPipeline:
 
         cache_len = t_pad + max_new
         vocab_slice, extra_ids = self.guided_constraint(mode)
+        if self.speculative_k > 0:
+            from sparktts_tpu.lm.speculative import (
+                draft_config,
+                draft_from_layers,
+                speculative_generate,
+                speculative_generate_greedy,
+            )
+
+            draft = draft_from_layers(self.llm_params, self.draft_layers)
+            dcfg = draft_config(self.config.llm, self.draft_layers)
+            with stage("llm_generate"):
+                common = dict(
+                    max_new_tokens=max_new,
+                    cache_len=cache_len + self.speculative_k,
+                    k=self.speculative_k,
+                    eos_ids=tuple(self.tokenizer.eos_ids),
+                    pad_id=self.tokenizer.pad_id,
+                    vocab_slice=vocab_slice,
+                    extra_ids=extra_ids,
+                )
+                if greedy:
+                    tokens, lengths, _ = speculative_generate_greedy(
+                        self.llm_params, draft, self.config.llm, dcfg,
+                        jnp.asarray(input_ids), jnp.asarray(mask), **common,
+                    )
+                else:
+                    tokens, lengths, _ = speculative_generate(
+                        self.llm_params, draft, self.config.llm, dcfg,
+                        jnp.asarray(input_ids), jnp.asarray(mask),
+                        jax.random.PRNGKey(seed),
+                        temperature=temperature, top_k=top_k, top_p=top_p,
+                        **common,
+                    )
+            n = int(lengths[0])
+            return np.asarray(tokens)[0, :n]
         with stage("llm_generate"):
             tokens, lengths = generate(
                 self.llm_params,

@@ -112,3 +112,21 @@ def test_tokenize_audio_batch_matches_single(pipe, prompt_wav):
     # both paths mask padded frames and share the pad length → exact match
     np.testing.assert_array_equal(s1, s_ref)
     assert s2.shape[1] < s1.shape[1]
+
+
+def test_speculative_pipeline_end_to_end(prompt_wav):
+    """speculative_k > 0 routes generation through draft-and-verify; greedy
+    output must equal the vanilla pipeline's greedy output exactly."""
+    from sparktts_tpu.pipeline import SparkTTSPipeline
+
+    base = SparkTTSPipeline(max_new_tokens=16, prompt_bucket=32)
+    spec = SparkTTSPipeline(
+        max_new_tokens=16, prompt_bucket=32, speculative_k=3, draft_layers=1
+    )
+    w1 = base.inference("spec check", prompt_speech_path=prompt_wav, greedy=True)
+    w2 = spec.inference("spec check", prompt_speech_path=prompt_wav, greedy=True)
+    np.testing.assert_array_equal(w1, w2)
+
+    # sampled path runs end-to-end and produces audio
+    w3 = spec.inference("spec check", prompt_speech_path=prompt_wav, seed=1)
+    assert np.isfinite(w3).all() and len(w3) > 0
