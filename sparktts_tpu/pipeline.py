@@ -71,6 +71,7 @@ class SparkTTSPipeline:
         guided: bool = True,
         speculative_k: int = 0,
         draft_layers: int = 6,
+        codec_device=None,
     ):
         if model_dir is not None:
             self.config = load_spark_config(model_dir)
@@ -113,6 +114,15 @@ class SparkTTSPipeline:
         # output distribution equals vanilla decode (lm/speculative.py).
         self.speculative_k = speculative_k
         self.draft_layers = draft_layers
+        # disaggregated serving: place the codec stack (wav2vec2 + BiCodec)
+        # on its own device so vocoding overlaps LM decode — the reference
+        # gets this from separate Triton model instances; here it's jax
+        # device placement (jit runs where its arguments live).  The LM stays
+        # on the default device (or a sharded mesh).
+        self.codec_device = codec_device
+        if codec_device is not None:
+            self.bicodec_params = jax.device_put(self.bicodec_params, codec_device)
+            self.w2v_params = jax.device_put(self.w2v_params, codec_device)
 
         # encoder time-compression: semantic tokens per wav2vec2 frame
         self._enc_ratio = int(np.prod(self.config.bicodec.encoder.sample_ratios))
@@ -173,6 +183,14 @@ class SparkTTSPipeline:
     # ------------------------------------------------------------------
     # jitted programs (shape-bucketed)
     # ------------------------------------------------------------------
+
+    def _codec_arr(self, x, dtype=None):
+        """Host array → device array on the codec's device (jit dispatches
+        where its inputs live; mixed-device args are an error)."""
+        arr = jnp.asarray(x, dtype=dtype)
+        if self.codec_device is not None:
+            arr = jax.device_put(arr, self.codec_device)
+        return arr
 
     def _tokenize_fn(self, wav_len: int, ref_len: int):
         key = ("tokenize", wav_len, ref_len)
@@ -236,9 +254,9 @@ class SparkTTSPipeline:
             semantic, global_t = fn(
                 self.w2v_params,
                 self.bicodec_params,
-                jnp.asarray(wav_in)[None, :],
-                jnp.asarray(feature_mask),
-                jnp.asarray(ref_wav, dtype=jnp.float32)[None, :],
+                self._codec_arr(wav_in)[None, :],
+                self._codec_arr(feature_mask),
+                self._codec_arr(ref_wav, dtype=jnp.float32)[None, :],
             )
         # crop semantic tokens to the true frame count
         true_frames = feature_lengths(self.config.wav2vec2, true_len) // self._enc_ratio
@@ -256,7 +274,11 @@ class SparkTTSPipeline:
         padded = np.pad(semantic_tokens, ((0, 0), (0, t_pad - t_true)), mode="edge")
         fn = self._detokenize_fn(t_pad)
         with stage("vocode"):
-            wav = fn(self.bicodec_params, jnp.asarray(padded), jnp.asarray(global_tokens))
+            wav = fn(
+                self.bicodec_params,
+                self._codec_arr(padded),
+                self._codec_arr(global_tokens),
+            )
         return np.asarray(wav)[0, : t_true * self._wave_upsample].astype(np.float32)
 
     # ------------------------------------------------------------------
@@ -484,9 +506,9 @@ class SparkTTSPipeline:
             semantic, global_t = fn(
                 self.w2v_params,
                 self.bicodec_params,
-                jnp.asarray(wav_in),
-                jnp.asarray(feature_mask),
-                jnp.asarray(refs),
+                self._codec_arr(wav_in),
+                self._codec_arr(feature_mask),
+                self._codec_arr(refs),
             )
         semantic = np.asarray(semantic)
         global_t = np.asarray(global_t)
@@ -558,7 +580,11 @@ class SparkTTSPipeline:
                 padded[i, len(s) :] = s[-1]  # edge-replicate
         fn = self._detokenize_fn(t_pad)
         wav = np.asarray(
-            fn(self.bicodec_params, jnp.asarray(padded), jnp.asarray(global_tokens, dtype=jnp.int32))
+            fn(
+                self.bicodec_params,
+                self._codec_arr(padded),
+                self._codec_arr(global_tokens, dtype=jnp.int32),
+            )
         )
         return [
             wav[i, : np.asarray(semantic_list[i]).reshape(-1).shape[0] * self._wave_upsample].astype(
