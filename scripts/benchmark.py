@@ -26,7 +26,20 @@ def main():
     parser.add_argument("--num_synthetic", type=int, default=4)
     parser.add_argument("--max_new_tokens", type=int, default=3000)
     parser.add_argument("--output", default=None, help="write stats JSON here")
+    parser.add_argument(
+        "--ignore_eos", action="store_true",
+        help="fixed token budget (random weights sample EOS at chance level, "
+        "making RTF meaningless otherwise)",
+    )
     args = parser.parse_args()
+
+    import jax
+
+    try:  # persistent compile cache: repeat runs skip the compile phase
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     import numpy as np
 
@@ -36,9 +49,20 @@ def main():
         run_offline_benchmark,
         run_streaming_benchmark,
     )
+
+    from sparktts_tpu.config import SparkTTSConfig
     from sparktts_tpu.pipeline import SparkTTSPipeline
 
-    pipe = SparkTTSPipeline(model_dir=args.model_dir, max_new_tokens=args.max_new_tokens)
+    # without a checkpoint dir, bench the FULL-SIZE architecture on random
+    # weights (the pipeline's config default is the tiny test config)
+    pipe = SparkTTSPipeline(
+        model_dir=args.model_dir,
+        config=None if args.model_dir else SparkTTSConfig(),
+        max_new_tokens=args.max_new_tokens,
+    )
+    if args.ignore_eos:
+        pipe.tokenizer.eos_ids = ()
+    pipe.vocode_bucket = args.max_new_tokens  # one vocoder program per budget
 
     if args.manifest:
         tasks = load_manifest(args.manifest)

@@ -171,12 +171,19 @@ class StreamingSynthesizer:
         # seam audio)
         overlap_samples = ov_tokens * pipe._wave_upsample
 
-        # dispatch sizes: small first chunk (latency), large after (throughput);
-        # fixed set keeps the XLA compile cache to two decode programs
+        # dispatch sizes: the FIRST dispatch covers exactly the first chunk
+        # (first-audio latency), later ones are large (throughput); a fixed
+        # size set keeps the XLA compile cache to three decode programs
+        first_dispatch = target
         big_dispatch = max(self.steps, 100)
         while not done and total_steps < max_new:
             need = max(1, target - len(token_buf))
-            n = self.steps if need <= self.steps else big_dispatch
+            if total_steps == 0:
+                n = first_dispatch
+            elif need <= self.steps:
+                n = self.steps
+            else:
+                n = big_dispatch
             n = min(n, max_new - total_steps)
             state, toks, valid = decode_chunk(
                 pipe.llm_params,
