@@ -297,6 +297,12 @@ class ContinuousBatchingEngine:
         to `self.finished`."""
         if all(o is None for o in self.owner):
             return {}
+        # never decode past the tightest remaining budget: overshoot would
+        # write K/V beyond the cache region reserved at submit
+        remaining = [
+            int(self.budget[i]) for i, o in enumerate(self.owner) if o is not None
+        ]
+        n_steps = max(1, min(n_steps, min(remaining)))
         temperature, top_k, top_p = self.sampling
         self.slots, toks, valid = decode_steps(
             self.params,
@@ -332,6 +338,19 @@ class ContinuousBatchingEngine:
                     done=self.slots.done.at[slot].set(True),
                 )
         return out
+
+    def release_slot(self, slot: int) -> None:
+        """Forcibly free a slot (failure containment): drops the request's
+        buffered tokens and deactivates the slot on device."""
+        req = self.owner[slot]
+        if req is not None:
+            self.buffers.pop(req, None)
+            self.owner[slot] = None
+        self.budget[slot] = 0
+        self.slots = self.slots._replace(
+            active=self.slots.active.at[slot].set(False),
+            done=self.slots.done.at[slot].set(True),
+        )
 
     def run_until_done(self, n_steps: int = 16, max_iters: int = 10_000) -> None:
         for _ in range(max_iters):

@@ -33,11 +33,12 @@ from sparktts_tpu.config import QwenConfig
 from sparktts_tpu.kernels.paged_attention import paged_decode_attention
 from sparktts_tpu.lm.generate import _expand_constrained
 from sparktts_tpu.lm.qwen import (
-    apply_rope,
     embed_lookup,
     head_logits,
     init_kv_cache,
     lm_logits,
+    mlp_block,
+    project_qkv,
     qwen_forward,
 )
 from sparktts_tpu.lm.sample import greedy_token, sample_token
@@ -145,14 +146,8 @@ def paged_decode_steps(
             residual = x
             y = rms_norm_apply(layer["ln1"], x, eps=cfg.rms_norm_eps)
 
-            b, t, _ = y.shape
-            qkv = linear_apply(layer["qkv"], y)
-            q_dim, kv_dim = nh * hd, nkv * hd
-            q = qkv[..., :q_dim].reshape(b, t, nh, hd)
-            k = qkv[..., q_dim : q_dim + kv_dim].reshape(b, t, nkv, hd)
-            v = qkv[..., q_dim + kv_dim :].reshape(b, t, nkv, hd)
-            q = apply_rope(q, positions, cfg)
-            k = apply_rope(k, positions, cfg)
+            b = y.shape[0]
+            q, k, v = project_qkv(layer, y, positions, cfg)
 
             kp = _write_token_kv(kp, k[:, 0], li, pidx, poff)
             vp = _write_token_kv(vp, v[:, 0], li, pidx, poff)
@@ -170,9 +165,7 @@ def paged_decode_steps(
             attn = linear_apply(layer["o"], attn.reshape(b, 1, nh * hd).astype(x.dtype))
             x = residual + attn
             y = rms_norm_apply(layer["ln2"], x, eps=cfg.rms_norm_eps)
-            gu = linear_apply(layer["gateup"], y)
-            gate, up = jnp.split(gu, 2, axis=-1)
-            x = x + linear_apply(layer["down"], jax.nn.silu(gate) * up)
+            x = x + mlp_block(layer, y)
             return (x, kp, vp, li + 1), None
 
         (x, kp, vp, _), _ = jax.lax.scan(
@@ -405,10 +398,14 @@ class PagedContinuousEngine:
         for slot, req in enumerate(self.owner):
             if req is None:
                 continue
-            need = min(
-                -(-(int(self.tokens_seen[slot]) + n_steps) // self.page_size),
-                self.pages_per_slot,
-            )
+            need = -(-(int(self.tokens_seen[slot]) + n_steps) // self.page_size)
+            if need > self.pages_per_slot:
+                # must fail loudly: capping would scatter live K/V into the
+                # shared trash page and silently corrupt this slot's output
+                raise RuntimeError(
+                    f"slot {slot} needs {need} pages > pages_per_slot="
+                    f"{self.pages_per_slot}"
+                )
             have = len(self.slot_pages[slot])
             if need > have:
                 self.slot_pages[slot].extend(self._alloc(need - have))
@@ -432,6 +429,12 @@ class PagedContinuousEngine:
     def step(self, n_steps: int = 16) -> Dict[int, np.ndarray]:
         if all(o is None for o in self.owner):
             return {}
+        # never decode past the tightest remaining budget: overshoot would
+        # write K/V beyond the pages reserved at submit
+        remaining = [
+            int(self.budget[i]) for i, o in enumerate(self.owner) if o is not None
+        ]
+        n_steps = max(1, min(n_steps, min(remaining)))
         self._ensure_pages(n_steps)
         temperature, top_k, top_p = self.sampling
         self.slots, toks, valid = paged_decode_steps(
@@ -465,6 +468,16 @@ class PagedContinuousEngine:
                 self.owner[slot] = None
                 self._release(slot)
         return out
+
+    def release_slot(self, slot: int) -> None:
+        """Forcibly free a slot (failure containment): drops buffered tokens,
+        returns its pages to the pool, deactivates it on device."""
+        req = self.owner[slot]
+        if req is not None:
+            self.buffers.pop(req, None)
+            self.owner[slot] = None
+        self.budget[slot] = 0
+        self._release(slot)
 
     def run_until_done(self, n_steps: int = 16, max_iters: int = 10_000) -> None:
         for _ in range(max_iters):

@@ -150,14 +150,7 @@ def _attention_block(
     b, t, h = x.shape
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
-    qkv = linear_apply(layer["qkv"], x)
-    q_dim, kv_dim = nh * hd, nkv * hd
-    q = qkv[..., :q_dim].reshape(b, t, nh, hd)
-    k = qkv[..., q_dim : q_dim + kv_dim].reshape(b, t, nkv, hd)
-    v = qkv[..., q_dim + kv_dim :].reshape(b, t, nkv, hd)
-
-    q = apply_rope(q, positions, cfg)
-    k = apply_rope(k, positions, cfg)
+    q, k, v = project_qkv(layer, x, positions, cfg)
 
     # cache_k/cache_v arrive as the FULL stacked caches (L, B, S, nkv, hd)
     # with `layer_idx` selecting this layer's plane: they live in the scan
@@ -220,7 +213,20 @@ def _write_kv_at_layer(cache: jax.Array, new: jax.Array, layer_idx, write_pos) -
     )
 
 
-def _mlp_block(layer, x: jax.Array) -> jax.Array:
+def project_qkv(layer, x: jax.Array, positions: jax.Array, cfg: QwenConfig):
+    """Fused QKV projection + RoPE, shared by the dense and paged decode
+    paths.  x: (B, T, H) → q (B, T, nh, hd), k/v (B, T, nkv, hd)."""
+    b, t, _ = x.shape
+    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    qkv = linear_apply(layer["qkv"], x)
+    q_dim, kv_dim = nh * hd, nkv * hd
+    q = qkv[..., :q_dim].reshape(b, t, nh, hd)
+    k = qkv[..., q_dim : q_dim + kv_dim].reshape(b, t, nkv, hd)
+    v = qkv[..., q_dim + kv_dim :].reshape(b, t, nkv, hd)
+    return apply_rope(q, positions, cfg), apply_rope(k, positions, cfg), v
+
+
+def mlp_block(layer, x: jax.Array) -> jax.Array:
     gu = linear_apply(layer["gateup"], x)
     gate, up = jnp.split(gu, 2, axis=-1)
     return linear_apply(layer["down"], jax.nn.silu(gate) * up)
@@ -275,7 +281,7 @@ def qwen_forward(
         )
         x = residual + attn_out
         y = rms_norm_apply(layer["ln2"], x, eps=cfg.rms_norm_eps)
-        x = x + _mlp_block(layer, y)
+        x = x + mlp_block(layer, y)
         return (x, ck_all, cv_all, li + 1), None
 
     (x, new_k, new_v, _), _ = jax.lax.scan(

@@ -203,9 +203,12 @@ def speculative_generate_greedy(
 
         done = state.done | (has_eos & (first_eos < advance))
 
-        # next unconsumed emission = [window ++ bonus][advance]
-        with_bonus = jnp.concatenate([window, bonus[:, None]], axis=1)
-        cur = with_bonus[:, jnp.minimum(advance, k)]
+        # next unconsumed emission: rows whose consumption ends exactly at
+        # `advance` continue from the BONUS (the target's own prediction at
+        # the rejection point — window[advance] there is the rejected draft);
+        # rows that verified further continue from their accepted prefix
+        cur_window = jnp.take(window, jnp.minimum(advance, k - 1), axis=1)
+        cur = jnp.where(n_consume == advance, bonus, cur_window)
         cur = jnp.where(done, pad_id, cur)
 
         new_state = SpecState(

@@ -48,6 +48,7 @@ class _Pending:
     stream_emitted: int = 0
     stream_target: int = 0
     stream_schedule: Optional[object] = None
+    cancelled: bool = False  # consumer abandoned the stream mid-flight
 
 
 class ContinuousTTSServer:
@@ -198,11 +199,21 @@ class ContinuousTTSServer:
         )
         self.stats["requests"] += 1
         await self.waiting.put(pending)
-        while True:
-            chunk = await q.get()
-            if chunk is None:
-                break
-            yield chunk
+        try:
+            while True:
+                chunk = await q.get()
+                if chunk is None:
+                    break
+                yield chunk
+        except GeneratorExit:
+            # consumer closed the stream early (e.g. HTTP client dropped):
+            # mark the request so the loop frees its decode slot
+            pending.cancelled = True
+            raise
+        # surface admission/engine failures to the consumer (the future is
+        # otherwise never awaited on the streaming path)
+        if fut.done() and not fut.cancelled() and fut.exception() is not None:
+            raise fut.exception()
 
     # ------------------------------------------------------------------
 
@@ -278,6 +289,16 @@ class ContinuousTTSServer:
         if not pending.future.done():
             pending.future.set_result(wav)
 
+    def _fail_pending(self, pending: "_Pending", exc: Exception):
+        """Propagate a failure to a request whichever way it is waiting:
+        offline consumers await the future; streaming consumers read the
+        chunk queue (and re-raise the future's exception after the None
+        sentinel)."""
+        if not pending.future.done():
+            pending.future.set_exception(exc)
+        if pending.chunk_queue is not None:
+            pending.chunk_queue.put_nowait(None)
+
     async def _loop(self):
         while True:
             # admit as many waiting requests as slots allow
@@ -292,8 +313,7 @@ class ContinuousTTSServer:
                         self.stats["admitted_midflight"] += 1
                 except Exception as e:
                     logger.exception("admission failed")
-                    if not pending.future.done():
-                        pending.future.set_exception(e)
+                    self._fail_pending(pending, e)
 
             if all(o is None for o in self.engine.owner):
                 # idle: wait for the next request without burning CPU
@@ -302,16 +322,28 @@ class ContinuousTTSServer:
                     self._admit(pending)
                 except Exception as e:
                     logger.exception("admission failed")
-                    if not pending.future.done():
-                        pending.future.set_exception(e)
+                    self._fail_pending(pending, e)
                 continue
 
             # advance the running batch one micro-batch of steps (in a thread
             # so the event loop keeps accepting requests)
             before = set(self.engine.finished)
-            increments = await asyncio.get_running_loop().run_in_executor(
-                None, self.engine.step, self.steps
-            )
+            try:
+                increments = await asyncio.get_running_loop().run_in_executor(
+                    None, self.engine.step, self.steps
+                )
+            except Exception as e:
+                # an engine failure (e.g. page-pool exhaustion) must not kill
+                # the serving loop: fail every inflight request loudly and
+                # keep accepting new work
+                logger.exception("engine step failed; failing inflight requests")
+                for req_id in list(self.inflight):
+                    self._fail_pending(self.inflight.pop(req_id), e)
+                for slot, owner in enumerate(self.engine.owner):
+                    if owner is not None:
+                        self.engine.release_slot(slot)
+                self.stats["failures"] = self.stats.get("failures", 0) + 1
+                continue
             # streaming consumers get chunks as soon as their schedule fills
             for req_id, new_tokens in increments.items():
                 pending = self.inflight.get(req_id)
@@ -319,6 +351,14 @@ class ContinuousTTSServer:
                     self._emit_stream_chunks(pending, new_tokens, final=False)
             for req_id in set(self.engine.finished) - before:
                 self._finish(req_id, self.engine.finished.pop(req_id))
+            # reap requests whose streaming consumer went away: free the
+            # decode slot instead of synthesizing for nobody
+            for req_id, p in list(self.inflight.items()):
+                if p.cancelled:
+                    self.inflight.pop(req_id)
+                    if req_id in self.engine.owner:
+                        self.engine.release_slot(self.engine.owner.index(req_id))
+                    self.engine.finished.pop(req_id, None)
             if "pages_in_use" in self.stats:
                 self.stats["pages_in_use"] = self.engine.pages_in_use()
                 self.stats["pages_free"] = len(self.engine.free_pages)

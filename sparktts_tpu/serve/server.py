@@ -192,18 +192,25 @@ class TTSServer:
                 globals_list.append(g)
 
         # one jitted generate per group of identical sampling params (requests
-        # in a window may carry different temperature/top_k/top_p)
+        # in a window may carry different temperature/top_k/top_p).  The
+        # guided-decoding constraint differs by task — controllable requests
+        # must be able to emit global/control tokens — so mode is part of the
+        # group key.
         generated: List[np.ndarray] = [None] * len(batch)
         groups: Dict[tuple, List[int]] = {}
         for i, req in enumerate(batch):
-            groups.setdefault((req.temperature, req.top_k, req.top_p, req.seed), []).append(i)
-        for (temperature, top_k, top_p, seed), idxs in groups.items():
+            mode = "control" if req.gender is not None else "clone"
+            groups.setdefault(
+                (req.temperature, req.top_k, req.top_p, req.seed, mode), []
+            ).append(i)
+        for (temperature, top_k, top_p, seed, mode), idxs in groups.items():
             outs = pipe.generate_tokens_batch(
                 [prompts[i] for i in idxs],
                 temperature=temperature,
                 top_k=top_k,
                 top_p=top_p,
                 seed=seed,
+                mode=mode,
             )
             for i, out in zip(idxs, outs):
                 generated[i] = out
@@ -374,24 +381,31 @@ def serve_http(
 
             req = self._parse_payload(payload)
             chunk_q: _queue.Queue = _queue.Queue()
+            client_gone = threading.Event()
 
             async def pump():
+                agen = cserver.synthesize_streaming(
+                    text=req.text,
+                    prompt_wav=req.prompt_wav,
+                    prompt_text=req.prompt_text,
+                    gender=req.gender,
+                    pitch=req.pitch,
+                    speed=req.speed,
+                    max_new_tokens=payload.get("max_new_tokens"),
+                )
                 try:
-                    agen = cserver.synthesize_streaming(
-                        text=req.text,
-                        prompt_wav=req.prompt_wav,
-                        prompt_text=req.prompt_text,
-                        gender=req.gender,
-                        pitch=req.pitch,
-                        speed=req.speed,
-                        max_new_tokens=payload.get("max_new_tokens"),
-                    )
                     async for chunk in agen:
+                        if client_gone.is_set():
+                            # the socket died: stop consuming so the engine
+                            # slot isn't held for an abandoned request
+                            break
                         chunk_q.put(("chunk", chunk))
                     chunk_q.put(("done", None))
                 except Exception as e:  # surfaced as an in-band error line
                     logger.exception("stream failed")
                     chunk_q.put(("error", str(e)))
+                finally:
+                    await agen.aclose()
 
             asyncio.run_coroutine_threadsafe(pump(), loop)
 
@@ -404,26 +418,32 @@ def serve_http(
                 self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
                 self.wfile.flush()
 
-            while True:
-                kind, val = chunk_q.get()
-                if kind == "chunk":
-                    line = json.dumps(
-                        {
-                            "wav_b64": base64.b64encode(
-                                np.asarray(val, np.float32).tobytes()
-                            ).decode(),
-                            "sample_rate": pipeline.sample_rate,
-                        }
-                    )
-                    write_http_chunk(line.encode() + b"\n")
-                elif kind == "done":
-                    write_http_chunk(json.dumps({"done": True}).encode() + b"\n")
-                    break
-                else:
-                    write_http_chunk(json.dumps({"error": val}).encode() + b"\n")
-                    break
-            self.wfile.write(b"0\r\n\r\n")
-            self.wfile.flush()
+            try:
+                while True:
+                    kind, val = chunk_q.get()
+                    if kind == "chunk":
+                        line = json.dumps(
+                            {
+                                "wav_b64": base64.b64encode(
+                                    np.asarray(val, np.float32).tobytes()
+                                ).decode(),
+                                "sample_rate": pipeline.sample_rate,
+                            }
+                        )
+                        write_http_chunk(line.encode() + b"\n")
+                    elif kind == "done":
+                        write_http_chunk(json.dumps({"done": True}).encode() + b"\n")
+                        break
+                    else:
+                        write_http_chunk(json.dumps({"error": val}).encode() + b"\n")
+                        break
+                self.wfile.write(b"0\r\n\r\n")
+                self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError, OSError):
+                # client disconnected mid-stream: signal the pump so the
+                # synthesis stops and the engine slot is freed
+                client_gone.set()
+                logger.info("stream client disconnected; aborting synthesis")
 
         def log_message(self, fmt, *args):
             logger.debug(fmt, *args)

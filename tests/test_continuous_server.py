@@ -133,3 +133,60 @@ def test_paged_server_matches_dense(pipe):
     assert len(paged) == 2
     for a, b in zip(dense, paged):
         np.testing.assert_array_equal(a, b)
+
+
+def test_engine_failure_contained_and_server_survives(pipe):
+    """A page-pool-exhaustion (or any engine) failure mid-serve must fail the
+    inflight requests with an exception and leave the server able to serve
+    the next request."""
+
+    async def run():
+        server = ContinuousTTSServer(
+            pipe, max_slots=2, steps_per_dispatch=4, paged=True, n_pages=3,
+            page_size=32,
+        )
+        await server.start()
+        # 32-token budget needs 2+ pages once decode crosses the first page;
+        # two concurrent requests exhaust the 2 usable pages
+        results = await asyncio.gather(
+            server.synthesize("exhaust one", prompt_wav=_wav(220), max_new_tokens=48),
+            server.synthesize("exhaust two", prompt_wav=_wav(330), max_new_tokens=48),
+            return_exceptions=True,
+        )
+        assert any(isinstance(r, Exception) for r in results), results
+        # the loop must still be alive: a small follow-up request succeeds
+        wav = await server.synthesize("recovery", prompt_wav=_wav(250), max_new_tokens=8)
+        await server.stop()
+        return wav
+
+    wav = asyncio.new_event_loop().run_until_complete(run())
+    assert np.isfinite(wav).all()
+
+
+def test_abandoned_stream_frees_slot(pipe):
+    """Closing a streaming consumer early must release the decode slot."""
+
+    async def run():
+        server = ContinuousTTSServer(pipe, max_slots=1, steps_per_dispatch=2)
+        await server.start()
+        agen = server.synthesize_streaming("abandoned", prompt_wav=_wav(220),
+                                           max_new_tokens=64)
+        first = None
+        async for chunk in agen:
+            first = chunk
+            break          # abandon after the first chunk
+        await agen.aclose()
+        # the single slot must come free without draining the whole budget
+        for _ in range(200):
+            if server.engine.free_slots() == 1:
+                break
+            await asyncio.sleep(0.05)
+        assert server.engine.free_slots() == 1
+        # and the slot is reusable
+        wav = await server.synthesize("after abandon", prompt_wav=_wav(300),
+                                      max_new_tokens=8)
+        await server.stop()
+        return first, wav
+
+    first, wav = asyncio.new_event_loop().run_until_complete(run())
+    assert first is not None and np.isfinite(wav).all()

@@ -56,3 +56,39 @@ def test_controllable_request(pipe):
 
     res = asyncio.new_event_loop().run_until_complete(run())
     assert np.isfinite(res.wav).all()
+
+
+def test_controllable_requests_use_control_constraint(pipe):
+    """Regression: the batch path must pass mode='control' for gender
+    requests — the clone-mode guided constraint makes global/control tokens
+    unsampleable (wrong-voice audio)."""
+    import asyncio
+
+    from sparktts_tpu.serve.server import TTSRequest, TTSServer
+
+    seen = []
+    orig = pipe.generate_tokens_batch
+
+    def spy(prompts, **kw):
+        seen.append(kw.get("mode", "clone"))
+        return orig(prompts, **kw)
+
+    pipe.generate_tokens_batch = spy
+    try:
+        async def run():
+            server = TTSServer(pipe, max_batch=4, batch_window_ms=30)
+            await server.start()
+            res = await asyncio.gather(
+                server.synthesize(TTSRequest(text="a", prompt_wav=_prompt_wav())),
+                server.synthesize(TTSRequest(
+                    text="b", gender="female", pitch="moderate", speed="moderate"
+                )),
+            )
+            await server.stop()
+            return res
+
+        res = asyncio.new_event_loop().run_until_complete(run())
+    finally:
+        pipe.generate_tokens_batch = orig
+    assert "control" in seen and "clone" in seen
+    assert all(np.isfinite(r.wav).all() for r in res)

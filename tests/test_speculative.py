@@ -202,3 +202,109 @@ def test_sampled_distribution_matches_vanilla(target):
     support = set(van) | set(spec)
     tv = 0.5 * sum(abs(van[x] / n - spec[x] / n) for x in support)
     assert tv < 0.1, f"total-variation distance too high: {tv} (van={van}, spec={spec})"
+
+
+# ---------------------------------------------------------------------------
+# Adversarial non-degenerate coverage: random tiny models collapse to a
+# constant greedy token (prompt copying), which made the original exactness
+# tests vacuous for the rejection path.  A hand-built "cycler" model emits
+# token (i + shift) after consuming i — non-constant, fully predictable — and
+# a shift-2 draft against a shift-1 target disagrees at EVERY position.
+# ---------------------------------------------------------------------------
+
+CYC_H = 32  # hidden == vocab: identity embedding
+
+
+def _cycler_params(shift: int):
+    h = CYC_H
+    eye = jnp.eye(h, dtype=jnp.float32)
+    w_u = jnp.roll(eye, shift, axis=1) - eye          # e_i -> e_{i+shift} - e_i
+    layer = {
+        "ln1": {"gamma": jnp.ones((h,))},
+        "qkv": {"w": jnp.zeros((h, 2 * 4 + 2 * 1 * 4)), "b": jnp.zeros((2 * 4 + 2 * 1 * 4,))},
+        "o": {"w": jnp.zeros((2 * 4, h))},
+        "ln2": {"gamma": jnp.ones((h,))},
+        "gateup": {"w": jnp.concatenate([10.0 * jnp.ones((h, h)), w_u], axis=1)},
+        "down": {"w": eye / (10.0 * h)},
+    }
+    return {
+        "embed": eye,
+        "layers": jax.tree.map(lambda x: x[None], layer),
+        "final_ln": {"gamma": jnp.ones((h,))},
+    }
+
+
+def _cycler_cfg():
+    return QwenConfig(
+        vocab_size=CYC_H, hidden_size=CYC_H, intermediate_size=CYC_H,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=1,
+        head_dim=4, eos_token_id=CYC_H - 1, pad_token_id=0,
+    )
+
+
+def test_cycler_vanilla_is_nonconstant_cycle():
+    cfg = _cycler_cfg()
+    params = _cycler_params(1)
+    ids = jnp.asarray([[4, 9, 2]], jnp.int32)
+    toks, _ = generate(
+        params, cfg, ids, jnp.ones((1, 3), bool), jax.random.PRNGKey(0),
+        max_new_tokens=8, cache_len=24, eos_ids=(), pad_id=0, greedy=True,
+        cache_dtype=jnp.float32,
+    )
+    np.testing.assert_array_equal(np.asarray(toks)[0], [3, 4, 5, 6, 7, 8, 9, 10])
+
+
+def test_rejecting_draft_exactness_nonconstant():
+    """Shift-2 draft vs shift-1 target: every proposal is rejected, so every
+    round exercises the bonus-token path — output must still be the exact
+    target cycle (this catches the rejected-draft-token emission bug)."""
+    cfg = _cycler_cfg()
+    target = _cycler_params(1)
+    for shift, min_acc in ((2, 0), (1, 1)):
+        draft = _cycler_params(shift)
+        toks, lengths, acc = speculative_generate_greedy(
+            target, draft, cfg, cfg,
+            jnp.asarray([[4, 9, 2]], jnp.int32), jnp.ones((1, 3), bool),
+            max_new_tokens=8, cache_len=24, k=3, eos_ids=(), pad_id=0,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(toks)[0], [3, 4, 5, 6, 7, 8, 9, 10],
+            err_msg=f"shift={shift}",
+        )
+        if shift == 2:
+            assert int(acc) == 0  # every draft rejected
+        else:
+            assert int(acc) >= 4  # perfect draft accepts
+
+
+def test_rejecting_draft_batched_mixed_acceptance():
+    """Rows with different acceptance (perfect draft row vs always-rejected
+    row can't be mixed — the draft is shared — so mix prompts with different
+    phases) still advance consistently and stay exact."""
+    cfg = _cycler_cfg()
+    target = _cycler_params(1)
+    draft = _cycler_params(2)
+    ids = jnp.asarray([[4, 9, 2], [0, 7, 20]], jnp.int32)
+    toks, lengths, _ = speculative_generate_greedy(
+        target, draft, cfg, cfg, ids, jnp.ones((2, 3), bool),
+        max_new_tokens=6, cache_len=24, k=4, eos_ids=(), pad_id=0,
+    )
+    np.testing.assert_array_equal(np.asarray(toks)[0], [3, 4, 5, 6, 7, 8])
+    np.testing.assert_array_equal(np.asarray(toks)[1], [21, 22, 23, 24, 25, 26])
+
+
+def test_rejecting_draft_sampled_topk1_exact():
+    """Stochastic path under top_k=1 with an always-rejecting draft must
+    also reproduce the exact cycle (residual sampling collapses to argmax)."""
+    from sparktts_tpu.lm.speculative import speculative_generate
+
+    cfg = _cycler_cfg()
+    target = _cycler_params(1)
+    draft = _cycler_params(2)
+    toks, _, _ = speculative_generate(
+        target, draft, cfg, cfg,
+        jnp.asarray([[4, 9, 2]], jnp.int32), jnp.ones((1, 3), bool),
+        jax.random.PRNGKey(7), max_new_tokens=8, cache_len=24, k=3,
+        temperature=1.0, top_k=1, top_p=1.0, eos_ids=(), pad_id=0,
+    )
+    np.testing.assert_array_equal(np.asarray(toks)[0], [3, 4, 5, 6, 7, 8, 9, 10])
