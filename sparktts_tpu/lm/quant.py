@@ -59,3 +59,53 @@ def quantize_qwen_int8(params: dict, quantize_embed: bool = True) -> dict:
     if "lm_head" in params:
         out["lm_head"] = quantize_linear_int8(params["lm_head"])
     return out
+
+
+def quantize_linear_int4(p: dict, group: int = 128) -> dict:
+    """{"w": (..., in, out)} → {"w_p4": int8 (..., in/2, out) nibble-packed,
+    "gscale": (..., in/group, out)}.
+
+    Weight-only int4 with GROUP-WISE scales along the contraction dim (plain
+    per-channel int4's 15 levels lose too much).  Parity role: TRT-LLM's
+    int4 weight-only flags (reference convert_checkpoint.py:160-231).  Two
+    4-bit values pack into each int8 (native int4 arrays don't transfer
+    through every backend); the matmul unpacks per group and applies the
+    (G, out) scales to partial sums — no dequantized matrix materialized
+    (`nn/layers.py`)."""
+    w = jnp.asarray(p["w"], jnp.float32)
+    d_in = w.shape[-2]
+    assert d_in % group == 0 and group % 2 == 0, (d_in, group)
+    g = d_in // group
+    wg = w.reshape(*w.shape[:-2], g, group, w.shape[-1])
+    scale = jnp.max(jnp.abs(wg), axis=-2) / 7.0           # (..., G, out)
+    scale = jnp.where(scale == 0, 1.0, scale)
+    w_q = jnp.clip(jnp.round(wg / scale[..., None, :]), -7, 7).astype(jnp.int32)
+    w_q = w_q.reshape(w.shape)                            # (..., in, out)
+    lo = w_q[..., 0::2, :] & 0xF
+    hi = (w_q[..., 1::2, :] & 0xF) << 4
+    out = {
+        "w_p4": (lo | hi).astype(jnp.int8),
+        "gscale": scale.astype(jnp.float32),
+    }
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
+
+
+def quantize_qwen_int4(params: dict, group: int = 128) -> dict:
+    """Int4 weight-only for every transformer linear; the embedding stays
+    per-row int8 (a 15-level row over 896 dims degrades the tied logits too
+    far, and guided decoding already shrinks its traffic)."""
+    layers = params["layers"]
+    qlayers = {"ln1": layers["ln1"], "ln2": layers["ln2"]}
+    for k in QUANT_KEYS:
+        qlayers[k] = quantize_linear_int4(layers[k], group)
+    out = {"final_ln": params["final_ln"], "layers": qlayers}
+    out["embed"] = (
+        quantize_embedding_int8(params["embed"])
+        if not isinstance(params["embed"], dict)
+        else params["embed"]
+    )
+    if "lm_head" in params:
+        out["lm_head"] = quantize_linear_int4(params["lm_head"], group)
+    return out

@@ -53,7 +53,9 @@ def sample_token(
     """
     scaled = logits / temperature
     # measured on v5e: flat top_k over the 166k vocab is not the decode
-    # bottleneck, and the two-stage variant compiled slower — keep it simple
+    # bottleneck, and the two-stage variant compiled slower — keep it simple.
+    # guided decoding can shrink the vocab axis below k — clamp (static).
+    top_k = min(top_k, logits.shape[-1])
     vals, idx = jax.lax.top_k(scaled, top_k)  # (B, k) descending
 
     # nucleus within the top-k support (HF TopPLogitsWarper semantics: keep
@@ -84,6 +86,7 @@ def warped_probs(
     for its acceptance ratios."""
     b, v = logits.shape
     scaled = logits / temperature
+    top_k = min(top_k, v)
     vals, idx = jax.lax.top_k(scaled, top_k)
     probs = jax.nn.softmax(vals, axis=-1)
     cum_exclusive = jnp.cumsum(probs, axis=-1) - probs

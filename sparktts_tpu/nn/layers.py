@@ -37,7 +37,25 @@ def init_linear(key, in_dim: int, out_dim: int, bias: bool = True, std: float = 
 
 
 def linear_apply(p, x):
-    if "w_q" in p:
+    if "w_p4" in p:
+        # weight-only int4 (nibble-packed int8) with group-wise scales along
+        # the contraction dim (lm/quant.py): unpack with shifts (arithmetic
+        # right-shift sign-extends), per-group partial matmuls, scales on
+        # the partial sums — no dequantized matrix materialized
+        packed, s = p["w_p4"], p["gscale"]      # (in/2, out), (G, out)
+        lo = ((packed << 4) >> 4).astype(x.dtype)  # even rows
+        hi = (packed >> 4).astype(x.dtype)         # odd rows
+        w = jnp.stack((lo, hi), axis=-2)           # (in/2, 2, out)
+        d_in = 2 * packed.shape[-2]
+        g = s.shape[-2]
+        group = d_in // g
+        xg = x.reshape(*x.shape[:-1], g, group)
+        wg = w.reshape(g, group, w.shape[-1])
+        partial = jnp.einsum(
+            "...gi,gio->...go", xg, wg, preferred_element_type=jnp.float32
+        )
+        y = jnp.sum(partial * s, axis=-2).astype(x.dtype)
+    elif "w_q" in p:
         # weight-only int8: cast weights up to the activation dtype for the
         # MXU matmul, apply the per-out-channel scale to the OUTPUT (fusable,
         # never materializes a dequantized matrix)

@@ -78,3 +78,42 @@ def test_quantized_memory_halved():
         return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(t))
 
     assert nbytes(qparams) < 0.75 * nbytes(params)
+
+
+def test_int4_weight_only_close_to_fp():
+    """Group-wise int4: logits stay close to fp32 and greedy generation over
+    a short horizon matches (tiny model, small vocab)."""
+    from sparktts_tpu.lm.quant import quantize_qwen_int4
+
+    params = init_qwen(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    qparams = quantize_qwen_int4(params, group=16)
+
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(10, CFG.vocab_size, size=(2, 10)), jnp.int32)
+    pos, bias = prefill_inputs(jnp.ones((2, 10), bool), 16)
+    cache = init_kv_cache(CFG, 2, 16, jnp.float32)
+    cache2 = init_kv_cache(CFG, 2, 16, jnp.float32)
+    logits_fp, _ = qwen_forward(params, CFG, ids, pos, cache, 0, bias)
+    logits_q4, _ = qwen_forward(qparams, CFG, ids, pos, cache2, 0, bias)
+    # int4 is lossier than int8; correlation must stay near-perfect
+    a = np.asarray(logits_fp).reshape(-1)
+    b = np.asarray(logits_q4).reshape(-1)
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.99, corr
+
+
+def test_int4_generate_runs_and_is_guided_compatible():
+    from sparktts_tpu.lm.generate import generate
+    from sparktts_tpu.lm.quant import quantize_qwen_int4
+
+    params = init_qwen(jax.random.PRNGKey(1), CFG, dtype=jnp.float32)
+    qparams = quantize_qwen_int4(params, group=16)
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(10, CFG.vocab_size, size=(1, 8)), jnp.int32)
+    toks, lengths = generate(
+        qparams, CFG, ids, jnp.ones((1, 8), bool), jax.random.PRNGKey(0),
+        max_new_tokens=8, cache_len=24, eos_ids=(), pad_id=0,
+        vocab_slice=(8, 40), extra_ids=(5,),
+    )
+    t = np.asarray(toks)[0]
+    assert all(8 <= x < 40 or x == 5 for x in t)
