@@ -322,6 +322,10 @@ def serve_http(
             elif self.path == "/health":
                 ok = server.healthy
                 self._send_json({"healthy": ok}, 200 if ok else 503)
+            elif self.path in ("/v2/health/ready", "/v2/health/live"):
+                # Triton v2 health surface (reference clients probe these)
+                self.send_response(200 if server.healthy else 503)
+                self.end_headers()
             else:
                 self._send_json({"error": "not found"}, 404)
 
@@ -346,8 +350,21 @@ def serve_http(
 
         def do_POST(self):
             length = int(self.headers.get("Content-Length", 0))
+            raw = self.rfile.read(length)
+            # Triton v2 inference protocol (KServe): lets the reference's own
+            # HTTP client (reference runtime/triton_trtllm/client_http.py)
+            # talk to this server unchanged
+            if self.path.split("?")[0].startswith("/v2/models/") and self.path.split(
+                "?"
+            )[0].endswith("/infer"):
+                try:
+                    payload = json.loads(raw)
+                    self._do_v2_infer(payload)
+                except (json.JSONDecodeError, ValueError, KeyError) as e:
+                    self._send_json({"error": f"bad request: {e}"}, 400)
+                return
             try:
-                payload = json.loads(self.rfile.read(length))
+                payload = json.loads(raw)
                 if not isinstance(payload, dict) or "text" not in payload:
                     raise ValueError('missing required field "text"')
             except (json.JSONDecodeError, ValueError) as e:
@@ -359,6 +376,41 @@ def serve_http(
                 self._do_tts_stream(payload)
             else:
                 self._send_json({"error": "not found"}, 404)
+
+        def _do_v2_infer(self, payload):
+            """KServe/Triton v2 JSON infer: inputs reference_wav (FP32),
+            reference_wav_len (INT32), reference_text / target_text (BYTES) →
+            outputs [{name: waveform, datatype: FP32, data: [...]}] (the
+            reference server's I/O contract,
+            model_repo/spark_tts/config.pbtxt)."""
+            inputs = {i["name"]: i for i in payload["inputs"]}
+            wav = np.asarray(
+                inputs["reference_wav"]["data"], np.float32
+            ).reshape(-1)
+            if "reference_wav_len" in inputs:
+                n = int(np.asarray(inputs["reference_wav_len"]["data"]).reshape(-1)[0])
+                wav = wav[:n]
+            ref_text = inputs.get("reference_text", {}).get("data", [None])[0] or None
+            target_text = inputs["target_text"]["data"][0]
+            req = TTSRequest(
+                text=target_text, prompt_wav=wav, prompt_text=ref_text
+            )
+            fut = asyncio.run_coroutine_threadsafe(server.synthesize(req), loop)
+            res: TTSResult = fut.result()
+            out = res.wav.astype(np.float32)
+            self._send_json(
+                {
+                    "model_name": self.path.split("/")[3],
+                    "outputs": [
+                        {
+                            "name": "waveform",
+                            "datatype": "FP32",
+                            "shape": [1, len(out)],
+                            "data": out.tolist(),
+                        }
+                    ],
+                }
+            )
 
         def _do_tts(self, payload):
             req = self._parse_payload(payload)

@@ -124,3 +124,57 @@ def test_profiling_stats():
     assert summary["x"]["count"] == 2
     assert summary["x"]["max_ms"] >= 10
     assert "x" in s.report()
+
+
+def test_triton_v2_infer_endpoint(server_port):
+    """The reference's own Triton v2 HTTP client payload must work unchanged
+    (reference runtime/triton_trtllm/client_http.py:83-141)."""
+    import json
+    import urllib.request
+
+    host, port = "127.0.0.1", server_port
+    rng = np.random.default_rng(0)
+    wav = (0.2 * rng.standard_normal(16000)).astype(np.float32)
+    data = {
+        "inputs": [
+            {
+                "name": "reference_wav",
+                "shape": [1, len(wav)],
+                "datatype": "FP32",
+                "data": wav.reshape(1, -1).tolist(),
+            },
+            {
+                "name": "reference_wav_len",
+                "shape": [1, 1],
+                "datatype": "INT32",
+                "data": [[len(wav)]],
+            },
+            {
+                "name": "reference_text",
+                "shape": [1, 1],
+                "datatype": "BYTES",
+                "data": ["reference words"],
+            },
+            {
+                "name": "target_text",
+                "shape": [1, 1],
+                "datatype": "BYTES",
+                "data": ["hello from the v2 protocol"],
+            },
+        ]
+    }
+    req = urllib.request.Request(
+        f"http://{host}:{port}/v2/models/spark_tts/infer?request_id=0",
+        data=json.dumps(data).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=300) as rsp:
+        result = json.loads(rsp.read())
+    out = result["outputs"][0]
+    assert out["name"] == "waveform" and out["datatype"] == "FP32"
+    audio = np.asarray(out["data"], np.float32)
+    assert audio.size > 0 and np.isfinite(audio).all()
+
+    # health surface
+    with urllib.request.urlopen(f"http://{host}:{port}/v2/health/ready", timeout=30) as r:
+        assert r.status == 200
