@@ -62,3 +62,36 @@ def train_step(
     updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     return TrainState(params=params, opt_state=opt_state, step=state.step + 1), loss
+
+
+def save_train_state(ckpt_dir, state: TrainState) -> None:
+    """Persist the full training state (params + optimizer moments + step)
+    for resumable fine-tuning — the checkpoint/resume capability the
+    inference-only reference lacks (SURVEY.md §5.4)."""
+    from sparktts_tpu.checkpoint import save_param_cache
+
+    save_param_cache(ckpt_dir, {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    })
+
+
+def load_train_state(ckpt_dir, optimizer: optax.GradientTransformation):
+    """Restore a saved training state; None if absent.  The optimizer is
+    only used to rebuild the opt_state pytree structure (orbax restores raw
+    arrays)."""
+    from sparktts_tpu.checkpoint import load_param_cache
+
+    raw = load_param_cache(ckpt_dir)
+    if raw is None:
+        return None
+    ref = optimizer.init(raw["params"])
+    opt_state = jax.tree.unflatten(
+        jax.tree.structure(ref), jax.tree.leaves(raw["opt_state"])
+    )
+    return TrainState(
+        params=raw["params"],
+        opt_state=opt_state,
+        step=jnp.asarray(raw["step"], jnp.int32),
+    )

@@ -50,3 +50,47 @@ def test_loss_mask_excludes_positions():
     part = float(lm_loss(params, CFG, ids, part_mask))
     assert np.isfinite(full) and np.isfinite(part)
     assert abs(full - part) > 1e-6
+
+
+def test_train_state_save_restore_resumes(tmp_path):
+    """Checkpoint/resume: save mid-training, restore, continue — the resumed
+    run must match an uninterrupted run step-for-step (same data order)."""
+    from sparktts_tpu.lm.qwen import init_qwen
+    from sparktts_tpu.lm.train import (
+        init_train_state,
+        load_train_state,
+        make_optimizer,
+        save_train_state,
+        train_step,
+    )
+
+    params = init_qwen(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    optimizer = make_optimizer(1e-3)
+    rng = np.random.default_rng(0)
+    batches = [
+        jnp.asarray(rng.integers(1, CFG.vocab_size, size=(2, 12)), jnp.int32)
+        for _ in range(6)
+    ]
+    mask = jnp.ones((2, 12), bool)
+    step = jax.jit(functools.partial(train_step, cfg=CFG, optimizer=optimizer))
+
+    # uninterrupted run
+    ref = init_train_state(params, optimizer)
+    for b in batches:
+        ref, ref_loss = step(ref, input_ids=b, loss_mask=mask)
+
+    # interrupted at step 3, saved, restored, resumed
+    st = init_train_state(params, optimizer)
+    for b in batches[:3]:
+        st, _ = step(st, input_ids=b, loss_mask=mask)
+    save_train_state(tmp_path / "ckpt", st)
+    restored = load_train_state(tmp_path / "ckpt", optimizer)
+    assert restored is not None and int(restored.step) == 3
+    for b in batches[3:]:
+        restored, res_loss = step(restored, input_ids=b, loss_mask=mask)
+
+    assert int(restored.step) == int(ref.step) == 6
+    np.testing.assert_allclose(float(res_loss), float(ref_loss), rtol=1e-5)
+    for a, b_ in zip(jax.tree.leaves(ref.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-5, atol=1e-6)
+    assert load_train_state(tmp_path / "missing", optimizer) is None
