@@ -58,6 +58,47 @@ def init_slots(cfg: QwenConfig, max_slots: int, cache_len: int, rng, cache_dtype
     )
 
 
+def prefill_one(
+    params,
+    cfg: QwenConfig,
+    input_ids: jax.Array,   # (1, t_pad) right-padded
+    prompt_len: jax.Array,  # scalar int32
+    rng: jax.Array,
+    cache_dtype,
+    temperature: float,
+    top_k: int,
+    top_p: float,
+    greedy: bool,
+    vocab_slice: Tuple[int, int] | None,
+    extra_ids: Tuple[int, ...],
+):
+    """Shared single-prompt admission prefill (dense and paged engines):
+    runs the prompt through the model with a causal+pad mask, samples the
+    first new token.  Returns (first_tok scalar, tmp KVCache (L,1,t_pad,...),
+    new rng)."""
+    from sparktts_tpu.lm.generate import _expand_constrained
+
+    t_pad = input_ids.shape[1]
+    mask = jnp.arange(t_pad)[None, :] < prompt_len
+    tmp_cache = init_kv_cache(cfg, 1, t_pad, cache_dtype)
+    positions = jnp.minimum(jnp.arange(t_pad)[None, :], prompt_len - 1)
+    q_idx = jnp.arange(t_pad)[None, :, None]
+    k_idx = jnp.arange(t_pad)[None, None, :]
+    bias = jnp.where((k_idx <= q_idx) & mask[:, None, :], 0.0, -1e9).astype(jnp.float32)
+    logits, tmp_cache = qwen_forward(
+        params, cfg, input_ids, positions, tmp_cache, 0, bias,
+        vocab_slice=vocab_slice, extra_ids=extra_ids,
+    )
+    last = jnp.take_along_axis(logits, (prompt_len - 1).reshape(1, 1, 1), axis=1)
+    rng, sub = jax.random.split(rng)
+    if greedy:
+        first_tok = greedy_token(last[:, 0])[0]
+    else:
+        first_tok = sample_token(sub, last[:, 0], temperature, top_k, top_p)[0]
+    first_tok = _expand_constrained(first_tok, vocab_slice, extra_ids)
+    return first_tok, tmp_cache, rng
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "slot_cache_len", "top_k", "greedy", "vocab_slice", "extra_ids"),
@@ -86,29 +127,10 @@ def admit_prefill(
     within prefill by the causal+pad bias.
     """
     t_pad = input_ids.shape[1]
-    mask = jnp.arange(t_pad)[None, :] < prompt_len
-    # temp single-row cache for the prefill pass
-    tmp_cache = init_kv_cache(cfg, 1, t_pad, slots.cache.k.dtype)
-    positions = jnp.minimum(jnp.arange(t_pad)[None, :], prompt_len - 1)
-    q_idx = jnp.arange(t_pad)[None, :, None]
-    k_idx = jnp.arange(t_pad)[None, None, :]
-    bias = jnp.where((k_idx <= q_idx) & mask[:, None, :], 0.0, -1e9).astype(jnp.float32)
-    logits, tmp_cache = qwen_forward(
-        params, cfg, input_ids, positions, tmp_cache, 0, bias,
-        vocab_slice=vocab_slice, extra_ids=extra_ids,
+    first_tok, tmp_cache, rng = prefill_one(
+        params, cfg, input_ids, prompt_len, slots.rng, slots.cache.k.dtype,
+        temperature, top_k, top_p, greedy, vocab_slice, extra_ids,
     )
-
-    # last real token's logits
-    last = jnp.take_along_axis(logits, (prompt_len - 1)[None, None, None].reshape(1, 1, 1), axis=1)
-    rng, sub = jax.random.split(slots.rng)
-    if greedy:
-        first_tok = greedy_token(last[:, 0])[0]
-    else:
-        first_tok = sample_token(sub, last[:, 0], temperature, top_k, top_p)[0]
-    if vocab_slice is not None:
-        from sparktts_tpu.lm.generate import _expand_constrained
-
-        first_tok = _expand_constrained(first_tok, vocab_slice, extra_ids)
 
     # install prompt K/V into the slot row: (L, 1, t_pad, nkv, hd) → row
     k_row = jax.lax.dynamic_update_slice(

@@ -35,11 +35,9 @@ from sparktts_tpu.lm.generate import _expand_constrained
 from sparktts_tpu.lm.qwen import (
     embed_lookup,
     head_logits,
-    init_kv_cache,
     lm_logits,
     mlp_block,
     project_qkv,
-    qwen_forward,
 )
 from sparktts_tpu.lm.sample import greedy_token, sample_token
 from sparktts_tpu.nn.layers import linear_apply, rms_norm_apply
@@ -232,27 +230,16 @@ def paged_admit_prefill(
 ) -> PagedSlotState:
     """Prefill one prompt densely, scatter its K/V into the slot's pages, and
     install the slot (same admission contract as the dense engine's
-    admit_prefill, `lm/continuous.py`)."""
+    admit_prefill, `lm/continuous.py` — the prefill itself is the shared
+    `prefill_one`)."""
+    from sparktts_tpu.lm.continuous import prefill_one
+
     t_pad = input_ids.shape[1]
     page_size = slots.k_pages.shape[3]
-    mask = jnp.arange(t_pad)[None, :] < prompt_len
-    tmp_cache = init_kv_cache(cfg, 1, t_pad, slots.k_pages.dtype)
-    positions = jnp.minimum(jnp.arange(t_pad)[None, :], prompt_len - 1)
-    q_idx = jnp.arange(t_pad)[None, :, None]
-    k_idx = jnp.arange(t_pad)[None, None, :]
-    bias = jnp.where((k_idx <= q_idx) & mask[:, None, :], 0.0, -1e9).astype(jnp.float32)
-    logits, tmp_cache = qwen_forward(
-        params, cfg, input_ids, positions, tmp_cache, 0, bias,
-        vocab_slice=vocab_slice, extra_ids=extra_ids,
+    first_tok, tmp_cache, rng = prefill_one(
+        params, cfg, input_ids, prompt_len, slots.rng, slots.k_pages.dtype,
+        temperature, top_k, top_p, greedy, vocab_slice, extra_ids,
     )
-
-    last = jnp.take_along_axis(logits, (prompt_len - 1).reshape(1, 1, 1), axis=1)
-    rng, sub = jax.random.split(slots.rng)
-    if greedy:
-        first_tok = greedy_token(last[:, 0])[0]
-    else:
-        first_tok = sample_token(sub, last[:, 0], temperature, top_k, top_p)[0]
-    first_tok = _expand_constrained(first_tok, vocab_slice, extra_ids)
 
     # (L, 1, t_pad, nkv, hd) → (L, nkv, n_prompt_pages, page_size, hd)
     def to_pages(c):
