@@ -24,14 +24,28 @@ def main():
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--max_batch", type=int, default=16)
     parser.add_argument("--max_new_tokens", type=int, default=3000)
+    parser.add_argument("--paged_kv", action="store_true",
+                        help="paged KV cache for the streaming engine")
+    parser.add_argument("--speculative_k", type=int, default=0,
+                        help="draft-k-then-verify speculative decoding (0 = off)")
+    parser.add_argument("--no_guided", action="store_true",
+                        help="disable guided decoding (full-vocab sampling)")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
     from sparktts_tpu.pipeline import SparkTTSPipeline
     from sparktts_tpu.serve.server import serve_http
 
-    pipe = SparkTTSPipeline(model_dir=args.model_dir, max_new_tokens=args.max_new_tokens)
-    serve_http(pipe, host=args.host, port=args.port, max_batch=args.max_batch)
+    pipe = SparkTTSPipeline(
+        model_dir=args.model_dir,
+        max_new_tokens=args.max_new_tokens,
+        guided=not args.no_guided,
+        speculative_k=args.speculative_k,
+    )
+    serve_http(
+        pipe, host=args.host, port=args.port, max_batch=args.max_batch,
+        paged_kv=args.paged_kv,
+    )
 
 
 if __name__ == "__main__":

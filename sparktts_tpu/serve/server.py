@@ -263,6 +263,7 @@ def serve_http(
     streaming: bool = True,
     stream_max_slots: int = 2,
     stream_steps_per_dispatch: int = 16,
+    paged_kv: bool = False,
 ):
     """Blocking HTTP JSON server.
 
@@ -289,6 +290,7 @@ def serve_http(
             pipeline,
             max_slots=stream_max_slots,
             steps_per_dispatch=stream_steps_per_dispatch,
+            paged=paged_kv,
         )
     loop = asyncio.new_event_loop()
 
