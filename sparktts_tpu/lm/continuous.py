@@ -126,7 +126,6 @@ def admit_prefill(
     Pad keys beyond prompt_len are masked by each future step's key mask, and
     within prefill by the causal+pad bias.
     """
-    t_pad = input_ids.shape[1]
     first_tok, tmp_cache, rng = prefill_one(
         params, cfg, input_ids, prompt_len, slots.rng, slots.cache.k.dtype,
         temperature, top_k, top_p, greedy, vocab_slice, extra_ids,

@@ -355,7 +355,19 @@ def head_logits(
     head = params["lm_head"]
     if vocab_slice is None:
         return linear_apply(head, x).astype(jnp.float32)
-    if "w_q" in head:
+    if "w_p4" in head:
+        # int4 nibble-packed head: unpack, fold the group scales into a
+        # dense (H, V) view, then slice rows like the fp path.  The head is
+        # only sliced once per program (constant-folded), so the transient
+        # dequant is a compile-time cost, not a per-step one.
+        packed, gs = head["w_p4"], head["gscale"]   # (in/2, out), (G, out)
+        lo = ((packed << 4) >> 4).astype(jnp.float32)
+        hi = (packed >> 4).astype(jnp.float32)
+        w_full = jnp.stack((lo, hi), axis=-2).reshape(2 * packed.shape[-2], -1)
+        group = w_full.shape[0] // gs.shape[-2]
+        w_full = w_full * jnp.repeat(gs, group, axis=-2)
+        w, scale = _select_vocab_rows(w_full.T, vocab_slice, extra_ids), None
+    elif "w_q" in head:
         w = _select_vocab_rows(head["w_q"].T, vocab_slice, extra_ids)
         scale = _select_vocab_rows(head["scale"].reshape(-1), vocab_slice, extra_ids)
     else:

@@ -86,10 +86,29 @@ def load_train_state(ckpt_dir, optimizer: optax.GradientTransformation):
     raw = load_param_cache(ckpt_dir)
     if raw is None:
         return None
+    # orbax restores namedtuples as dicts with SORTED keys; pairing sorted
+    # leaves with the optax namedtuple structure is only safe when field
+    # names happen to be alphabetical.  Re-sort the reference structure's
+    # leaf order the same way orbax serialized them: flatten the restored
+    # dict-tree and the reference tree both as path-sorted leaves.
     ref = optimizer.init(raw["params"])
-    opt_state = jax.tree.unflatten(
-        jax.tree.structure(ref), jax.tree.leaves(raw["opt_state"])
+    ref_paths = jax.tree_util.tree_flatten_with_path(ref)[0]
+    raw_paths = dict(
+        (tuple(str(k) for k in path), leaf)
+        for path, leaf in jax.tree_util.tree_flatten_with_path(raw["opt_state"])[0]
     )
+
+    def norm(path):
+        out = []
+        for k in path:
+            s_ = str(k)
+            # namedtuple attr '.mu' vs restored dict key "['mu']"
+            out.append(s_.strip(".[]'\""))
+        return tuple(out)
+
+    raw_by_norm = {norm(p_): v for p_, v in raw_paths.items()}
+    leaves = [raw_by_norm[norm(p_)] for p_, _ in ref_paths]
+    opt_state = jax.tree.unflatten(jax.tree.structure(ref), leaves)
     return TrainState(
         params=raw["params"],
         opt_state=opt_state,

@@ -325,8 +325,11 @@ def serve_http(
                 ok = server.healthy
                 self._send_json({"healthy": ok}, 200 if ok else 503)
             elif self.path in ("/v2/health/ready", "/v2/health/live"):
-                # Triton v2 health surface (reference clients probe these)
+                # Triton v2 health surface (reference clients probe these).
+                # Content-Length is mandatory on a keep-alive connection —
+                # without it body-reading probes block until timeout.
                 self.send_response(200 if server.healthy else 503)
+                self.send_header("Content-Length", "0")
                 self.end_headers()
             else:
                 self._send_json({"error": "not found"}, 404)
@@ -362,7 +365,10 @@ def serve_http(
                 try:
                     payload = json.loads(raw)
                     self._do_v2_infer(payload)
-                except (json.JSONDecodeError, ValueError, KeyError) as e:
+                except (
+                    json.JSONDecodeError, ValueError, KeyError,
+                    TypeError, IndexError, AttributeError,
+                ) as e:
                     self._send_json({"error": f"bad request: {e}"}, 400)
                 return
             try:
@@ -386,14 +392,23 @@ def serve_http(
             reference server's I/O contract,
             model_repo/spark_tts/config.pbtxt)."""
             inputs = {i["name"]: i for i in payload["inputs"]}
+
+            def text_input(name):
+                # KServe allows data nested per shape ([["hi"]]) or flat
+                data = inputs.get(name, {}).get("data")
+                flat = np.asarray(data, dtype=object).reshape(-1) if data else []
+                return str(flat[0]) if len(flat) else None
+
             wav = np.asarray(
                 inputs["reference_wav"]["data"], np.float32
             ).reshape(-1)
             if "reference_wav_len" in inputs:
                 n = int(np.asarray(inputs["reference_wav_len"]["data"]).reshape(-1)[0])
                 wav = wav[:n]
-            ref_text = inputs.get("reference_text", {}).get("data", [None])[0] or None
-            target_text = inputs["target_text"]["data"][0]
+            ref_text = text_input("reference_text")
+            target_text = text_input("target_text")
+            if target_text is None:
+                raise ValueError("missing target_text")
             req = TTSRequest(
                 text=target_text, prompt_wav=wav, prompt_text=ref_text
             )

@@ -178,3 +178,52 @@ def test_triton_v2_infer_endpoint(server_port):
     # health surface
     with urllib.request.urlopen(f"http://{host}:{port}/v2/health/ready", timeout=30) as r:
         assert r.status == 200
+
+
+def test_v2_endpoint_robustness(server_port):
+    """Malformed v2 payloads return 400 (not a dropped connection); nested
+    BYTES data (KServe-legal) works; health responses carry Content-Length."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    base = f"http://127.0.0.1:{server_port}"
+
+    def post(body):
+        req = urllib.request.Request(
+            f"{base}/v2/models/spark_tts/infer", data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=120) as rsp:
+                return rsp.status, json.loads(rsp.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    # not a dict
+    code, _ = post([])
+    assert code == 400
+    # empty text data list
+    code, _ = post({"inputs": [
+        {"name": "reference_wav", "shape": [1, 4], "datatype": "FP32",
+         "data": [[0.0, 0.0, 0.0, 0.0]]},
+        {"name": "target_text", "shape": [1, 1], "datatype": "BYTES", "data": []},
+    ]})
+    assert code == 400
+
+    # nested BYTES data, the same nesting the spec allows for FP32
+    rng = np.random.default_rng(1)
+    wav = (0.2 * rng.standard_normal(16000)).astype(np.float32)
+    code, result = post({"inputs": [
+        {"name": "reference_wav", "shape": [1, len(wav)], "datatype": "FP32",
+         "data": wav.reshape(1, -1).tolist()},
+        {"name": "target_text", "shape": [1, 1], "datatype": "BYTES",
+         "data": [["nested text data"]]},
+    ]})
+    assert code == 200
+    assert len(result["outputs"][0]["data"]) > 0
+
+    # health endpoints must be body-delimited on keep-alive connections
+    with urllib.request.urlopen(f"{base}/v2/health/live", timeout=30) as r:
+        assert r.status == 200
+        assert r.read() == b""  # returns immediately — Content-Length: 0

@@ -117,3 +117,37 @@ def test_int4_generate_runs_and_is_guided_compatible():
     )
     t = np.asarray(toks)[0]
     assert all(8 <= x < 40 or x == 5 for x in t)
+
+
+def test_int4_untied_head_guided_decoding():
+    """head_logits must handle the nibble-packed int4 head under a vocab
+    constraint (untied-embeddings config)."""
+    import dataclasses
+
+    from sparktts_tpu.lm.generate import generate
+    from sparktts_tpu.lm.quant import quantize_qwen_int4
+
+    cfg = dataclasses.replace(CFG, tie_word_embeddings=False)
+    params = init_qwen(jax.random.PRNGKey(2), cfg, dtype=jnp.float32)
+    qparams = quantize_qwen_int4(params, group=16)
+    assert "w_p4" in qparams["lm_head"]
+    rng = np.random.default_rng(2)
+    ids = jnp.asarray(rng.integers(10, cfg.vocab_size, size=(1, 8)), jnp.int32)
+    toks, _ = generate(
+        qparams, cfg, ids, jnp.ones((1, 8), bool), jax.random.PRNGKey(0),
+        max_new_tokens=6, cache_len=24, eos_ids=(), pad_id=0,
+        greedy=True, vocab_slice=(8, 40), extra_ids=(5,),
+    )
+    t = np.asarray(toks)[0]
+    assert all(8 <= x < 40 or x == 5 for x in t)
+
+    # guided greedy must agree with the dense int4 argmax over the slice
+    from sparktts_tpu.lm.qwen import head_logits, init_kv_cache, prefill_inputs, qwen_forward
+
+    cache = init_kv_cache(cfg, 1, 24, jnp.float32)
+    pos, bias = prefill_inputs(jnp.ones((1, 8), bool), 24)
+    full, _ = qwen_forward(qparams, cfg, ids, pos, cache, 0, bias)
+    masked = np.full(cfg.vocab_size, -np.inf)
+    masked[8:40] = np.asarray(full)[0, -1, 8:40]
+    masked[5] = np.asarray(full)[0, -1, 5]
+    assert int(t[0]) == int(np.argmax(masked))

@@ -94,3 +94,46 @@ def test_train_state_save_restore_resumes(tmp_path):
     for a, b_ in zip(jax.tree.leaves(ref.params), jax.tree.leaves(restored.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-5, atol=1e-6)
     assert load_train_state(tmp_path / "missing", optimizer) is None
+
+
+def test_train_state_restore_nonalphabetical_opt_state(tmp_path):
+    """Orbax restores namedtuples as SORTED-key dicts; the loader must match
+    leaves by field NAME, not flatten order (a state whose fields aren't
+    alphabetical breaks naive zip-unflatten)."""
+    from typing import NamedTuple
+
+    import optax
+
+    from sparktts_tpu.lm.qwen import init_qwen
+    from sparktts_tpu.lm.train import (
+        init_train_state,
+        load_train_state,
+        save_train_state,
+    )
+
+    class Weird(NamedTuple):  # deliberately non-alphabetical field order
+        zeta: object
+        alpha: object
+
+    def weird_transform():
+        def init_fn(params):
+            return Weird(
+                zeta=jax.tree.map(lambda p: jnp.full_like(p, 7.0), params),
+                alpha=jax.tree.map(jnp.zeros_like, params),
+            )
+
+        def update_fn(updates, state, params=None):
+            return updates, state
+
+        return optax.GradientTransformation(init_fn, update_fn)
+
+    params = init_qwen(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    optimizer = weird_transform()
+    st = init_train_state(params, optimizer)
+    save_train_state(tmp_path / "w", st)
+    restored = load_train_state(tmp_path / "w", optimizer)
+    # zeta must come back as the 7s, alpha as the zeros — name-matched
+    z = jax.tree.leaves(restored.opt_state.zeta)[0]
+    a = jax.tree.leaves(restored.opt_state.alpha)[0]
+    assert float(np.asarray(z).reshape(-1)[0]) == 7.0
+    assert float(np.asarray(a).reshape(-1)[0]) == 0.0
