@@ -39,22 +39,35 @@ def init_linear(key, in_dim: int, out_dim: int, bias: bool = True, std: float = 
 def linear_apply(p, x):
     if "w_p4" in p:
         # weight-only int4 (nibble-packed int8) with group-wise scales along
-        # the contraction dim (lm/quant.py): unpack with shifts (arithmetic
-        # right-shift sign-extends), per-group partial matmuls, scales on
-        # the partial sums — no dequantized matrix materialized
+        # the contraction dim (lm/quant.py).  Decode shapes (few rows) go
+        # through the Pallas matvec kernel, which unpacks nibbles in VMEM so
+        # weights stream at 4 bits (the XLA formulation below materializes
+        # the unpacked bf16 matrix in HBM every call — measured 9x slower at
+        # decode on v5e).  Wider shapes (prefill) amortize the one-off unpack
+        # and stay on the XLA path.
         packed, s = p["w_p4"], p["gscale"]      # (in/2, out), (G, out)
-        lo = ((packed << 4) >> 4).astype(x.dtype)  # even rows
-        hi = (packed >> 4).astype(x.dtype)         # odd rows
-        w = jnp.stack((lo, hi), axis=-2)           # (in/2, 2, out)
         d_in = 2 * packed.shape[-2]
-        g = s.shape[-2]
-        group = d_in // g
-        xg = x.reshape(*x.shape[:-1], g, group)
-        wg = w.reshape(g, group, w.shape[-1])
-        partial = jnp.einsum(
-            "...gi,gio->...go", xg, wg, preferred_element_type=jnp.float32
-        )
-        y = jnp.sum(partial * s, axis=-2).astype(x.dtype)
+        rows = 1
+        for d in x.shape[:-1]:
+            rows *= d
+        if rows <= 32 and jax.default_backend() != "cpu":
+            from sparktts_tpu.kernels.int4_matmul import int4_matvec
+
+            y = int4_matvec(x.reshape(rows, d_in), packed, s).reshape(
+                *x.shape[:-1], packed.shape[-1]
+            )
+        else:
+            lo = ((packed << 4) >> 4).astype(x.dtype)  # even rows
+            hi = (packed >> 4).astype(x.dtype)         # odd rows
+            w = jnp.stack((lo, hi), axis=-2)           # (in/2, 2, out)
+            g = s.shape[-2]
+            group = d_in // g
+            xg = x.reshape(*x.shape[:-1], g, group)
+            wg = w.reshape(g, group, w.shape[-1])
+            partial = jnp.einsum(
+                "...gi,gio->...go", xg, wg, preferred_element_type=jnp.float32
+            )
+            y = jnp.sum(partial * s, axis=-2).astype(x.dtype)
     elif "w_q" in p:
         # weight-only int8: cast weights up to the activation dtype for the
         # MXU matmul, apply the per-out-channel scale to the OUTPUT (fusable,
