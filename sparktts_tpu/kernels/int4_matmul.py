@@ -21,7 +21,6 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
 def _int4_matvec_kernel(
@@ -86,6 +85,7 @@ def int4_matvec(
     tile_out = min(tile_out, d_out)
     while (half_in * tile_out > budget_bytes or d_out % tile_out) and tile_out % 2 == 0:
         tile_out //= 2
+    assert d_out % tile_out == 0, (d_out, tile_out)
     b_pad = max(8, ((b + 7) // 8) * 8)
     if b_pad != b:
         x = jnp.pad(x, ((0, b_pad - b), (0, 0)))
@@ -116,9 +116,9 @@ def int4_matvec(
 
 def reference_int4_matvec(x, packed, gscale):
     """XLA reference (the nn/layers.py formulation) for tests."""
-    lo = ((packed << 4) >> 4).astype(jnp.float32)
-    hi = (packed >> 4).astype(jnp.float32)
-    w = jnp.stack((lo, hi), axis=-2).reshape(2 * packed.shape[0], -1)
+    from sparktts_tpu.lm.quant import unpack_int4
+
+    w = unpack_int4(packed)
     g = gscale.shape[0]
     group = w.shape[0] // g
     xg = x.astype(jnp.float32).reshape(*x.shape[:-1], g, group)

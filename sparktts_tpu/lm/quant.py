@@ -61,6 +61,19 @@ def quantize_qwen_int8(params: dict, quantize_embed: bool = True) -> dict:
     return out
 
 
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """Nibble-packed (in/2, out) int8 → (in, out) fp32 values.  THE single
+    source of truth for the packing layout (even input rows in the low
+    nibble, odd rows in the high nibble); every consumer — the XLA linear
+    path, the constrained lm-head path, the Pallas kernel's test reference —
+    goes through here so a layout change cannot silently diverge."""
+    lo = ((packed << 4) >> 4).astype(jnp.float32)
+    hi = (packed >> 4).astype(jnp.float32)
+    return jnp.stack((lo, hi), axis=-2).reshape(
+        *packed.shape[:-2], 2 * packed.shape[-2], packed.shape[-1]
+    )
+
+
 def quantize_linear_int4(p: dict, group: int = 128) -> dict:
     """{"w": (..., in, out)} → {"w_p4": int8 (..., in/2, out) nibble-packed,
     "gscale": (..., in/group, out)}.

@@ -360,10 +360,10 @@ def head_logits(
         # dense (H, V) view, then slice rows like the fp path.  The head is
         # only sliced once per program (constant-folded), so the transient
         # dequant is a compile-time cost, not a per-step one.
+        from sparktts_tpu.lm.quant import unpack_int4
+
         packed, gs = head["w_p4"], head["gscale"]   # (in/2, out), (G, out)
-        lo = ((packed << 4) >> 4).astype(jnp.float32)
-        hi = (packed >> 4).astype(jnp.float32)
-        w_full = jnp.stack((lo, hi), axis=-2).reshape(2 * packed.shape[-2], -1)
+        w_full = unpack_int4(packed)
         group = w_full.shape[0] // gs.shape[-2]
         w_full = w_full * jnp.repeat(gs, group, axis=-2)
         w, scale = _select_vocab_rows(w_full.T, vocab_slice, extra_ids), None

@@ -50,20 +50,19 @@ def linear_apply(p, x):
         rows = 1
         for d in x.shape[:-1]:
             rows *= d
-        if rows <= 32 and jax.default_backend() != "cpu":
+        if rows <= 32 and jax.default_backend() == "tpu":
             from sparktts_tpu.kernels.int4_matmul import int4_matvec
 
             y = int4_matvec(x.reshape(rows, d_in), packed, s).reshape(
                 *x.shape[:-1], packed.shape[-1]
             )
         else:
-            lo = ((packed << 4) >> 4).astype(x.dtype)  # even rows
-            hi = (packed >> 4).astype(x.dtype)         # odd rows
-            w = jnp.stack((lo, hi), axis=-2)           # (in/2, 2, out)
+            from sparktts_tpu.lm.quant import unpack_int4
+
             g = s.shape[-2]
             group = d_in // g
             xg = x.reshape(*x.shape[:-1], g, group)
-            wg = w.reshape(g, group, w.shape[-1])
+            wg = unpack_int4(packed).astype(x.dtype).reshape(g, group, -1)
             partial = jnp.einsum(
                 "...gi,gio->...go", xg, wg, preferred_element_type=jnp.float32
             )

@@ -364,12 +364,18 @@ def serve_http(
             )[0].endswith("/infer"):
                 try:
                     payload = json.loads(raw)
-                    self._do_v2_infer(payload)
+                    req, model_name = self._parse_v2_payload(payload)
                 except (
                     json.JSONDecodeError, ValueError, KeyError,
                     TypeError, IndexError, AttributeError,
                 ) as e:
                     self._send_json({"error": f"bad request: {e}"}, 400)
+                    return
+                try:
+                    self._do_v2_infer(req, model_name)
+                except Exception as e:  # noqa: BLE001 — server-side failure
+                    logger.exception("v2 infer failed")
+                    self._send_json({"error": f"inference failed: {e}"}, 500)
                 return
             try:
                 payload = json.loads(raw)
@@ -385,19 +391,20 @@ def serve_http(
             else:
                 self._send_json({"error": "not found"}, 404)
 
-        def _do_v2_infer(self, payload):
-            """KServe/Triton v2 JSON infer: inputs reference_wav (FP32),
-            reference_wav_len (INT32), reference_text / target_text (BYTES) →
-            outputs [{name: waveform, datatype: FP32, data: [...]}] (the
-            reference server's I/O contract,
-            model_repo/spark_tts/config.pbtxt)."""
+        def _parse_v2_payload(self, payload):
+            """KServe/Triton v2 JSON infer payload → (TTSRequest, model name):
+            inputs reference_wav (FP32), reference_wav_len (INT32),
+            reference_text / target_text (BYTES) (the reference server's I/O
+            contract, model_repo/spark_tts/config.pbtxt)."""
             inputs = {i["name"]: i for i in payload["inputs"]}
 
             def text_input(name):
                 # KServe allows data nested per shape ([["hi"]]) or flat
                 data = inputs.get(name, {}).get("data")
                 flat = np.asarray(data, dtype=object).reshape(-1) if data else []
-                return str(flat[0]) if len(flat) else None
+                # empty string == no transcript (clone prompts change shape
+                # on prompt_text presence)
+                return (str(flat[0]) or None) if len(flat) else None
 
             wav = np.asarray(
                 inputs["reference_wav"]["data"], np.float32
@@ -409,15 +416,18 @@ def serve_http(
             target_text = text_input("target_text")
             if target_text is None:
                 raise ValueError("missing target_text")
-            req = TTSRequest(
-                text=target_text, prompt_wav=wav, prompt_text=ref_text
+            return (
+                TTSRequest(text=target_text, prompt_wav=wav, prompt_text=ref_text),
+                self.path.split("/")[3],
             )
+
+        def _do_v2_infer(self, req, model_name):
             fut = asyncio.run_coroutine_threadsafe(server.synthesize(req), loop)
             res: TTSResult = fut.result()
             out = res.wav.astype(np.float32)
             self._send_json(
                 {
-                    "model_name": self.path.split("/")[3],
+                    "model_name": model_name,
                     "outputs": [
                         {
                             "name": "waveform",

@@ -223,6 +223,18 @@ def test_v2_endpoint_robustness(server_port):
     assert code == 200
     assert len(result["outputs"][0]["data"]) > 0
 
+    # empty reference_text == no transcript (the clone prompt changes shape
+    # on transcript presence; reference clients send [""] when absent)
+    code, result = post({"inputs": [
+        {"name": "reference_wav", "shape": [1, len(wav)], "datatype": "FP32",
+         "data": wav.reshape(1, -1).tolist()},
+        {"name": "reference_text", "shape": [1, 1], "datatype": "BYTES",
+         "data": [""]},
+        {"name": "target_text", "shape": [1, 1], "datatype": "BYTES",
+         "data": ["no transcript"]},
+    ]})
+    assert code == 200 and len(result["outputs"][0]["data"]) > 0
+
     # health endpoints must be body-delimited on keep-alive connections
     with urllib.request.urlopen(f"{base}/v2/health/live", timeout=30) as r:
         assert r.status == 200
