@@ -77,26 +77,62 @@ def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     return resample_poly(audio, up, down)
 
 
+def _quantile_band_mean(values: np.ndarray, lo_frac: float, hi_frac: float) -> float:
+    """Mean of the ascending-order [lo_frac, hi_frac) slice of `values`,
+    computed via a partial partition (O(n), no full sort).  `np.partition`
+    pins the slice endpoints in sorted position, so the slice between them
+    holds exactly the values a sort would place there — its mean is
+    order-independent."""
+    n = values.size
+    lo, hi = int(lo_frac * n), int(hi_frac * n)
+    if hi <= lo:
+        hi = lo + 1
+    band = np.partition(values, (lo, hi - 1))[lo:hi]
+    return float(band.mean())
+
+
 def audio_volume_normalize(audio: np.ndarray, coeff: float = 0.2) -> np.ndarray:
-    """Top-decile volume normalization (parity with reference `audio.py:33-73`)."""
-    temp = np.sort(np.abs(audio))
+    """Normalize perceived loudness toward `coeff`.
 
-    if temp[-1] < 0.1:
-        scaling_factor = max(temp[-1], 1e-3)
-        audio = audio / scaling_factor * 0.1
+    Behavior contract (matches reference `sparktts/utils/audio.py:33-73`,
+    re-derived — the loudness statistic is a partial-partition band mean, not
+    a full sort):
 
-    temp = temp[temp > 0.01]
-    L = temp.shape[0]
-    if L <= 10:
-        return audio
+      * near-silent input (peak < 0.1): first rescale so the peak sits at 0.1
+      * loudness = mean of the 90th-99th percentile band of the ORIGINAL
+        magnitudes above 0.01 (pre-rescale — matters for the quiet branch)
+      * scale by coeff / loudness, clamped to [0.1, 10]; then clamp the final
+        peak to 1.0
+      * inputs with <= 10 significant samples skip the loudness step
+    """
+    mag = np.abs(audio)
+    peak = float(mag.max()) if mag.size else 0.0
+    out = audio
+    if peak < 0.1:
+        out = audio * (0.1 / max(peak, 1e-3))
 
-    volume = np.mean(temp[int(0.9 * L) : int(0.99 * L)])
-    audio = audio * np.clip(coeff / volume, a_min=0.1, a_max=10)
+    significant = mag[mag > 0.01]
+    if significant.size <= 10:
+        return out
 
-    max_value = np.max(np.abs(audio))
-    if max_value > 1:
-        audio = audio / max_value
-    return audio
+    loudness = _quantile_band_mean(significant, 0.90, 0.99)
+    out = out * float(np.clip(coeff / loudness, 0.1, 10.0))
+    out_peak = float(np.abs(out).max())
+    if out_peak > 1.0:
+        out = out / out_peak
+    return out
+
+
+def random_select_audio_segment(
+    audio: np.ndarray, length: int, rng: np.random.Generator | None = None
+) -> np.ndarray:
+    """Uniformly pick a `length`-sample window (zero-padding short inputs),
+    matching reference `audio.py:122-135`."""
+    if audio.shape[0] < length:
+        audio = np.pad(audio, (0, int(length - audio.shape[0])))
+    rng = rng or np.random.default_rng()
+    start = int(rng.integers(0, audio.shape[0] - length + 1))
+    return audio[start : start + length]
 
 
 def load_audio(
@@ -104,13 +140,23 @@ def load_audio(
     sampling_rate: int | None = None,
     length: int | None = None,
     volume_normalize: bool = False,
+    segment_duration: float | None = None,
+    remove_silence: bool = False,
+    rng: np.random.Generator | None = None,
 ) -> np.ndarray:
-    """Load + resample + (optionally) volume-normalize, matching the behavior
-    of reference `audio.py:76-119`."""
+    """Load + resample + optional segment-select / silence-trim /
+    volume-normalize, matching the behavior of reference `audio.py:76-119`
+    (`segment_duration` random windowing included) plus an explicit
+    `remove_silence` switch for the reference's end-trim utility
+    (`audio.py:228-249`, exposed but unwired there)."""
     audio, sr = read_wav(adfile)
     if sampling_rate is not None and sr != sampling_rate:
         audio = resample(audio, sr, sampling_rate)
         sr = sampling_rate
+    if segment_duration is not None:
+        audio = random_select_audio_segment(audio, int(sr * segment_duration), rng)
+    if remove_silence:
+        audio = remove_silence_on_both_ends(audio, sr)
     if volume_normalize:
         audio = audio_volume_normalize(audio)
     if length is not None:
@@ -136,6 +182,15 @@ def get_ref_clip(
     return wav[:ref_segment_length]
 
 
+def frame_rms(wav: np.ndarray, frame: int, hop: int) -> np.ndarray:
+    """Per-frame RMS over strided windows via a cumulative sum of squares —
+    O(n) and allocation-light where a sliding-window view would materialize
+    n_frames × frame reads."""
+    sq = np.concatenate([[0.0], np.cumsum(np.square(wav, dtype=np.float64))])
+    starts = np.arange(0, len(wav) - frame + 1, hop)
+    return np.sqrt(np.maximum(sq[starts + frame] - sq[starts], 0.0) / frame)
+
+
 def detect_speech_boundaries(
     wav: np.ndarray,
     sample_rate: int,
@@ -143,26 +198,19 @@ def detect_speech_boundaries(
     energy_threshold: float = 0.01,
     margin_factor: int = 2,
 ) -> Tuple[int, int]:
-    """RMS-energy speech boundary detection (parity with reference
-    `audio.py:186-225`)."""
-    from numpy.lib.stride_tricks import sliding_window_view
-
-    window_size = int(window_duration * sample_rate)
-    margin = margin_factor * window_size
-    step_size = window_size // 10
-
-    windows = sliding_window_view(wav, window_size)[::step_size]
-    energy = np.sqrt(np.mean(windows**2, axis=1))
-    speech_mask = energy >= energy_threshold
-
-    if not np.any(speech_mask):
+    """Locate the first/last frame whose RMS clears `energy_threshold` and
+    widen by `margin_factor` windows (behavior of reference `audio.py:186-225`,
+    re-derived on a cumsum frame-energy profile).  Frames are
+    `window_duration`-long, hopped at a tenth of a window.  Raises ValueError
+    on all-silence input."""
+    frame = int(window_duration * sample_rate)
+    hop = max(frame // 10, 1)
+    voiced = np.flatnonzero(frame_rms(wav, frame, hop) >= energy_threshold)
+    if voiced.size == 0:
         raise ValueError("No speech detected in audio (only silence)")
-
-    start = max(0, np.argmax(speech_mask) * step_size - margin)
-    end = min(
-        len(wav),
-        (len(speech_mask) - 1 - np.argmax(speech_mask[::-1])) * step_size + margin,
-    )
+    margin = margin_factor * frame
+    start = max(int(voiced[0]) * hop - margin, 0)
+    end = min(int(voiced[-1]) * hop + margin, len(wav))
     return start, end
 
 
@@ -172,5 +220,6 @@ def remove_silence_on_both_ends(
     window_duration: float = 0.1,
     volume_threshold: float = 0.01,
 ) -> np.ndarray:
-    start, end = detect_speech_boundaries(wav, sample_rate, window_duration, volume_threshold)
-    return wav[start:end]
+    """Trim leading/trailing silence (reference `audio.py:228-249`)."""
+    bounds = detect_speech_boundaries(wav, sample_rate, window_duration, volume_threshold)
+    return wav[slice(*bounds)]
