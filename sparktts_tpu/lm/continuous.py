@@ -31,6 +31,32 @@ from sparktts_tpu.lm.qwen import KVCache, init_kv_cache, qwen_forward
 from sparktts_tpu.lm.sample import greedy_token, sample_token
 
 
+#: Fixed decode dispatch-size menu.  Every continuous-engine decode program is
+#: compiled for one of these step counts and nothing else — the server's
+#: adaptive dispatch sizing (size the next dispatch to the nearest chunk
+#: boundary / budget end) can then never trigger a fresh XLA compile
+#: mid-serving.  Budget enforcement lives ON DEVICE (SlotState.limit), so a
+#: dispatch larger than a slot's remaining budget is safe: the slot just stops
+#: early inside the scan.
+DISPATCH_LADDER = (4, 8, 16, 32, 64, 128)
+
+
+def snap_to_ladder(requested: int, max_dispatch: int) -> int:
+    """Smallest ladder value >= requested, capped at max_dispatch."""
+    for v in DISPATCH_LADDER:
+        if v >= requested:
+            return min(v, max_dispatch)
+    return min(DISPATCH_LADDER[-1], max_dispatch)
+
+
+class AdmissionDeferred(RuntimeError):
+    """Raised by `submit` when a request cannot be admitted *now* without
+    risking resource exhaustion mid-decode (paged engine: the page pool
+    cannot cover every admitted request's worst-case growth).  The serving
+    loop treats this as backpressure — requeue and retry after slots free —
+    not as a failure."""
+
+
 class SlotState(NamedTuple):
     """Per-slot device vectors (all (B,) unless noted)."""
 
@@ -39,8 +65,11 @@ class SlotState(NamedTuple):
     write_pos: jax.Array   # cache slot where cur_token's K/V will be written
     position: jax.Array    # RoPE position of cur_token
     start: jax.Array       # first valid cache index (left-pad offset; 0 here)
+    limit: jax.Array       # cache end: slot stops once write_pos reaches it
     active: jax.Array      # bool — slot holds a live sequence
-    done: jax.Array        # bool — sequence finished (EOS seen)
+    done: jax.Array        # bool — sequence finished (EOS seen / budget hit)
+    control: jax.Array     # bool — controllable-mode request (full superset
+    #                        constraint); False = clone (semantic+EOS only)
     rng: jax.Array
 
 
@@ -52,10 +81,27 @@ def init_slots(cfg: QwenConfig, max_slots: int, cache_len: int, rng, cache_dtype
         write_pos=jnp.zeros((max_slots,), jnp.int32),
         position=jnp.zeros((max_slots,), jnp.int32),
         start=jnp.zeros((max_slots,), jnp.int32),
+        limit=jnp.zeros((max_slots,), jnp.int32),
         active=jnp.zeros((max_slots,), bool),
         done=jnp.ones((max_slots,), bool),
+        control=jnp.ones((max_slots,), bool),
         rng=rng,
     )
+
+
+def _mode_masked(logits: jax.Array, control, vocab_slice, extra_ids, clone_slice, clone_extras):
+    """Narrow packed guided logits to the clone-legal subset for non-control
+    sequences.  `control` is (B,) bool (or scalar); no-op when the engine has
+    no per-mode info."""
+    if vocab_slice is None or clone_slice is None:
+        return logits
+    from sparktts_tpu.lm.generate import packed_allowed_mask
+
+    allowed = packed_allowed_mask(vocab_slice, extra_ids, clone_slice, clone_extras)
+    control = jnp.asarray(control)
+    if control.ndim == 0:
+        control = control[None]
+    return jnp.where(control[:, None] | allowed[None, :], logits, -1e9)
 
 
 def prefill_one(
@@ -71,6 +117,9 @@ def prefill_one(
     greedy: bool,
     vocab_slice: Tuple[int, int] | None,
     extra_ids: Tuple[int, ...],
+    control=True,
+    clone_slice: Tuple[int, int] | None = None,
+    clone_extras: Tuple[int, ...] = (),
 ):
     """Shared single-prompt admission prefill (dense and paged engines):
     runs the prompt through the model with a causal+pad mask, samples the
@@ -90,18 +139,22 @@ def prefill_one(
         vocab_slice=vocab_slice, extra_ids=extra_ids,
     )
     last = jnp.take_along_axis(logits, (prompt_len - 1).reshape(1, 1, 1), axis=1)
+    last = _mode_masked(last[:, 0], control, vocab_slice, extra_ids, clone_slice, clone_extras)
     rng, sub = jax.random.split(rng)
     if greedy:
-        first_tok = greedy_token(last[:, 0])[0]
+        first_tok = greedy_token(last)[0]
     else:
-        first_tok = sample_token(sub, last[:, 0], temperature, top_k, top_p)[0]
+        first_tok = sample_token(sub, last, temperature, top_k, top_p)[0]
     first_tok = _expand_constrained(first_tok, vocab_slice, extra_ids)
     return first_tok, tmp_cache, rng
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "slot_cache_len", "top_k", "greedy", "vocab_slice", "extra_ids"),
+    static_argnames=(
+        "cfg", "slot_cache_len", "top_k", "greedy", "vocab_slice", "extra_ids",
+        "clone_slice", "clone_extras",
+    ),
     donate_argnums=(1,),
 )
 def admit_prefill(
@@ -118,6 +171,10 @@ def admit_prefill(
     greedy: bool = False,
     vocab_slice: Tuple[int, int] | None = None,
     extra_ids: Tuple[int, ...] = (),
+    limit: jax.Array | int | None = None,   # scalar: cache index decode must stop at
+    control: jax.Array | bool = True,
+    clone_slice: Tuple[int, int] | None = None,
+    clone_extras: Tuple[int, ...] = (),
 ) -> SlotState:
     """Prefill one prompt and install it into `slot`.
 
@@ -129,7 +186,10 @@ def admit_prefill(
     first_tok, tmp_cache, rng = prefill_one(
         params, cfg, input_ids, prompt_len, slots.rng, slots.cache.k.dtype,
         temperature, top_k, top_p, greedy, vocab_slice, extra_ids,
+        control, clone_slice, clone_extras,
     )
+    if limit is None:
+        limit = slot_cache_len
 
     # install prompt K/V into the slot row: (L, 1, t_pad, nkv, hd) → row
     k_row = jax.lax.dynamic_update_slice(
@@ -151,17 +211,36 @@ def admit_prefill(
         write_pos=slots.write_pos.at[slot].set(prompt_len),
         position=slots.position.at[slot].set(prompt_len),
         start=slots.start.at[slot].set(0),
+        limit=slots.limit.at[slot].set(jnp.asarray(limit, jnp.int32)),
         active=slots.active.at[slot].set(True),
         done=slots.done.at[slot].set(False),
+        control=slots.control.at[slot].set(jnp.asarray(control, bool)),
         rng=rng,
     )
+
+
+def pack_step_result(toks: jax.Array, valid: jax.Array, done: jax.Array) -> jax.Array:
+    """Pack (tokens (B,n), valid (B,n), done (B,)) into ONE int32 array
+    (B, 2n+1) so the host fetches the whole step result in a single transfer
+    — on a tunneled TPU each transfer costs a full relay round-trip."""
+    return jnp.concatenate(
+        [toks, valid.astype(jnp.int32), done[:, None].astype(jnp.int32)], axis=1
+    )
+
+
+def unpack_step_result(packed: np.ndarray, n_steps: int):
+    """Host-side inverse of `pack_step_result`."""
+    toks = packed[:, :n_steps]
+    valid = packed[:, n_steps : 2 * n_steps].astype(bool)
+    done = packed[:, 2 * n_steps].astype(bool)
+    return toks, valid, done
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "cfg", "n_steps", "top_k", "eos_ids", "pad_id", "greedy",
-        "vocab_slice", "extra_ids",
+        "vocab_slice", "extra_ids", "clone_slice", "clone_extras",
     ),
     donate_argnums=(1,),
 )
@@ -178,16 +257,25 @@ def decode_steps(
     greedy: bool = False,
     vocab_slice: Tuple[int, int] | None = None,
     extra_ids: Tuple[int, ...] = (),
-) -> Tuple[SlotState, jax.Array, jax.Array]:
-    """Advance every active slot by n_steps tokens; returns (slots, tokens
-    (B, n_steps), valid (B, n_steps) bool).  `valid` is the explicit emission
-    mask — pad_id may be a legitimately sampled id, so callers must not infer
-    liveness from token values.
+    clone_slice: Tuple[int, int] | None = None,
+    clone_extras: Tuple[int, ...] = (),
+) -> Tuple[SlotState, jax.Array]:
+    """Advance every active slot by up to n_steps tokens; returns (slots,
+    packed (B, 2*n_steps+1) int32 — see pack_step_result).  The emission-
+    validity half of the pack is the explicit liveness mask: pad_id may be a
+    legitimately sampled id, so callers must not infer liveness from token
+    values.
+
+    Budget enforcement is ON DEVICE: a slot whose write_pos reaches its
+    `limit` stops advancing mid-scan, so a dispatch larger than the tightest
+    remaining budget is safe — n_steps can always come from the fixed
+    DISPATCH_LADDER and never forces a fresh compile.
 
     The key-validity window is an index compare fused into attention
     (qwen_forward decode_window) — no (B, 1, S) fp32 bias per step.
     vocab_slice/extra_ids optionally constrain sampling to the TTS-legal
-    token range (guided decoding, see lm/generate.py)."""
+    token range; clone_slice/clone_extras further narrow it per-slot for
+    non-control sequences (guided decoding, see lm/generate.py)."""
     from sparktts_tpu.lm.generate import _expand_constrained
 
     def body(s: SlotState, _):
@@ -206,33 +294,39 @@ def decode_steps(
             vocab_slice=vocab_slice,
             extra_ids=extra_ids,
         )
+        last = _mode_masked(
+            logits[:, -1], s.control, vocab_slice, extra_ids, clone_slice, clone_extras
+        )
         rng, sub = jax.random.split(s.rng)
         if greedy:
-            nxt = greedy_token(logits[:, -1])
+            nxt = greedy_token(last)
         else:
-            nxt = sample_token(sub, logits[:, -1], temperature, top_k, top_p)
+            nxt = sample_token(sub, last, temperature, top_k, top_p)
         nxt = _expand_constrained(nxt, vocab_slice, extra_ids)
 
         is_eos = jnp.zeros_like(s.done)
         for e in eos_ids:
             is_eos = is_eos | (s.cur_token == e)
-        done = s.done | (is_eos & s.active)
+        new_write = jnp.where(live, s.write_pos + 1, s.write_pos)
+        done = s.done | (is_eos & s.active) | (s.active & (new_write >= s.limit))
         nxt = jnp.where(live & ~done, nxt, pad_id)
 
         new_s = SlotState(
             cache=cache,
             cur_token=nxt,
-            write_pos=jnp.where(live, s.write_pos + 1, s.write_pos),
+            write_pos=new_write,
             position=jnp.where(live, s.position + 1, s.position),
             start=s.start,
+            limit=s.limit,
             active=s.active,
             done=done,
+            control=s.control,
             rng=rng,
         )
         return new_s, (emitted, live)
 
     slots, (toks, valid) = jax.lax.scan(body, slots, None, length=n_steps)
-    return slots, toks.T, valid.T  # (B, n)
+    return slots, pack_step_result(toks.T, valid.T, slots.done)
 
 
 class ContinuousBatchingEngine:
@@ -255,6 +349,9 @@ class ContinuousBatchingEngine:
         cache_dtype=jnp.bfloat16,
         vocab_slice: Tuple[int, int] | None = None,
         extra_ids: Tuple[int, ...] = (),
+        clone_slice: Tuple[int, int] | None = None,
+        clone_extras: Tuple[int, ...] = (),
+        max_dispatch: int = DISPATCH_LADDER[-1],
     ):
         self.params = params
         self.cfg = cfg
@@ -267,6 +364,9 @@ class ContinuousBatchingEngine:
         self.greedy = greedy
         self.vocab_slice = vocab_slice
         self.extra_ids = tuple(extra_ids)
+        self.clone_slice = clone_slice
+        self.clone_extras = tuple(clone_extras)
+        self.max_dispatch = max_dispatch
         self.slots = init_slots(cfg, max_slots, cache_len, jax.random.PRNGKey(seed), cache_dtype)
         self.owner: List[Optional[int]] = [None] * max_slots  # request ids
         self.budget = np.zeros(max_slots, np.int64)  # remaining tokens per slot
@@ -279,8 +379,11 @@ class ContinuousBatchingEngine:
     def free_slots(self) -> int:
         return sum(1 for o in self.owner if o is None)
 
-    def submit(self, prompt_ids, max_new_tokens: int = 512) -> int:
-        """Admit a request; returns its id.  Raises if no slot is free."""
+    def submit(self, prompt_ids, max_new_tokens: int = 512, mode: str = "control") -> int:
+        """Admit a request; returns its id.  Raises if no slot is free.
+        `mode` selects the per-slot guided constraint: "clone" narrows
+        sampling to clone_slice/clone_extras (when configured), "control"
+        uses the engine-wide superset constraint."""
         slot = next((i for i, o in enumerate(self.owner) if o is None), None)
         if slot is None:
             raise RuntimeError("no free slot")
@@ -304,6 +407,10 @@ class ContinuousBatchingEngine:
             self.greedy,
             self.vocab_slice,
             self.extra_ids,
+            limit=jnp.asarray(n + max_new_tokens, jnp.int32),
+            control=jnp.asarray(mode == "control", bool),
+            clone_slice=self.clone_slice,
+            clone_extras=self.clone_extras,
         )
         req_id = self._next_req
         self._next_req += 1
@@ -313,19 +420,19 @@ class ContinuousBatchingEngine:
         return req_id
 
     def step(self, n_steps: int = 16) -> Dict[int, np.ndarray]:
-        """Advance all active slots; returns {req_id: np.ndarray(new tokens)}
-        for requests that produced tokens this call.  Finished requests move
-        to `self.finished`."""
+        """Advance all active slots by (about) n_steps tokens; returns
+        {req_id: np.ndarray(new tokens)} for requests that produced tokens
+        this call.  Finished requests move to `self.finished`.
+
+        n_steps is snapped UP to the fixed DISPATCH_LADDER (capped at
+        max_dispatch) so every dispatch size is a pre-compilable program;
+        slots stop on device when they hit their budget limit, so a snapped
+        dispatch never writes past a slot's reserved cache region."""
         if all(o is None for o in self.owner):
             return {}
-        # never decode past the tightest remaining budget: overshoot would
-        # write K/V beyond the cache region reserved at submit
-        remaining = [
-            int(self.budget[i]) for i, o in enumerate(self.owner) if o is not None
-        ]
-        n_steps = max(1, min(n_steps, min(remaining)))
+        n_steps = snap_to_ladder(n_steps, self.max_dispatch)
         temperature, top_k, top_p = self.sampling
-        self.slots, toks, valid = decode_steps(
+        self.slots, packed = decode_steps(
             self.params,
             self.slots,
             self.cfg,
@@ -338,9 +445,11 @@ class ContinuousBatchingEngine:
             self.greedy,
             self.vocab_slice,
             self.extra_ids,
+            self.clone_slice,
+            self.clone_extras,
         )
-        # one host round-trip for all three arrays
-        toks, valid, done = jax.device_get((toks, valid, self.slots.done))
+        # ONE host round-trip for tokens + validity + done flags
+        toks, valid, done = unpack_step_result(jax.device_get(packed), n_steps)
         out: Dict[int, np.ndarray] = {}
         for slot, req in enumerate(self.owner):
             if req is None:
@@ -349,14 +458,13 @@ class ContinuousBatchingEngine:
             if new.size:
                 self.buffers[req].extend(new.tolist())
                 out[req] = new
-            self.budget[slot] -= n_steps
-            if done[slot] or self.budget[slot] <= 0:
+            self.budget[slot] -= int(valid[slot].sum())
+            if done[slot]:
                 self.finished[req] = np.asarray(self.buffers.pop(req), np.int32)
                 self.owner[slot] = None
                 # deactivate the slot on device
                 self.slots = self.slots._replace(
                     active=self.slots.active.at[slot].set(False),
-                    done=self.slots.done.at[slot].set(True),
                 )
         return out
 

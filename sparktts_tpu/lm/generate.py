@@ -41,6 +41,30 @@ class GenState(NamedTuple):
     prompt_len: jax.Array  # (B,) true prompt lengths
 
 
+def packed_allowed_mask(vocab_slice, extra_ids, allow_slice, allow_extras):
+    """(W,) bool over the PACKED guided-decoding logit axis (slice rows then
+    extras): True where the packed row's full-vocab id lies in
+    [allow_slice[0], allow_slice[1]) or in allow_extras.
+
+    Used to narrow a superset constraint per sequence: the continuous engines
+    compile ONE program with the control-mode superset slice, and clone-mode
+    slots mask it down to semantic+EOS so their sampling distribution matches
+    the offline clone path (reference `cli/SparkTTS.py:213-220` output
+    grammar).  All arguments are static — the mask is a compile-time
+    constant."""
+    import numpy as np  # trace-time only
+
+    lo, hi = vocab_slice
+    ids = np.arange(lo, hi, dtype=np.int64)
+    if extra_ids:
+        ids = np.concatenate([ids, np.asarray(extra_ids, np.int64)])
+    a_lo, a_hi = allow_slice
+    allowed = (ids >= a_lo) & (ids < a_hi)
+    if allow_extras:
+        allowed |= np.isin(ids, np.asarray(allow_extras, np.int64))
+    return jnp.asarray(allowed)
+
+
 def _expand_constrained(idx: jax.Array, vocab_slice, extra_ids) -> jax.Array:
     """Map a packed constrained-logits index (slice rows then extras) back to
     a full-vocab token id."""
@@ -161,45 +185,6 @@ def decode_step(
         prompt_len=state.prompt_len,
     )
     return new_state, state.cur_token
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "cfg", "n_first", "top_k", "eos_ids", "pad_id", "greedy", "use_flash",
-        "vocab_slice", "extra_ids",
-    ),
-)
-def prefill_and_decode(
-    params,
-    cfg: QwenConfig,
-    input_ids: jax.Array,
-    prompt_mask: jax.Array,
-    cache: KVCache,
-    rng: jax.Array,
-    n_first: int,
-    temperature: float = 0.8,
-    top_k: int = 50,
-    top_p: float = 0.95,
-    eos_ids: Tuple[int, ...] = (),
-    pad_id: int = 0,
-    greedy: bool = False,
-    use_flash: bool = False,
-    vocab_slice: Tuple[int, int] | None = None,
-    extra_ids: Tuple[int, ...] = (),
-) -> Tuple[GenState, jax.Array, jax.Array]:
-    """Prefill + the first `n_first` decode steps as ONE program — first-chunk
-    latency pays a single dispatch instead of two (matters on tunneled TPUs
-    where each dispatch costs tens of ms).  Returns (state, tokens, valid)."""
-    t_pad = input_ids.shape[1]
-    state = prefill(
-        params, cfg, input_ids, prompt_mask, cache, rng,
-        temperature, top_k, top_p, greedy, use_flash, vocab_slice, extra_ids,
-    )
-    return _decode_scan(
-        params, cfg, state, t_pad, n_first, temperature, top_k, top_p, eos_ids, pad_id,
-        greedy, vocab_slice, extra_ids,
-    )
 
 
 def _decode_scan(params, cfg, state, t_pad, n_steps, temperature, top_k, top_p,

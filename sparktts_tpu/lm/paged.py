@@ -31,6 +31,7 @@ import numpy as np
 
 from sparktts_tpu.config import QwenConfig
 from sparktts_tpu.kernels.paged_attention import paged_decode_attention
+from sparktts_tpu.lm.continuous import DISPATCH_LADDER, AdmissionDeferred
 from sparktts_tpu.lm.generate import _expand_constrained
 from sparktts_tpu.lm.qwen import (
     embed_lookup,
@@ -51,8 +52,10 @@ class PagedSlotState(NamedTuple):
     page_table: jax.Array  # (B, pages_per_slot) int32
     cur_token: jax.Array   # (B,) next token to feed
     write_pos: jax.Array   # (B,) token index the next K/V lands at
+    limit: jax.Array       # (B,) token budget end: slot stops at this pos
     active: jax.Array      # (B,) bool
     done: jax.Array        # (B,) bool
+    control: jax.Array     # (B,) bool — controllable-mode (superset) request
     rng: jax.Array
 
 
@@ -78,8 +81,10 @@ def init_paged_slots(
         page_table=jnp.zeros((max_slots, pages_per_slot), jnp.int32),
         cur_token=jnp.zeros((max_slots,), jnp.int32),
         write_pos=jnp.zeros((max_slots,), jnp.int32),
+        limit=jnp.zeros((max_slots,), jnp.int32),
         active=jnp.zeros((max_slots,), bool),
         done=jnp.ones((max_slots,), bool),
+        control=jnp.ones((max_slots,), bool),
         rng=rng,
     )
 
@@ -100,7 +105,7 @@ def _write_token_kv(pages: jax.Array, new: jax.Array, layer_idx, page_idx, offse
     jax.jit,
     static_argnames=(
         "cfg", "n_steps", "top_k", "eos_ids", "pad_id", "greedy",
-        "vocab_slice", "extra_ids", "interpret",
+        "vocab_slice", "extra_ids", "clone_slice", "clone_extras", "interpret",
     ),
     donate_argnums=(1,),
 )
@@ -117,11 +122,14 @@ def paged_decode_steps(
     greedy: bool = False,
     vocab_slice: Tuple[int, int] | None = None,
     extra_ids: Tuple[int, ...] = (),
+    clone_slice: Tuple[int, int] | None = None,
+    clone_extras: Tuple[int, ...] = (),
     interpret: bool = False,
-) -> Tuple[PagedSlotState, jax.Array, jax.Array]:
-    """Advance every active slot n_steps tokens over the paged pools.
-    Returns (slots, tokens (B, n), valid (B, n)) — same contract as the dense
-    engine's decode_steps (`lm/continuous.py`)."""
+) -> Tuple[PagedSlotState, jax.Array]:
+    """Advance every active slot up to n_steps tokens over the paged pools.
+    Returns (slots, packed (B, 2n+1)) — same contract as the dense engine's
+    decode_steps (`lm/continuous.py`): on-device budget limit, per-slot mode
+    constraint, single packed host transfer."""
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     page_size = slots.k_pages.shape[3]
 
@@ -178,17 +186,23 @@ def paged_decode_steps(
         else:
             logits = head_logits(params, x, vocab_slice=vocab_slice, extra_ids=extra_ids)
 
+        from sparktts_tpu.lm.continuous import _mode_masked
+
+        last = _mode_masked(
+            logits[:, -1], s.control, vocab_slice, extra_ids, clone_slice, clone_extras
+        )
         rng, sub = jax.random.split(s.rng)
         if greedy:
-            nxt = greedy_token(logits[:, -1])
+            nxt = greedy_token(last)
         else:
-            nxt = sample_token(sub, logits[:, -1], temperature, top_k, top_p)
+            nxt = sample_token(sub, last, temperature, top_k, top_p)
         nxt = _expand_constrained(nxt, vocab_slice, extra_ids)
 
         is_eos = jnp.zeros_like(s.done)
         for e in eos_ids:
             is_eos = is_eos | (s.cur_token == e)
-        done = s.done | (is_eos & s.active)
+        new_write = jnp.where(live, s.write_pos + 1, s.write_pos)
+        done = s.done | (is_eos & s.active) | (s.active & (new_write >= s.limit))
         nxt = jnp.where(live & ~done, nxt, pad_id)
 
         new_s = PagedSlotState(
@@ -196,20 +210,27 @@ def paged_decode_steps(
             v_pages=vp,
             page_table=s.page_table,
             cur_token=nxt,
-            write_pos=jnp.where(live, s.write_pos + 1, s.write_pos),
+            write_pos=new_write,
+            limit=s.limit,
             active=s.active,
             done=done,
+            control=s.control,
             rng=rng,
         )
         return new_s, (emitted, live)
 
+    from sparktts_tpu.lm.continuous import pack_step_result
+
     slots, (toks, valid) = jax.lax.scan(step, slots, None, length=n_steps)
-    return slots, toks.T, valid.T
+    return slots, pack_step_result(toks.T, valid.T, slots.done)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "top_k", "greedy", "vocab_slice", "extra_ids"),
+    static_argnames=(
+        "cfg", "top_k", "greedy", "vocab_slice", "extra_ids",
+        "clone_slice", "clone_extras",
+    ),
     donate_argnums=(1,),
 )
 def paged_admit_prefill(
@@ -227,6 +248,10 @@ def paged_admit_prefill(
     greedy: bool = False,
     vocab_slice: Tuple[int, int] | None = None,
     extra_ids: Tuple[int, ...] = (),
+    limit: jax.Array | int = 2**30,  # scalar: token position decode stops at
+    control: jax.Array | bool = True,
+    clone_slice: Tuple[int, int] | None = None,
+    clone_extras: Tuple[int, ...] = (),
 ) -> PagedSlotState:
     """Prefill one prompt densely, scatter its K/V into the slot's pages, and
     install the slot (same admission contract as the dense engine's
@@ -239,6 +264,7 @@ def paged_admit_prefill(
     first_tok, tmp_cache, rng = prefill_one(
         params, cfg, input_ids, prompt_len, slots.rng, slots.k_pages.dtype,
         temperature, top_k, top_p, greedy, vocab_slice, extra_ids,
+        control, clone_slice, clone_extras,
     )
 
     # (L, 1, t_pad, nkv, hd) → (L, nkv, n_prompt_pages, page_size, hd)
@@ -258,8 +284,10 @@ def paged_admit_prefill(
         page_table=slots.page_table.at[slot].set(table_row),
         cur_token=slots.cur_token.at[slot].set(first_tok),
         write_pos=slots.write_pos.at[slot].set(prompt_len),
+        limit=slots.limit.at[slot].set(jnp.asarray(limit, jnp.int32)),
         active=slots.active.at[slot].set(True),
         done=slots.done.at[slot].set(False),
+        control=slots.control.at[slot].set(jnp.asarray(control, bool)),
         rng=rng,
     )
 
@@ -287,6 +315,9 @@ class PagedContinuousEngine:
         cache_dtype=jnp.bfloat16,
         vocab_slice: Tuple[int, int] | None = None,
         extra_ids: Tuple[int, ...] = (),
+        clone_slice: Tuple[int, int] | None = None,
+        clone_extras: Tuple[int, ...] = (),
+        max_dispatch: int = DISPATCH_LADDER[-1],
     ):
         # admission pads prompts to a multiple of BOTH buckets (prefill K/V
         # scatters whole pages), so one must divide the other
@@ -306,6 +337,9 @@ class PagedContinuousEngine:
         self.greedy = greedy
         self.vocab_slice = vocab_slice
         self.extra_ids = tuple(extra_ids)
+        self.clone_slice = clone_slice
+        self.clone_extras = tuple(clone_extras)
+        self.max_dispatch = max_dispatch
         self.interpret = jax.default_backend() == "cpu"
         self.slots = init_paged_slots(
             cfg, max_slots, n_pages, page_size, pages_per_slot,
@@ -315,6 +349,10 @@ class PagedContinuousEngine:
         self.free_pages: List[int] = list(range(1, n_pages))
         self.slot_pages: List[List[int]] = [[] for _ in range(max_slots)]
         self.tokens_seen = np.zeros(max_slots, np.int64)  # prompt + decoded
+        # worst-case pages each slot may grow to (admission-time reservation:
+        # the pool is guaranteed to cover every admitted request's budget)
+        self.reserved = np.zeros(max_slots, np.int64)
+        self.token_limit = np.zeros(max_slots, np.int64)  # prompt + budget
         self.owner: List[Optional[int]] = [None] * max_slots
         self.budget = np.zeros(max_slots, np.int64)
         self.buffers: Dict[int, List[int]] = {}
@@ -343,7 +381,22 @@ class PagedContinuousEngine:
         row[: len(pages)] = pages
         return row
 
-    def submit(self, prompt_ids, max_new_tokens: int = 512) -> int:
+    def _outstanding_growth(self) -> int:
+        """Pages the pool must still be able to hand to admitted slots."""
+        return int(
+            sum(
+                self.reserved[s] - len(self.slot_pages[s])
+                for s, o in enumerate(self.owner)
+                if o is not None
+            )
+        )
+
+    def submit(self, prompt_ids, max_new_tokens: int = 512, mode: str = "control") -> int:
+        """Admit a request.  Reserves its WORST-CASE page count up front: if
+        the pool cannot cover every admitted request running to its full
+        budget, raises AdmissionDeferred (backpressure) instead of admitting
+        a request that would exhaust the pool mid-decode and fail the whole
+        batch."""
         slot = next((i for i, o in enumerate(self.owner) if o is None), None)
         if slot is None:
             raise RuntimeError("no free slot")
@@ -351,7 +404,16 @@ class PagedContinuousEngine:
         t_pad = ((n + self._admit_bucket - 1) // self._admit_bucket) * self._admit_bucket
         total_pages = (t_pad + max_new_tokens + self.page_size - 1) // self.page_size
         assert total_pages <= self.pages_per_slot, "prompt+budget exceeds page table"
-        self.slot_pages[slot] = self._alloc(t_pad // self.page_size)
+        prompt_pages = t_pad // self.page_size
+        if len(self.free_pages) - prompt_pages < self._outstanding_growth() + (
+            total_pages - prompt_pages
+        ):
+            raise AdmissionDeferred(
+                f"page pool cannot reserve {total_pages} pages for this request "
+                f"(free {len(self.free_pages)}, outstanding growth "
+                f"{self._outstanding_growth()}) — retry after slots free"
+            )
+        self.slot_pages[slot] = self._alloc(prompt_pages)
         ids = np.full((1, t_pad), self.pad_id, np.int32)
         ids[0, :n] = prompt_ids
         temperature, top_k, top_p = self.sampling
@@ -370,22 +432,40 @@ class PagedContinuousEngine:
             self.greedy,
             self.vocab_slice,
             self.extra_ids,
+            limit=jnp.asarray(n + max_new_tokens, jnp.int32),
+            control=jnp.asarray(mode == "control", bool),
+            clone_slice=self.clone_slice,
+            clone_extras=self.clone_extras,
         )
         req_id = self._next_req
         self._next_req += 1
         self.owner[slot] = req_id
         self.budget[slot] = max_new_tokens
         self.tokens_seen[slot] = n
+        self.token_limit[slot] = n + max_new_tokens
+        self.reserved[slot] = total_pages
         self.buffers[req_id] = []
         return req_id
 
     def _ensure_pages(self, n_steps: int):
-        """Grow page tables so every active slot can absorb n_steps tokens."""
-        table_dirty = False
+        """Grow page tables so every active slot can absorb n_steps tokens.
+
+        Atomic: per-slot deficits are computed first and the total allocated
+        in ONE _alloc call before any slot_pages list is mutated — a failed
+        allocation therefore leaves tables, lists and device state coherent
+        (ADVICE r2: a partial grow left live K/V pointed at the trash page).
+        With admission-time reservation the allocation can only fail if a
+        caller bypassed submit's accounting."""
+        deficits: List[Tuple[int, int]] = []
         for slot, req in enumerate(self.owner):
             if req is None:
                 continue
-            need = -(-(int(self.tokens_seen[slot]) + n_steps) // self.page_size)
+            # slots stop on device at token_limit — pages beyond it are never
+            # written, so cap the requirement there
+            tokens_after = min(
+                int(self.tokens_seen[slot]) + n_steps, int(self.token_limit[slot])
+            )
+            need = -(-tokens_after // self.page_size)
             if need > self.pages_per_slot:
                 # must fail loudly: capping would scatter live K/V into the
                 # shared trash page and silently corrupt this slot's output
@@ -395,16 +475,22 @@ class PagedContinuousEngine:
                 )
             have = len(self.slot_pages[slot])
             if need > have:
-                self.slot_pages[slot].extend(self._alloc(need - have))
-                table_dirty = True
-        if table_dirty:
-            table = np.stack([self._table_row(s) for s in range(self.max_slots)])
-            self.slots = self.slots._replace(page_table=jnp.asarray(table))
+                deficits.append((slot, need - have))
+        if not deficits:
+            return
+        got = self._alloc(sum(d for _, d in deficits))
+        for slot, d in deficits:
+            self.slot_pages[slot].extend(got[:d])
+            got = got[d:]
+        table = np.stack([self._table_row(s) for s in range(self.max_slots)])
+        self.slots = self.slots._replace(page_table=jnp.asarray(table))
 
     def _release(self, slot: int):
         self.free_pages.extend(self.slot_pages[slot])
         self.slot_pages[slot] = []
         self.tokens_seen[slot] = 0
+        self.token_limit[slot] = 0
+        self.reserved[slot] = 0
         self.slots = self.slots._replace(
             page_table=self.slots.page_table.at[slot].set(
                 jnp.zeros(self.pages_per_slot, jnp.int32)
@@ -414,17 +500,16 @@ class PagedContinuousEngine:
         )
 
     def step(self, n_steps: int = 16) -> Dict[int, np.ndarray]:
+        """Advance all active slots by (about) n_steps tokens — snapped to
+        the DISPATCH_LADDER; slots stop on device at their token limit."""
         if all(o is None for o in self.owner):
             return {}
-        # never decode past the tightest remaining budget: overshoot would
-        # write K/V beyond the pages reserved at submit
-        remaining = [
-            int(self.budget[i]) for i, o in enumerate(self.owner) if o is not None
-        ]
-        n_steps = max(1, min(n_steps, min(remaining)))
+        from sparktts_tpu.lm.continuous import snap_to_ladder, unpack_step_result
+
+        n_steps = snap_to_ladder(n_steps, self.max_dispatch)
         self._ensure_pages(n_steps)
         temperature, top_k, top_p = self.sampling
-        self.slots, toks, valid = paged_decode_steps(
+        self.slots, packed = paged_decode_steps(
             self.params,
             self.slots,
             self.cfg,
@@ -437,9 +522,11 @@ class PagedContinuousEngine:
             self.greedy,
             self.vocab_slice,
             self.extra_ids,
+            self.clone_slice,
+            self.clone_extras,
             self.interpret,
         )
-        toks, valid, done = jax.device_get((toks, valid, self.slots.done))
+        toks, valid, done = unpack_step_result(jax.device_get(packed), n_steps)
         out: Dict[int, np.ndarray] = {}
         for slot, req in enumerate(self.owner):
             if req is None:
@@ -449,8 +536,8 @@ class PagedContinuousEngine:
                 self.buffers[req].extend(new.tolist())
                 out[req] = new
             self.tokens_seen[slot] += int(valid[slot].sum())
-            self.budget[slot] -= n_steps
-            if done[slot] or self.budget[slot] <= 0:
+            self.budget[slot] -= int(valid[slot].sum())
+            if done[slot]:
                 self.finished[req] = np.asarray(self.buffers.pop(req), np.int32)
                 self.owner[slot] = None
                 self._release(slot)

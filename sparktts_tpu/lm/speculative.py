@@ -76,7 +76,7 @@ class SpecState(NamedTuple):
     jax.jit,
     static_argnames=(
         "cfg", "draft_cfg", "max_new_tokens", "cache_len", "k",
-        "eos_ids", "pad_id", "vocab_slice", "extra_ids",
+        "eos_ids", "pad_id", "vocab_slice", "extra_ids", "cache_dtype",
     ),
 )
 def speculative_generate_greedy(
@@ -93,6 +93,7 @@ def speculative_generate_greedy(
     pad_id: int = 0,
     vocab_slice: Tuple[int, int] | None = None,
     extra_ids: Tuple[int, ...] = (),
+    cache_dtype=jnp.bfloat16,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Greedy speculative decode.  Returns (tokens (B, max_new), lengths (B,),
     accepted_total scalar).  Output is bit-identical to the target's vanilla
@@ -101,12 +102,12 @@ def speculative_generate_greedy(
     assert cache_len >= t_pad + max_new_tokens + k, "cache too small"
 
     # prefill BOTH models over the prompt (greedy first token from the target)
-    tgt_cache = init_kv_cache(cfg, b, cache_len, jnp.bfloat16)
+    tgt_cache = init_kv_cache(cfg, b, cache_len, cache_dtype)
     tgt_state: GenState = prefill(
         params, cfg, input_ids, prompt_mask, tgt_cache, jax.random.PRNGKey(0),
         1.0, 1, 1.0, True, vocab_slice=vocab_slice, extra_ids=extra_ids,
     )
-    drf_cache = init_kv_cache(draft_cfg, b, cache_len, jnp.bfloat16)
+    drf_cache = init_kv_cache(draft_cfg, b, cache_len, cache_dtype)
     drf_state: GenState = prefill(
         draft_params, draft_cfg, input_ids, prompt_mask, drf_cache,
         jax.random.PRNGKey(0), 1.0, 1, 1.0, True,
@@ -235,7 +236,7 @@ def speculative_generate_greedy(
     jax.jit,
     static_argnames=(
         "cfg", "draft_cfg", "max_new_tokens", "cache_len", "k", "top_k",
-        "eos_ids", "pad_id", "vocab_slice", "extra_ids",
+        "eos_ids", "pad_id", "vocab_slice", "extra_ids", "cache_dtype",
     ),
 )
 def speculative_generate(
@@ -256,6 +257,7 @@ def speculative_generate(
     pad_id: int = 0,
     vocab_slice: Tuple[int, int] | None = None,
     extra_ids: Tuple[int, ...] = (),
+    cache_dtype=jnp.bfloat16,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Stochastic speculative decoding (Leviathan-style modified rejection
     sampling applied to the WARPED distributions — the temperature→top-k→
@@ -272,13 +274,13 @@ def speculative_generate(
     assert cache_len >= t_pad + max_new_tokens + k, "cache too small"
 
     rng, r_pre = jax.random.split(rng)
-    tgt_cache = init_kv_cache(cfg, b, cache_len, jnp.bfloat16)
+    tgt_cache = init_kv_cache(cfg, b, cache_len, cache_dtype)
     tgt_state: GenState = prefill(
         params, cfg, input_ids, prompt_mask, tgt_cache, r_pre,
         temperature, top_k, top_p, False, vocab_slice=vocab_slice,
         extra_ids=extra_ids,
     )
-    drf_cache = init_kv_cache(draft_cfg, b, cache_len, jnp.bfloat16)
+    drf_cache = init_kv_cache(draft_cfg, b, cache_len, cache_dtype)
     drf_state: GenState = prefill(
         draft_params, draft_cfg, input_ids, prompt_mask, drf_cache,
         jax.random.PRNGKey(0), temperature, top_k, top_p, True,

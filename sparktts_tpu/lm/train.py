@@ -36,7 +36,7 @@ def lm_loss(params, cfg: QwenConfig, input_ids: jax.Array, loss_mask: jax.Array)
     """Next-token cross entropy.  input_ids (B, T); loss_mask (B, T) True on
     positions whose *prediction* counts (speech-token region)."""
     b, t = input_ids.shape
-    cache = init_kv_cache(cfg, b, t, input_ids.dtype if False else jnp.float32)
+    cache = init_kv_cache(cfg, b, t, jnp.float32)
     mask = jnp.ones((b, t), bool)
     positions, bias = prefill_inputs(mask, t)
     logits, _ = qwen_forward(params, cfg, input_ids, positions, cache, 0, bias)

@@ -409,6 +409,7 @@ class SparkTTSPipeline:
                     pad_id=self.tokenizer.pad_id,
                     vocab_slice=vocab_slice,
                     extra_ids=extra_ids,
+                    cache_dtype=self.lm_dtype,
                 )
                 if greedy:
                     tokens, lengths, _ = speculative_generate_greedy(

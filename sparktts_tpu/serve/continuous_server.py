@@ -4,7 +4,16 @@ Couples the inflight-batching LM engine (`lm/continuous.py`) with the codec:
 requests join the running decode batch the moment a slot frees (no
 batch-formation barrier like `serve/server.py`), tokens stream out per decode
 micro-batch, and finished/chunked token runs are vocoded while the LM keeps
-decoding — the TPU alternates LM-step and vocoder programs, so both stay hot.
+decoding — decode dispatches and vocoder calls run on separate host threads,
+so the next micro-batch is in flight while the previous chunk renders.
+
+Dispatch sizing is ADAPTIVE: each decode dispatch is sized to the nearest
+upcoming event across the running batch (a streaming request's next chunk
+boundary, or a budget end), snapped to the engine's fixed dispatch-size
+ladder so no size ever compiles a new program.  The first dispatch after a
+streaming admission therefore covers exactly its first chunk — first-audio
+latency is one prefill + one decode dispatch + one vocode, matching the
+single-stream `StreamingSynthesizer` schedule while still sharing the batch.
 
 This is the role TRT-LLM's inflight batching + Triton's decoupled transactions
 play in the reference deployment (SURVEY.md §3.5), in one asyncio loop.
@@ -15,17 +24,21 @@ from __future__ import annotations
 import asyncio
 import logging
 import time
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import AsyncIterator, Dict, Optional
 
 import numpy as np
 
+from sparktts_tpu.lm.continuous import AdmissionDeferred
 from sparktts_tpu.prompt import (
     build_clone_prompt,
     build_control_prompt,
     extract_global_ids,
     extract_semantic_ids,
 )
+from sparktts_tpu.utils.profiling import StageStats
 
 logger = logging.getLogger(__name__)
 
@@ -59,20 +72,24 @@ class ContinuousTTSServer:
         pipeline,
         max_slots: int = 8,
         cache_len: Optional[int] = None,
-        steps_per_dispatch: int = 16,
+        steps_per_dispatch: int = 128,
         default_max_new_tokens: Optional[int] = None,
         paged: bool = False,
         page_size: int = 256,
         n_pages: Optional[int] = None,
+        greedy: bool = False,
     ):
         self.pipe = pipeline
+        # steps_per_dispatch caps the adaptive dispatch size (ladder max)
         self.steps = steps_per_dispatch
         self.default_max_new = default_max_new_tokens or pipeline.max_new_tokens
         cache_len = cache_len or (pipeline.prompt_bucket * 4 + self.default_max_new)
-        # one engine serves clone AND controllable requests, so use the
-        # superset constraint (semantic + global ranges + control markers +
-        # EOS) — still <8% of the full vocab
+        # ONE engine serves clone AND controllable requests: it compiles with
+        # the superset ("control") constraint, and clone slots narrow it on
+        # device to semantic+EOS via the per-slot mode mask — both modes then
+        # sample exactly the distribution their offline path would
         vocab_slice, extra_ids = pipeline.guided_constraint("control")
+        clone_slice, clone_extras = pipeline.guided_constraint("clone")
         common = dict(
             prompt_pad=pipeline.prompt_bucket,
             eos_ids=tuple(pipeline.tokenizer.eos_ids),
@@ -80,6 +97,10 @@ class ContinuousTTSServer:
             cache_dtype=pipeline.lm_dtype,
             vocab_slice=vocab_slice,
             extra_ids=extra_ids,
+            clone_slice=clone_slice,
+            clone_extras=clone_extras,
+            max_dispatch=steps_per_dispatch,
+            greedy=greedy,
         )
         if paged:
             from sparktts_tpu.lm.paged import PagedContinuousEngine
@@ -96,8 +117,10 @@ class ContinuousTTSServer:
             pages_per_slot = (
                 prompt_cap // page_size + -(-self.default_max_new // page_size) + 1
             )
-            # default pool: half the dense worst case — the paged engine's
-            # point is that requests only hold ceil(written/page) pages
+            # default pool: half the dense worst case.  Admission reserves
+            # worst-case pages per request (AdmissionDeferred backpressure),
+            # so a half pool trades peak concurrency for memory SAFELY —
+            # requests queue instead of failing mid-decode.
             n_pages = n_pages or (max_slots * pages_per_slot // 2 + 1)
             self.engine = PagedContinuousEngine(
                 pipeline.llm_params,
@@ -119,9 +142,15 @@ class ContinuousTTSServer:
                 **common,
             )
         self.waiting: asyncio.Queue = asyncio.Queue()
+        self._deferred: deque = deque()  # backpressured admissions, retried first
         self.inflight: Dict[int, _Pending] = {}
         self._task: Optional[asyncio.Task] = None
-        self.stats = {"requests": 0, "completed": 0, "admitted_midflight": 0}
+        self._vocode_task: Optional[asyncio.Task] = None
+        self._vocode_q: asyncio.Queue = asyncio.Queue()
+        # dedicated thread so vocoding overlaps the next decode dispatch
+        self._vocode_pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="vocode")
+        self.stage_stats = StageStats()
+        self.stats = {"requests": 0, "completed": 0, "admitted_midflight": 0, "deferrals": 0}
         if paged:
             # live page-pool gauges (KV memory follows load, not slot count)
             self.stats["pages_in_use"] = 0
@@ -130,15 +159,19 @@ class ContinuousTTSServer:
     async def start(self):
         if self._task is None:
             self._task = asyncio.create_task(self._loop())
+        if self._vocode_task is None:
+            self._vocode_task = asyncio.create_task(self._vocode_loop())
 
     async def stop(self):
-        if self._task is not None:
-            self._task.cancel()
-            try:
-                await self._task
-            except asyncio.CancelledError:
-                pass
-            self._task = None
+        for attr in ("_task", "_vocode_task"):
+            task = getattr(self, attr)
+            if task is not None:
+                task.cancel()
+                try:
+                    await task
+                except asyncio.CancelledError:
+                    pass
+                setattr(self, attr, None)
 
     async def synthesize(
         self,
@@ -218,13 +251,18 @@ class ContinuousTTSServer:
     # ------------------------------------------------------------------
 
     def _emit_stream_chunks(self, pending: _Pending, new_tokens: np.ndarray, final: bool):
-        """Vocode buffered semantic tokens per the chunk schedule and push
-        waveform chunks to the consumer queue.  The wave for [0, emitted+n)
-        is recomputed with full left context and only the new tail is pushed —
-        keeps chunk boundaries continuous without client-side cross-fade."""
+        """Vocode buffered semantic tokens per the chunk schedule.  The wave
+        for [0, emitted+n) is recomputed with full left context and only the
+        new tail is emitted — keeps chunk boundaries continuous without
+        client-side cross-fade.
+
+        Runs on the vocode worker thread.  Returns the list of chunks to push
+        (None sentinel last when final) — the asyncio chunk queue is NOT
+        thread-safe, so the event-loop side does the actual pushes."""
         tok = self.pipe.tokenizer
         sem = extract_semantic_ids(tok, new_tokens)
         pending.stream_buf.extend(sem.tolist())
+        chunks = []
 
         def push(upto: int):
             sem_ids = np.asarray(pending.stream_buf[:upto], np.int32)
@@ -236,7 +274,7 @@ class ContinuousTTSServer:
                 pending.global_tokens = g[None, :token_num]
             wav = self.pipe.detokenize(pending.global_tokens, sem_ids[None, :])
             start = pending.stream_emitted * self.pipe._wave_upsample
-            pending.chunk_queue.put_nowait(wav[start:])
+            chunks.append(wav[start:])
             pending.stream_emitted = upto
 
         while len(pending.stream_buf) >= pending.stream_emitted + pending.stream_target:
@@ -245,12 +283,63 @@ class ContinuousTTSServer:
         if final:
             if len(pending.stream_buf) > pending.stream_emitted:
                 push(len(pending.stream_buf))
-            pending.chunk_queue.put_nowait(None)
+            chunks.append(None)
+        return chunks
+
+    def _finish_offline(self, pending: _Pending, tokens: np.ndarray):
+        """Vocode a completed non-streaming request (vocode worker thread)."""
+        tok = self.pipe.tokenizer
+        sem = extract_semantic_ids(tok, tokens)
+        if pending.gender is not None:
+            token_num = self.pipe.config.bicodec.speaker_encoder.token_num
+            g = extract_global_ids(tok, tokens)
+            if g.size < token_num:
+                g = np.pad(g, (0, token_num - g.size))
+            pending.global_tokens = g[None, :token_num]
+        if sem.size == 0:
+            return np.zeros(0, np.float32)
+        return self.pipe.detokenize(pending.global_tokens, sem[None, :])
+
+    async def _vocode_loop(self):
+        """Drains vocode work on a dedicated thread so the codec renders the
+        previous chunk WHILE the LM engine decodes the next micro-batch (the
+        reference overlaps these via separate Triton model instances,
+        SURVEY.md §3.5)."""
+        loop = asyncio.get_running_loop()
+        while True:
+            pending, tokens, final, offline = await self._vocode_q.get()
+            if pending.cancelled:
+                continue
+            try:
+                t0 = time.perf_counter()
+                if offline:
+                    wav = await loop.run_in_executor(
+                        self._vocode_pool, self._finish_offline, pending, tokens
+                    )
+                    self.stats["completed"] += 1
+                    if not pending.future.done():
+                        pending.future.set_result(wav)
+                else:
+                    chunks = await loop.run_in_executor(
+                        self._vocode_pool, self._emit_stream_chunks, pending, tokens, final
+                    )
+                    for c in chunks:  # pushed on the loop thread (queue is not thread-safe)
+                        pending.chunk_queue.put_nowait(c)
+                    if final:
+                        self.stats["completed"] += 1
+                        if not pending.future.done():
+                            pending.future.set_result(np.zeros(0, np.float32))
+                self.stage_stats.record("vocode", time.perf_counter() - t0)
+            except Exception as e:
+                logger.exception("vocode failed")
+                self.stats["failures"] = self.stats.get("failures", 0) + 1
+                self._fail_pending(pending, e)
 
     def _admit(self, pending: _Pending) -> Optional[int]:
         tok = self.pipe.tokenizer
         if pending.gender is not None:
             ids = build_control_prompt(tok, pending.text, pending.gender, pending.pitch, pending.speed)
+            mode = "control"
         else:
             g, s = self.pipe.tokenize_audio(pending.prompt_wav)
             pending.global_tokens = g
@@ -261,33 +350,18 @@ class ContinuousTTSServer:
                 s if pending.prompt_text is not None else None,
                 pending.prompt_text,
             )
-        req_id = self.engine.submit(ids, max_new_tokens=pending.max_new_tokens)
+            mode = "clone"
+        req_id = self.engine.submit(ids, max_new_tokens=pending.max_new_tokens, mode=mode)
         self.inflight[req_id] = pending
+        self.stage_stats.record("queue_wait", time.perf_counter() - pending.enqueue_time)
         return req_id
 
     def _finish(self, req_id: int, tokens: np.ndarray):
         pending = self.inflight.pop(req_id)
-        tok = self.pipe.tokenizer
         if pending.chunk_queue is not None:
-            self._emit_stream_chunks(pending, np.zeros(0, np.int32), final=True)
-            self.stats["completed"] += 1
-            if not pending.future.done():
-                pending.future.set_result(np.zeros(0, np.float32))
-            return
-        sem = extract_semantic_ids(tok, tokens)
-        if pending.gender is not None:
-            token_num = self.pipe.config.bicodec.speaker_encoder.token_num
-            g = extract_global_ids(tok, tokens)
-            if g.size < token_num:
-                g = np.pad(g, (0, token_num - g.size))
-            pending.global_tokens = g[None, :token_num]
-        if sem.size == 0:
-            wav = np.zeros(0, np.float32)
+            self._vocode_q.put_nowait((pending, np.zeros(0, np.int32), True, False))
         else:
-            wav = self.pipe.detokenize(pending.global_tokens, sem[None, :])
-        self.stats["completed"] += 1
-        if not pending.future.done():
-            pending.future.set_result(wav)
+            self._vocode_q.put_nowait((pending, tokens, True, True))
 
     def _fail_pending(self, pending: "_Pending", exc: Exception):
         """Propagate a failure to a request whichever way it is waiting:
@@ -299,43 +373,77 @@ class ContinuousTTSServer:
         if pending.chunk_queue is not None:
             pending.chunk_queue.put_nowait(None)
 
+    def _requested_steps(self) -> int:
+        """Size the next decode dispatch to the nearest upcoming event:
+        a streaming slot's next chunk boundary or any slot's budget end.
+        The engine snaps the result UP to its compiled dispatch ladder."""
+        need = None
+        for slot, req in enumerate(self.engine.owner):
+            if req is None:
+                continue
+            remaining = max(int(self.engine.budget[slot]), 1)
+            p = self.inflight.get(req)
+            if p is not None and p.chunk_queue is not None:
+                buffered = len(p.stream_buf) - p.stream_emitted
+                slot_need = max(min(p.stream_target - buffered, remaining), 1)
+            else:
+                slot_need = remaining
+            need = slot_need if need is None else min(need, slot_need)
+        return need if need is not None else self.steps
+
+    def _try_admit(self, pending: _Pending, engine_idle: bool) -> bool:
+        """Admit one request; returns False when admission was deferred
+        (paged backpressure).  A deferral with an IDLE engine is a hard
+        failure — the request alone exceeds the pool."""
+        busy = any(o is not None for o in self.engine.owner)
+        try:
+            t0 = time.perf_counter()
+            self._admit(pending)
+            self.stage_stats.record("admit_prefill", time.perf_counter() - t0)
+            if busy:
+                self.stats["admitted_midflight"] += 1
+            return True
+        except AdmissionDeferred as e:
+            if engine_idle:
+                logger.error("request exceeds page pool even alone: %s", e)
+                self._fail_pending(pending, e)
+                return True
+            self.stats["deferrals"] += 1
+            self._deferred.append(pending)
+            return False
+        except Exception as e:
+            logger.exception("admission failed")
+            self._fail_pending(pending, e)
+            return True
+
     async def _loop(self):
         while True:
-            # admit as many waiting requests as slots allow
-            admitted_any = False
-            while self.engine.free_slots() > 0 and not self.waiting.empty():
-                pending = self.waiting.get_nowait()
-                try:
-                    busy = any(o is not None for o in self.engine.owner)
-                    self._admit(pending)
-                    admitted_any = True
-                    if busy:
-                        self.stats["admitted_midflight"] += 1
-                except Exception as e:
-                    logger.exception("admission failed")
-                    self._fail_pending(pending, e)
+            # admit as many waiting requests as slots (and page reservations)
+            # allow; deferred requests retry first to keep arrival order
+            while self.engine.free_slots() > 0 and (self._deferred or not self.waiting.empty()):
+                pending = self._deferred.popleft() if self._deferred else self.waiting.get_nowait()
+                idle = all(o is None for o in self.engine.owner)
+                if not self._try_admit(pending, engine_idle=idle):
+                    break  # backpressured: stop admitting until slots free
 
             if all(o is None for o in self.engine.owner):
                 # idle: wait for the next request without burning CPU
                 pending = await self.waiting.get()
-                try:
-                    self._admit(pending)
-                except Exception as e:
-                    logger.exception("admission failed")
-                    self._fail_pending(pending, e)
+                self._try_admit(pending, engine_idle=True)
                 continue
 
-            # advance the running batch one micro-batch of steps (in a thread
-            # so the event loop keeps accepting requests)
+            # advance the running batch one adaptively-sized micro-batch (in
+            # a thread so the event loop keeps accepting requests)
             before = set(self.engine.finished)
             try:
+                t0 = time.perf_counter()
                 increments = await asyncio.get_running_loop().run_in_executor(
-                    None, self.engine.step, self.steps
+                    None, self.engine.step, self._requested_steps()
                 )
+                self.stage_stats.record("decode_dispatch", time.perf_counter() - t0)
             except Exception as e:
-                # an engine failure (e.g. page-pool exhaustion) must not kill
-                # the serving loop: fail every inflight request loudly and
-                # keep accepting new work
+                # an engine failure must not kill the serving loop: fail every
+                # inflight request loudly and keep accepting new work
                 logger.exception("engine step failed; failing inflight requests")
                 for req_id in list(self.inflight):
                     self._fail_pending(self.inflight.pop(req_id), e)
@@ -345,10 +453,11 @@ class ContinuousTTSServer:
                 self.stats["failures"] = self.stats.get("failures", 0) + 1
                 continue
             # streaming consumers get chunks as soon as their schedule fills
+            # (vocoded on the worker thread, overlapping the next dispatch)
             for req_id, new_tokens in increments.items():
                 pending = self.inflight.get(req_id)
                 if pending is not None and pending.chunk_queue is not None:
-                    self._emit_stream_chunks(pending, new_tokens, final=False)
+                    self._vocode_q.put_nowait((pending, new_tokens, False, False))
             for req_id in set(self.engine.finished) - before:
                 self._finish(req_id, self.engine.finished.pop(req_id))
             # reap requests whose streaming consumer went away: free the

@@ -128,8 +128,8 @@ class StreamingSynthesizer:
         vocab_slice, extra_ids = pipe.guided_constraint(
             "control" if gender is not None else "clone"
         )
-        # measured on v5e: separate prefill + decode dispatches beat the fused
-        # prefill_and_decode program for first-chunk latency (307 → 219 ms)
+        # measured on v5e: separate prefill + decode dispatches beat a fused
+        # prefill+first-chunk program for first-chunk latency (307 → 219 ms)
         state = prefill(
             pipe.llm_params,
             pipe.config.llm,

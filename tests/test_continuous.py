@@ -135,3 +135,64 @@ def test_pad_id_as_legal_token_not_dropped(params):
     eng2.run_until_done(n_steps=4)
     out = eng2.finished.pop(rid2)
     np.testing.assert_array_equal(out, ref)  # nothing eaten, nothing reordered
+
+
+def test_dispatch_ladder_no_budget_overshoot(params):
+    """A dispatch far larger than the remaining budget is safe: the slot
+    stops ON DEVICE at its token limit, emits exactly max_new tokens, and
+    the requested size snaps to the fixed ladder (no per-value compiles)."""
+    from sparktts_tpu.lm.continuous import DISPATCH_LADDER, snap_to_ladder
+
+    assert snap_to_ladder(1, 128) == DISPATCH_LADDER[0]
+    assert snap_to_ladder(9, 128) == 16
+    assert snap_to_ladder(10_000, 128) == 128
+    assert snap_to_ladder(50, 6) == 6  # capped by max_dispatch
+
+    eng = ContinuousBatchingEngine(
+        params, CFG, max_slots=2, cache_len=64, prompt_pad=16,
+        eos_ids=(), pad_id=PAD, greedy=True, cache_dtype=jnp.float32,
+    )
+    rid = eng.submit(_prompt(2, 12), max_new_tokens=10)
+    out = eng.step(64)  # snapped to 64 >> budget 10
+    assert rid in eng.finished or len(out.get(rid, [])) == 10
+    eng.run_until_done()
+    assert len(eng.finished[rid]) == 10
+
+    # and the result matches a tightly-stepped run exactly
+    eng2 = ContinuousBatchingEngine(
+        params, CFG, max_slots=2, cache_len=64, prompt_pad=16,
+        eos_ids=(), pad_id=PAD, greedy=True, cache_dtype=jnp.float32,
+    )
+    rid2 = eng2.submit(_prompt(2, 12), max_new_tokens=10)
+    eng2.run_until_done(n_steps=4)
+    np.testing.assert_array_equal(eng.finished[rid], eng2.finished[rid2])
+
+
+def test_per_slot_mode_constraint(params):
+    """Clone-mode slots must sample only from clone_slice + clone_extras even
+    though the engine compiles with the control superset constraint; control
+    slots keep the full superset.  (ADVICE r2: one shared engine previously
+    let clone requests sample control-only ids.)"""
+    vocab_slice = (100, 200)        # superset: "semantic" 100-150, "global" 150-200
+    clone_slice = (100, 150)
+    eos = 3
+    eng = ContinuousBatchingEngine(
+        params, CFG, max_slots=4, cache_len=64, prompt_pad=16,
+        eos_ids=(eos,), pad_id=PAD, cache_dtype=jnp.float32,
+        vocab_slice=vocab_slice, extra_ids=(eos,),
+        clone_slice=clone_slice, clone_extras=(eos,),
+        temperature=4.0,  # flatten the distribution so the range gets covered
+    )
+    r_clone = eng.submit(_prompt(3, 10), max_new_tokens=40, mode="clone")
+    r_ctrl = eng.submit(_prompt(4, 10), max_new_tokens=40, mode="control")
+    eng.run_until_done(n_steps=16)
+
+    clone_toks = set(eng.finished[r_clone].tolist())
+    ctrl_toks = set(eng.finished[r_ctrl].tolist())
+    allowed_clone = set(range(*clone_slice)) | {eos}
+    allowed_ctrl = set(range(*vocab_slice)) | {eos}
+    assert clone_toks <= allowed_clone, clone_toks - allowed_clone
+    assert ctrl_toks <= allowed_ctrl, ctrl_toks - allowed_ctrl
+    # the flattened sampler must actually exercise ids outside the clone
+    # range on the control slot — otherwise this test proves nothing
+    assert ctrl_toks - allowed_clone, "control slot never left the clone range"

@@ -113,12 +113,15 @@ def test_failure_containment(pipe):
 
 def test_paged_server_matches_dense(pipe):
     """The server on the paged engine must produce the same waveforms as the
-    dense engine for identical requests (greedy engines aren't exposed here,
-    but the seeded sampling chain is shared, so outputs are deterministic)."""
+    dense engine for identical requests.  Greedy decode is used because the
+    two engines' attention kernels (dense einsum vs paged Pallas) differ at
+    the ulp level — sampled top-p boundaries can legitimately flip, argmax
+    cannot (the sampled chain's distribution equality is covered by
+    tests/test_paged.py at matched shapes)."""
 
     async def run(paged):
         server = ContinuousTTSServer(
-            pipe, max_slots=4, steps_per_dispatch=6, paged=paged
+            pipe, max_slots=4, steps_per_dispatch=6, paged=paged, greedy=True
         )
         await server.start()
         wavs = await asyncio.gather(

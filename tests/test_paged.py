@@ -131,19 +131,31 @@ def test_paged_engine_midflight_admission(lm):
     assert len(paged.free_pages) == 39  # n_pages - trash page
 
 
-def test_page_pool_exhaustion_raises(lm):
+def test_page_pool_overcommit_defers_admission(lm):
+    """Worst-case pages are reserved AT ADMISSION: a request the pool cannot
+    guarantee is deferred (backpressure) instead of being admitted and then
+    exhausting the pool mid-decode (which would fail the whole batch)."""
+    from sparktts_tpu.lm.continuous import AdmissionDeferred
+
     cfg, params = lm
     paged = PagedContinuousEngine(
         params, cfg, max_slots=4, n_pages=4, page_size=16, pages_per_slot=10,
         prompt_pad=16, eos_ids=(EOS,), pad_id=PAD, greedy=True,
         cache_dtype=jnp.float32,
     )
-    paged.submit(list(range(10, 20)), max_new_tokens=16)  # 1 page
-    paged.submit(list(range(10, 20)), max_new_tokens=16)  # 1 page
-    with pytest.raises(RuntimeError, match="page pool exhausted"):
-        # each step of 8 needs a second page per slot: 2 free - wait, 1 left
-        paged.step(n_steps=16)
-        paged.step(n_steps=16)
+    # 10-token prompt + 16-token budget = 2 pages worst case; pool has 3
+    # usable pages, so the first request fits but the second cannot be
+    # guaranteed (1 outstanding growth + 2 needed > 2 free after its prompt)
+    r0 = paged.submit(list(range(10, 20)), max_new_tokens=16)
+    with pytest.raises(AdmissionDeferred):
+        paged.submit(list(range(10, 20)), max_new_tokens=16)
+    # the admitted request still runs to completion through page growth
+    paged.run_until_done(n_steps=16)
+    assert r0 in paged.finished
+    # ... after which the deferred request fits
+    r1 = paged.submit(list(range(10, 20)), max_new_tokens=16)
+    paged.run_until_done(n_steps=16)
+    assert r1 in paged.finished
 
 
 def test_paged_memory_footprint_smaller(lm):

@@ -192,34 +192,6 @@ def test_flash_prefill_generate_matches_bias_path(hf_pair):
     np.testing.assert_array_equal(np.asarray(tok_ref), np.asarray(tok_flash))
 
 
-def test_prefill_and_decode_matches_separate_path(hf_pair):
-    """Fused prefill+decode program emits the same greedy tokens as separate
-    prefill → decode_chunk dispatches."""
-    from sparktts_tpu.lm.generate import decode_chunk, prefill, prefill_and_decode
-    from sparktts_tpu.lm.qwen import init_kv_cache
-
-    _, cfg, params = hf_pair
-    rng = np.random.default_rng(9)
-    t = 16
-    ids = rng.integers(10, VOCAB, size=(1, t)).astype(np.int32)
-    mask = jnp.ones((1, t), bool)
-    n = 6
-
-    cache1 = init_kv_cache(cfg, 1, t + n, jnp.float32)
-    state, toks_fused, valid_fused = prefill_and_decode(
-        params, cfg, jnp.asarray(ids), mask, cache1, jax.random.PRNGKey(0), n,
-        eos_ids=(), pad_id=PAD, greedy=True,
-    )
-
-    cache2 = init_kv_cache(cfg, 1, t + n, jnp.float32)
-    st = prefill(params, cfg, jnp.asarray(ids), mask, cache2, jax.random.PRNGKey(0),
-                 0.8, 50, 0.95, greedy=True)
-    st, toks_sep, valid_sep = decode_chunk(params, cfg, st, t, n, eos_ids=(), pad_id=PAD, greedy=True)
-
-    np.testing.assert_array_equal(np.asarray(toks_fused), np.asarray(toks_sep))
-    np.testing.assert_array_equal(np.asarray(valid_fused), np.asarray(valid_sep))
-
-
 def test_mid_sequence_eos_stops_one_row(hf_pair):
     """A specific EOS terminates ONE row of the batch mid-sequence while the
     other row keeps generating (the old test used eos_ids=range(VOCAB), which
