@@ -162,6 +162,32 @@ def main():
         print(json.dumps(stats), file=sys.stderr)
         results["runs"].append(stats)
 
+    # quality metrics (BASELINE.md parity bar): codec round-trip mel distance
+    # and speaker similarity on a few prompts — catches codec/quantization
+    # regressions by artifact diffing (role of the reference's seed_tts
+    # WER/similarity evaluation).  With random weights the absolute values
+    # are meaningless but stable for a fixed seed/config.
+    from sparktts_tpu.bench.metrics import mel_distance, speaker_similarity
+
+    qual = []
+    for t in tasks[:3]:
+        g, s = pipe.tokenize_audio(t.prompt_wav)
+        recon = pipe.detokenize(g, s)
+        n = min(len(recon), len(t.prompt_wav))
+        ref = np.asarray(t.prompt_wav[:n], np.float32)
+        qual.append(
+            {
+                "mel_distance_l1": round(mel_distance(ref, recon[:n]), 4),
+                "speaker_similarity": round(speaker_similarity(pipe, ref, recon[:n]), 4),
+            }
+        )
+    results["codec_quality"] = {
+        "per_prompt": qual,
+        "mel_distance_l1_mean": round(float(np.mean([q["mel_distance_l1"] for q in qual])), 4),
+        "speaker_similarity_mean": round(float(np.mean([q["speaker_similarity"] for q in qual])), 4),
+    }
+    print(json.dumps(results["codec_quality"]), file=sys.stderr)
+
     out = json.dumps(results, indent=2)
     Path(args.out).write_text(out + "\n")
     print(out)

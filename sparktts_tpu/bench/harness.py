@@ -109,9 +109,35 @@ def run_offline_benchmark(
         await asyncio.gather(*(one(t, i) for i, t in enumerate(tasks)))
         wall = time.perf_counter() - t0
         await server.stop()
-        return _summarize(latencies, audio_s, wall, {"mode": "offline", "concurrency": concurrency, "server_stats": server.stats_summary()})
+        return _summarize(
+            latencies,
+            audio_s,
+            wall,
+            {
+                "mode": "offline",
+                "concurrency": concurrency,
+                "server_stats": server.stats_summary(),
+                # per-stage queue-vs-compute breakdown (role of the reference
+                # Triton stats dump, client_grpc.py:89-143)
+                "stage_stats": _drain_global_stages(),
+            },
+        )
 
+    from sparktts_tpu.utils.profiling import GLOBAL_STATS
+
+    GLOBAL_STATS.reset()
     return asyncio.new_event_loop().run_until_complete(run())
+
+
+def _drain_global_stages() -> Dict[str, Any]:
+    """Snapshot-and-reset the process-wide pipeline stage registry (tokenize /
+    prefill / llm_generate / vocode timings recorded by `utils.profiling.stage`
+    inside the pipeline)."""
+    from sparktts_tpu.utils.profiling import GLOBAL_STATS
+
+    summary = GLOBAL_STATS.summary()
+    GLOBAL_STATS.reset()
+    return summary
 
 
 def run_network_streaming_benchmark(
@@ -192,14 +218,15 @@ def run_continuous_benchmark(
     concurrency: int = 1,
     streaming: bool = False,
     max_slots: int = 8,
-    steps_per_dispatch: int = 16,
+    steps_per_dispatch: int = 128,
     max_new_tokens: Optional[int] = None,
 ) -> Dict[str, Any]:
     """Dataset benchmark through the continuous (inflight) batching server —
     the closest analogue of the reference's Triton+TRT-LLM serving stack
     (reference `client_grpc.py:517-607` offline / `:332-433` streaming task
     semantics).  `concurrency` bounds how many requests are in flight at
-    once; with streaming=True, per-task first-chunk latency is recorded."""
+    once; with streaming=True, per-task first-chunk latency is recorded.
+    steps_per_dispatch caps the server's adaptive dispatch sizing."""
     from sparktts_tpu.serve.continuous_server import ContinuousTTSServer
 
     async def run():
@@ -252,6 +279,9 @@ def run_continuous_benchmark(
             "mode": "continuous_streaming" if streaming else "continuous_offline",
             "concurrency": concurrency,
             "server_stats": dict(server.stats),
+            # queue_wait / admit_prefill / decode_dispatch / vocode breakdown
+            # (role of the reference Triton stats dump, client_grpc.py:89-143)
+            "stage_stats": server.stage_stats.summary(),
         }
         if streaming and first_chunk:
             fc = np.asarray(first_chunk)

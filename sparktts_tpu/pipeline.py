@@ -544,27 +544,28 @@ class SparkTTSPipeline:
             mask[i, t_pad - len(p) :] = True
 
         vocab_slice, extra_ids = self.guided_constraint(mode)
-        tokens, lengths = generate(
-            self.llm_params,
-            self.config.llm,
-            jnp.asarray(input_ids),
-            jnp.asarray(mask),
-            jax.random.PRNGKey(seed),
-            max_new_tokens=max_new,
-            cache_len=t_pad + max_new,
-            temperature=temperature,
-            top_k=top_k,
-            top_p=top_p,
-            eos_ids=tuple(self.tokenizer.eos_ids),
-            pad_id=self.tokenizer.pad_id,
-            greedy=greedy,
-            cache_dtype=self.lm_dtype,
-            use_flash=self.use_flash,
-            vocab_slice=vocab_slice,
-            extra_ids=extra_ids,
-        )
-        tokens = np.asarray(tokens)
-        lengths = np.asarray(lengths)
+        with stage("llm_generate_batch"):
+            tokens, lengths = generate(
+                self.llm_params,
+                self.config.llm,
+                jnp.asarray(input_ids),
+                jnp.asarray(mask),
+                jax.random.PRNGKey(seed),
+                max_new_tokens=max_new,
+                cache_len=t_pad + max_new,
+                temperature=temperature,
+                top_k=top_k,
+                top_p=top_p,
+                eos_ids=tuple(self.tokenizer.eos_ids),
+                pad_id=self.tokenizer.pad_id,
+                greedy=greedy,
+                cache_dtype=self.lm_dtype,
+                use_flash=self.use_flash,
+                vocab_slice=vocab_slice,
+                extra_ids=extra_ids,
+            )
+            tokens = np.asarray(tokens)
+            lengths = np.asarray(lengths)
         return [tokens[i, : int(lengths[i])] for i in range(b)]
 
     def detokenize_batch(self, global_tokens: np.ndarray, semantic_list) -> list:
@@ -580,13 +581,14 @@ class SparkTTSPipeline:
             if len(s) < t_pad and len(s) > 0:
                 padded[i, len(s) :] = s[-1]  # edge-replicate
         fn = self._detokenize_fn(t_pad)
-        wav = np.asarray(
-            fn(
-                self.bicodec_params,
-                self._codec_arr(padded),
-                self._codec_arr(global_tokens, dtype=jnp.int32),
+        with stage("vocode_batch"):
+            wav = np.asarray(
+                fn(
+                    self.bicodec_params,
+                    self._codec_arr(padded),
+                    self._codec_arr(global_tokens, dtype=jnp.int32),
+                )
             )
-        )
         return [
             wav[i, : np.asarray(semantic_list[i]).reshape(-1).shape[0] * self._wave_upsample].astype(
                 np.float32

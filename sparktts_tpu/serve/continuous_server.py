@@ -336,6 +336,8 @@ class ContinuousTTSServer:
                 self._fail_pending(pending, e)
 
     def _admit(self, pending: _Pending) -> Optional[int]:
+        # time spent queued, not including the admission prefill itself
+        self.stage_stats.record("queue_wait", time.perf_counter() - pending.enqueue_time)
         tok = self.pipe.tokenizer
         if pending.gender is not None:
             ids = build_control_prompt(tok, pending.text, pending.gender, pending.pitch, pending.speed)
@@ -353,7 +355,6 @@ class ContinuousTTSServer:
             mode = "clone"
         req_id = self.engine.submit(ids, max_new_tokens=pending.max_new_tokens, mode=mode)
         self.inflight[req_id] = pending
-        self.stage_stats.record("queue_wait", time.perf_counter() - pending.enqueue_time)
         return req_id
 
     def _finish(self, req_id: int, tokens: np.ndarray):

@@ -262,7 +262,7 @@ def serve_http(
     max_batch: int = 16,
     streaming: bool = True,
     stream_max_slots: int = 2,
-    stream_steps_per_dispatch: int = 16,
+    stream_steps_per_dispatch: int = 128,
     paged_kv: bool = False,
 ):
     """Blocking HTTP JSON server.
@@ -320,6 +320,7 @@ def serve_http(
                 stats = server.stats_summary()
                 if cserver is not None:
                     stats["streaming"] = dict(cserver.stats)
+                    stats["streaming_stages"] = cserver.stage_stats.summary()
                 self._send_json(stats)
             elif self.path == "/health":
                 ok = server.healthy
