@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Speculative-decoding benchmark on the real chip (VERDICT r2 item 3).
+
+Measures tok/s and draft acceptance for self-speculative decode
+(`lm/speculative.py`: first-n-layers draft, exact verification) against the
+vanilla guided decode loop at batch 1, full Qwen2.5-0.5B dims.  Random
+weights mean a shallow draft's acceptance reflects chance, so the sweep
+brackets reality:
+
+  * draft_layers=24 (draft == target): acceptance is 1.0 by construction —
+    the UPPER bound on what the speculative machinery can deliver (pure
+    mechanics: k accepted tokens per draft-k + verify-1 round)
+  * draft_layers in {4, 6}: the production draft shapes; on random weights
+    their acceptance is the FLOOR (a distilled draft lands in between —
+    lm/distill.py trains one)
+
+    python scripts/bench_speculative.py --out /tmp/spec_bench.json
+"""
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from sparktts_tpu.utils.platform import apply_platform_env  # noqa: E402
+
+apply_platform_env()
+
+PROMPT_LEN = 128
+NEW_TOKENS = 500
+SEM_BASE, N_SEM, EOS = 151665, 8192, 151645
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--out", default=None)
+    parser.add_argument("--new_tokens", type=int, default=NEW_TOKENS)
+    parser.add_argument("--int8", action="store_true", default=True)
+    parser.add_argument("--no_int8", dest="int8", action="store_false")
+    parser.add_argument("--repeats", type=int, default=3)
+    parser.add_argument("--tiny", action="store_true", help="tiny dims CPU smoke")
+    args = parser.parse_args()
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sparktts_tpu.config import SparkTTSConfig
+    from sparktts_tpu.lm.generate import generate
+    from sparktts_tpu.lm.qwen import init_qwen
+    from sparktts_tpu.lm.speculative import (
+        draft_config,
+        draft_from_layers,
+        speculative_generate_greedy,
+    )
+
+    cfg = SparkTTSConfig().llm
+    global PROMPT_LEN, SEM_BASE, N_SEM, EOS
+    if args.tiny:
+        from sparktts_tpu.config import QwenConfig
+
+        cfg = QwenConfig(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=8, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=16, eos_token_id=0, pad_token_id=1,
+        )
+        PROMPT_LEN, SEM_BASE, N_SEM, EOS = 16, 100, 100, 0
+        args.new_tokens = min(args.new_tokens, 32)
+        args.int8 = False
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+
+    params = init_qwen(jax.random.PRNGKey(0), cfg, dtype=jnp.float32 if args.tiny else jnp.bfloat16)
+    if args.int8:
+        from sparktts_tpu.lm.quant import quantize_qwen_int8
+
+        params = jax.tree.map(jnp.asarray, quantize_qwen_int8(params))
+
+    ids = jnp.asarray(
+        np.random.default_rng(0).integers(100, 5000, size=(1, PROMPT_LEN)), jnp.int32
+    )
+    mask = jnp.ones((1, PROMPT_LEN), bool)
+    new = args.new_tokens
+    vocab_slice, extra = (SEM_BASE, SEM_BASE + N_SEM), (EOS,)
+
+    results = []
+
+    def timed(label, fn):
+        out = fn()  # compile + warm
+        t_best = float("inf")
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            out = fn()
+            # force host transfer — block_until_ready is advisory on this relay
+            np.asarray(out[0])
+            t_best = min(t_best, time.perf_counter() - t0)
+        return out, t_best
+
+    # vanilla greedy baseline (guided decode, fixed budget)
+    def vanilla():
+        return generate(
+            params, cfg, ids, mask, jax.random.PRNGKey(1),
+            max_new_tokens=new, cache_len=PROMPT_LEN + new,
+            eos_ids=(), pad_id=0, greedy=True,
+            vocab_slice=vocab_slice, extra_ids=extra,
+        )
+
+    (_, _), t = timed("vanilla", vanilla)
+    base = {"config": "vanilla_greedy", "tok_s": round(new / t, 1),
+            "ms_total": round(t * 1000, 1)}
+    print(json.dumps(base), file=sys.stderr)
+    results.append(base)
+
+    full_layers = cfg.num_hidden_layers
+    for draft_layers, ks in ((full_layers, (4,)), (6, (4,)), (4, (2, 4, 8))):
+        draft = draft_from_layers(params, draft_layers)
+        dcfg = draft_config(cfg, draft_layers)
+        for k in ks:
+            def spec():
+                return speculative_generate_greedy(
+                    params, draft, cfg, dcfg, ids, mask,
+                    max_new_tokens=new, cache_len=PROMPT_LEN + new + k, k=k,
+                    eos_ids=(), pad_id=0,
+                    vocab_slice=vocab_slice, extra_ids=extra,
+                )
+
+            (tokens, lengths, accepted), t = timed(f"spec L{draft_layers} k{k}", spec)
+            n_out = int(np.asarray(lengths)[0])
+            rec = {
+                "config": f"self_spec_draft{draft_layers}_k{k}",
+                "tok_s": round(n_out / t, 1),
+                "ms_total": round(t * 1000, 1),
+                "acceptance": round(float(np.asarray(accepted)) / max(n_out, 1), 3),
+                "tokens_out": n_out,
+            }
+            print(json.dumps(rec), file=sys.stderr)
+            results.append(rec)
+
+    doc = {"new_tokens": new, "int8": args.int8, "batch": 1, "results": results}
+    print(json.dumps(doc, indent=2))
+    if args.out:
+        Path(args.out).write_text(json.dumps(doc, indent=2) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -117,9 +117,35 @@ def main():
     # the max concurrency x every budget deterministically.
     if not args.no_warmup:
         t0 = time.time()
+        # warm every dispatch-ladder decode program of the continuous engine
+        # (the server sizes dispatches adaptively, so ALL rungs can appear
+        # mid-run; a cold rung would land a compile inside a timed request)
+        from sparktts_tpu.lm.continuous import DISPATCH_LADDER
+        from sparktts_tpu.serve.continuous_server import ContinuousTTSServer
+
+        warm_server = ContinuousTTSServer(pipe, max_slots=args.max_slots)
+        eng = warm_server.engine
+        # request mode is a traced flag, so one submit warms both modes
+        rid = eng.submit(
+            list(range(10, 10 + pipe.prompt_bucket // 2)),
+            max_new_tokens=max(max_new_choices),
+            mode="clone",
+        )
+        for n in DISPATCH_LADDER:
+            if n <= warm_server.steps:
+                eng.step(n)
+        if rid in eng.owner:
+            eng.release_slot(eng.owner.index(rid))
+        del warm_server, eng
+        # warm real prompt-bucket admission + chunk vocode shapes through
+        # both continuous modes
         run_continuous_benchmark(
             pipe, tasks[: max(3, len(max_new_choices) * len(prompt_secs))],
             concurrency=2, streaming=False, max_slots=args.max_slots,
+        )
+        run_continuous_benchmark(
+            pipe, tasks[: max(3, len(max_new_choices) * len(prompt_secs))],
+            concurrency=2, streaming=True, max_slots=args.max_slots,
         )
         prompt_ids = [
             pipe.tokenizer.encode(t.text)[: pipe.prompt_bucket - 40] for t in tasks
