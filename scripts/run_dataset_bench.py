@@ -55,6 +55,13 @@ def make_tasks(n: int, max_new_choices, prompt_secs=(3, 6)):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model_dir", default=None)
+    parser.add_argument(
+        "--hf_dataset", default=None,
+        help="seed_tts-protocol huggingface dataset name or load_from_disk "
+        "path (reference client_grpc.py --huggingface-dataset); replaces the "
+        "synthetic manifest",
+    )
+    parser.add_argument("--hf_split", default="wenetspeech4tts")
     parser.add_argument("--tasks", type=int, default=24)
     parser.add_argument("--out", default="BENCH_DATASET.json")
     parser.add_argument("--tiny", action="store_true", help="tiny CPU config")
@@ -105,8 +112,18 @@ def main():
     # compiles inside timed runs
     pipe.vocode_bucket = max(max_new_choices)
 
-    tasks = make_tasks(args.tasks, max_new_choices, prompt_secs)
-    results = {"tasks": args.tasks, "backend": jax.default_backend(), "runs": []}
+    if args.hf_dataset:
+        from sparktts_tpu.bench.harness import load_hf_dataset_tasks
+
+        tasks = load_hf_dataset_tasks(args.hf_dataset, args.hf_split)[: args.tasks]
+    else:
+        tasks = make_tasks(args.tasks, max_new_choices, prompt_secs)
+    results = {
+        "tasks": len(tasks),
+        "dataset": args.hf_dataset or "synthetic",
+        "backend": jax.default_backend(),
+        "runs": [],
+    }
 
     offline_concs = [int(c) for c in args.offline_conc.split(",") if c]
     streaming_concs = [int(c) for c in args.streaming_conc.split(",") if c]

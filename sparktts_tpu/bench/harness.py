@@ -56,6 +56,42 @@ def load_manifest(path: str | Path) -> List[BenchTask]:
     return tasks
 
 
+def load_hf_dataset_tasks(
+    name: str, split: str = "wenetspeech4tts", sample_rate: int = 16000
+) -> List[BenchTask]:
+    """Load a seed_tts-protocol huggingface dataset (reference
+    `client_grpc.py:641-658`: fields prompt_audio / prompt_text /
+    target_text) into bench tasks.  Audio is resampled host-side to the
+    pipeline rate.  Requires the `datasets` package and, for hub-hosted
+    datasets, network access — a local `save_to_disk` path is also accepted."""
+    import datasets
+
+    from sparktts_tpu.io.audio import resample
+
+    if Path(name).exists():
+        ds = datasets.load_from_disk(name)
+        if isinstance(ds, datasets.DatasetDict):
+            ds = ds[split] if split in ds else next(iter(ds.values()))
+    else:
+        ds = datasets.load_dataset(name, split=split, trust_remote_code=True)
+
+    tasks = []
+    for item in ds:
+        audio = item["prompt_audio"]
+        wav = np.asarray(audio["array"], np.float64)
+        sr = int(audio["sampling_rate"])
+        if sr != sample_rate:
+            wav = resample(wav, sr, sample_rate)
+        tasks.append(
+            BenchTask(
+                text=item["target_text"],
+                prompt_wav=wav.astype(np.float32),
+                prompt_text=item.get("prompt_text"),
+            )
+        )
+    return tasks
+
+
 def _summarize(latencies: List[float], total_audio_s: float, total_wall_s: float, extra=None) -> Dict[str, Any]:
     lat = np.asarray(latencies)
     stats = {

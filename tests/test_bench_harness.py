@@ -53,3 +53,33 @@ def test_continuous_benchmark_offline_and_streaming(pipe):
     assert stats_s["mode"] == "continuous_streaming"
     assert stats_s["num_tasks"] == 3
     assert stats_s["first_chunk_p50_ms"] > 0
+
+
+def test_load_hf_dataset_tasks(tmp_path):
+    """seed_tts-protocol dataset loading (reference client_grpc.py:641-658
+    field mapping) from a local save_to_disk dataset — no network needed."""
+    datasets = pytest.importorskip("datasets")
+    import numpy as np
+
+    sr = 8000
+    rows = {
+        "id": ["a", "b"],
+        "prompt_text": ["ref one", "ref two"],
+        "target_text": ["say one", "say two"],
+        "prompt_audio": [
+            {"array": np.ones(sr, np.float32) * 0.1, "sampling_rate": sr},
+            {"array": np.ones(2 * sr, np.float32) * 0.2, "sampling_rate": sr},
+        ],
+    }
+    ds = datasets.Dataset.from_dict(rows)
+    path = str(tmp_path / "seed_like")
+    ds.save_to_disk(path)
+
+    from sparktts_tpu.bench.harness import load_hf_dataset_tasks
+
+    tasks = load_hf_dataset_tasks(path, sample_rate=16000)
+    assert [t.text for t in tasks] == ["say one", "say two"]
+    assert [t.prompt_text for t in tasks] == ["ref one", "ref two"]
+    # resampled 8 kHz -> 16 kHz doubles the sample counts
+    assert abs(len(tasks[0].prompt_wav) - 16000) <= 4
+    assert abs(len(tasks[1].prompt_wav) - 32000) <= 4
