@@ -41,6 +41,11 @@ def main():
     parser.add_argument("--no_int8", dest="int8", action="store_false")
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--tiny", action="store_true", help="tiny dims CPU smoke")
+    parser.add_argument(
+        "--distill", type=int, default=0, metavar="STEPS",
+        help="also distill a 4-layer draft for STEPS optimizer steps "
+        "(lm/distill.py) and measure its acceptance/tok_s",
+    )
     args = parser.parse_args()
 
     import jax
@@ -140,6 +145,46 @@ def main():
                 "ms_total": round(t * 1000, 1),
                 "acceptance": round(float(np.asarray(accepted)) / max(n_out, 1), 3),
                 "tokens_out": n_out,
+            }
+            print(json.dumps(rec), file=sys.stderr)
+            results.append(rec)
+
+    if args.distill:
+        # a DISTILLED 4-layer draft (trained on target-sampled sequences,
+        # lm/distill.py) — realistic acceptance between the random floor and
+        # the self-draft ceiling
+        from sparktts_tpu.lm.distill import distill_draft
+
+        dcfg = draft_config(cfg, 4)
+        t0 = time.perf_counter()
+        draft, loss = distill_draft(
+            params, cfg, dcfg, steps=args.distill, batch=8,
+            prompt_len=8, gen_len=56, corpus_seqs=128,
+            vocab_slice=vocab_slice, extra_ids=extra,
+        )
+        train_s = time.perf_counter() - t0
+        print(f"distilled draft: {args.distill} steps, loss {loss:.3f}, "
+              f"{train_s:.0f}s", file=sys.stderr)
+        draft = jax.tree.map(lambda x: x.astype(jnp.bfloat16), draft)
+        for k in (4,):
+            def spec_d():
+                return speculative_generate_greedy(
+                    params, draft, cfg, dcfg, ids, mask,
+                    max_new_tokens=new, cache_len=PROMPT_LEN + new + k, k=k,
+                    eos_ids=(), pad_id=0,
+                    vocab_slice=vocab_slice, extra_ids=extra,
+                )
+
+            (tokens, lengths, accepted), t = timed(f"distilled k{k}", spec_d)
+            n_out = int(np.asarray(lengths)[0])
+            rec = {
+                "config": f"distilled_draft4_k{k}_steps{args.distill}",
+                "tok_s": round(n_out / t, 1),
+                "ms_total": round(t * 1000, 1),
+                "acceptance": round(float(np.asarray(accepted)) / max(n_out, 1), 3),
+                "tokens_out": n_out,
+                "distill_loss": round(loss, 3),
+                "distill_train_s": round(train_s, 1),
             }
             print(json.dumps(rec), file=sys.stderr)
             results.append(rec)
