@@ -149,17 +149,24 @@ def main():
 
         warm_server = ContinuousTTSServer(pipe, max_slots=args.max_slots)
         eng = warm_server.engine
-        # request mode is a traced flag, so one submit warms both modes
-        rid = eng.submit(
-            list(range(10, 10 + pipe.prompt_bucket // 2)),
-            max_new_tokens=max(max_new_choices),
-            mode="clone",
-        )
-        for n in DISPATCH_LADDER:
-            if n <= warm_server.steps:
-                eng.step(n)
-        if rid in eng.owner:
-            eng.release_slot(eng.owner.index(rid))
+        # request mode is a traced flag, so one submit warms both modes.
+        # Re-submit whenever the warm request finishes mid-sweep (early EOS
+        # or a small budget) — eng.step() is a no-op with no active slots,
+        # which would silently leave later rungs cold.
+        rungs = [n for n in DISPATCH_LADDER if n <= warm_server.steps]
+        if warm_server.steps not in rungs:
+            rungs.append(warm_server.steps)  # the cap itself is a dispatch size
+        for n in rungs:
+            if all(o is None for o in eng.owner):
+                eng.submit(
+                    list(range(10, 10 + pipe.prompt_bucket // 2)),
+                    max_new_tokens=max(max_new_choices),
+                    mode="clone",
+                )
+            eng.step(n)
+        for slot, owner in enumerate(eng.owner):
+            if owner is not None:
+                eng.release_slot(slot)
         del warm_server, eng
         # warm real prompt-bucket admission + chunk vocode shapes through
         # both continuous modes

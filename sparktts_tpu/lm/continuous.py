@@ -32,17 +32,19 @@ from sparktts_tpu.lm.sample import greedy_token, sample_token
 
 
 #: Fixed decode dispatch-size menu.  Every continuous-engine decode program is
-#: compiled for one of these step counts and nothing else — the server's
+#: compiled for one of these step counts — or the engine's max_dispatch cap
+#: when that cap is not itself a rung — and nothing else, so the server's
 #: adaptive dispatch sizing (size the next dispatch to the nearest chunk
-#: boundary / budget end) can then never trigger a fresh XLA compile
-#: mid-serving.  Budget enforcement lives ON DEVICE (SlotState.limit), so a
-#: dispatch larger than a slot's remaining budget is safe: the slot just stops
-#: early inside the scan.
+#: boundary / budget end) can never trigger a fresh XLA compile mid-serving
+#: once the (ladder ∪ {cap}) set is warm.  Budget enforcement lives ON DEVICE
+#: (SlotState.limit), so a dispatch larger than a slot's remaining budget is
+#: safe: the slot just stops early inside the scan.
 DISPATCH_LADDER = (4, 8, 16, 32, 64, 128)
 
 
 def snap_to_ladder(requested: int, max_dispatch: int) -> int:
-    """Smallest ladder value >= requested, capped at max_dispatch."""
+    """Smallest ladder value >= requested, capped at max_dispatch.  The
+    result is always in DISPATCH_LADDER ∪ {max_dispatch} — warm both."""
     for v in DISPATCH_LADDER:
         if v >= requested:
             return min(v, max_dispatch)

@@ -58,6 +58,7 @@ class _Pending:
     # streaming mode: chunks go to this queue instead of one final future
     chunk_queue: Optional[asyncio.Queue] = None
     stream_buf: list = field(default_factory=list)
+    raw_buf: list = field(default_factory=list)  # every emitted id (incl. globals/markers)
     stream_emitted: int = 0
     stream_target: int = 0
     stream_schedule: Optional[object] = None
@@ -157,6 +158,10 @@ class ContinuousTTSServer:
             self.stats["pages_free"] = len(self.engine.free_pages)
 
     async def start(self):
+        if self._vocode_pool._shutdown:  # restarted after stop()
+            self._vocode_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="vocode"
+            )
         if self._task is None:
             self._task = asyncio.create_task(self._loop())
         if self._vocode_task is None:
@@ -172,6 +177,9 @@ class ContinuousTTSServer:
                 except asyncio.CancelledError:
                     pass
                 setattr(self, attr, None)
+        # release the vocode worker thread (servers are constructed per bench
+        # run — leaked threads would pin their pipelines for the process life)
+        self._vocode_pool.shutdown(wait=False)
 
     async def synthesize(
         self,
@@ -238,9 +246,10 @@ class ContinuousTTSServer:
                 if chunk is None:
                     break
                 yield chunk
-        except GeneratorExit:
-            # consumer closed the stream early (e.g. HTTP client dropped):
-            # mark the request so the loop frees its decode slot
+        except (GeneratorExit, asyncio.CancelledError):
+            # consumer closed the stream early (HTTP client dropped, or a
+            # bridging task was cancelled on gRPC disconnect): mark the
+            # request so the loop frees its decode slot
             pending.cancelled = True
             raise
         # surface admission/engine failures to the consumer (the future is
@@ -260,6 +269,7 @@ class ContinuousTTSServer:
         (None sentinel last when final) — the asyncio chunk queue is NOT
         thread-safe, so the event-loop side does the actual pushes."""
         tok = self.pipe.tokenizer
+        pending.raw_buf.extend(np.asarray(new_tokens).tolist())
         sem = extract_semantic_ids(tok, new_tokens)
         pending.stream_buf.extend(sem.tolist())
         chunks = []
@@ -267,11 +277,13 @@ class ContinuousTTSServer:
         def push(upto: int):
             sem_ids = np.asarray(pending.stream_buf[:upto], np.int32)
             if pending.global_tokens is None:
-                token_num = self.pipe.config.bicodec.speaker_encoder.token_num
-                g = extract_global_ids(tok, new_tokens)
-                if g.size < token_num:
-                    g = np.pad(g, (0, token_num - g.size))
-                pending.global_tokens = g[None, :token_num]
+                # controllable mode: the LLM emits the speaker identity
+                # itself.  Extract from the FULL raw stream — the globals may
+                # have arrived in an earlier increment than the one that
+                # triggered this chunk.
+                pending.global_tokens = self._speaker_tokens(
+                    np.asarray(pending.raw_buf, np.int32)
+                )
             wav = self.pipe.detokenize(pending.global_tokens, sem_ids[None, :])
             start = pending.stream_emitted * self.pipe._wave_upsample
             chunks.append(wav[start:])
@@ -286,16 +298,21 @@ class ContinuousTTSServer:
             chunks.append(None)
         return chunks
 
+    def _speaker_tokens(self, tokens: np.ndarray) -> np.ndarray:
+        """(1, token_num) global speaker ids extracted from an emitted token
+        stream (controllable mode — reference `cli/SparkTTS.py:222-228`),
+        zero-padded if the stream carried fewer than token_num."""
+        token_num = self.pipe.config.bicodec.speaker_encoder.token_num
+        g = extract_global_ids(self.pipe.tokenizer, tokens)
+        if g.size < token_num:
+            g = np.pad(g, (0, token_num - g.size))
+        return g[None, :token_num]
+
     def _finish_offline(self, pending: _Pending, tokens: np.ndarray):
         """Vocode a completed non-streaming request (vocode worker thread)."""
-        tok = self.pipe.tokenizer
-        sem = extract_semantic_ids(tok, tokens)
+        sem = extract_semantic_ids(self.pipe.tokenizer, tokens)
         if pending.gender is not None:
-            token_num = self.pipe.config.bicodec.speaker_encoder.token_num
-            g = extract_global_ids(tok, tokens)
-            if g.size < token_num:
-                g = np.pad(g, (0, token_num - g.size))
-            pending.global_tokens = g[None, :token_num]
+            pending.global_tokens = self._speaker_tokens(tokens)
         if sem.size == 0:
             return np.zeros(0, np.float32)
         return self.pipe.detokenize(pending.global_tokens, sem[None, :])
@@ -368,7 +385,10 @@ class ContinuousTTSServer:
         """Propagate a failure to a request whichever way it is waiting:
         offline consumers await the future; streaming consumers read the
         chunk queue (and re-raise the future's exception after the None
-        sentinel)."""
+        sentinel).  The request is also marked cancelled so the loop's reap
+        path frees its decode slot — without this a failed stream keeps
+        decoding (and queueing vocode work) to budget end for nobody."""
+        pending.cancelled = True
         if not pending.future.done():
             pending.future.set_exception(exc)
         if pending.chunk_queue is not None:
@@ -386,7 +406,16 @@ class ContinuousTTSServer:
             p = self.inflight.get(req)
             if p is not None and p.chunk_queue is not None:
                 buffered = len(p.stream_buf) - p.stream_emitted
-                slot_need = max(min(p.stream_target - buffered, remaining), 1)
+                to_chunk = p.stream_target - buffered
+                if p.gender is not None and p.global_tokens is None:
+                    # controllable mode emits its speaker identity first:
+                    # ~token_num globals + start/end markers precede the first
+                    # semantic token, so size the dispatch to cover that
+                    # preamble too (otherwise the first chunk needs extra
+                    # dispatch round-trips)
+                    token_num = self.pipe.config.bicodec.speaker_encoder.token_num
+                    to_chunk += max(token_num + 2 - len(p.raw_buf), 0)
+                slot_need = max(min(to_chunk, remaining), 1)
             else:
                 slot_need = remaining
             need = slot_need if need is None else min(need, slot_need)

@@ -92,7 +92,12 @@ class _Backend:
 
     def synthesize_stream(self, req: "pb.SynthesisRequest") -> Iterator["pb.AudioChunk"]:
         """Bridge the async chunk generator to a sync iterator: chunks cross
-        threads through a queue fed by a coroutine on the backend loop."""
+        threads through a queue fed by a coroutine on the backend loop.
+
+        Closing the sync iterator (client disconnect) CANCELS the pump
+        coroutine — cancellation closes the async generator, which marks the
+        request cancelled so the continuous server's reap path frees its
+        decode slot instead of synthesizing to budget end for nobody."""
         import queue as _q
 
         out: _q.Queue = _q.Queue()
@@ -102,23 +107,29 @@ class _Backend:
                 async for chunk in self.server.synthesize_streaming(**_request_kwargs(req)):
                     out.put(("chunk", chunk))
                 out.put(("done", None))
+            except asyncio.CancelledError:
+                raise
             except Exception as e:  # surfaced as an error chunk, like Triton
                 out.put(("error", e))
 
-        asyncio.run_coroutine_threadsafe(pump(), self.loop)
+        pump_fut = asyncio.run_coroutine_threadsafe(pump(), self.loop)
         sr = self.pipe.sample_rate
-        while True:
-            kind, payload = out.get()
-            if kind == "chunk":
-                yield pb.AudioChunk(
-                    pcm=np.asarray(payload, np.float32).tobytes(), sample_rate=sr
-                )
-            elif kind == "done":
-                yield pb.AudioChunk(sample_rate=sr, final=True)
-                return
-            else:
-                yield pb.AudioChunk(sample_rate=sr, final=True, error=str(payload))
-                return
+        try:
+            while True:
+                kind, payload = out.get()
+                if kind == "chunk":
+                    yield pb.AudioChunk(
+                        pcm=np.asarray(payload, np.float32).tobytes(), sample_rate=sr
+                    )
+                elif kind == "done":
+                    yield pb.AudioChunk(sample_rate=sr, final=True)
+                    return
+                else:
+                    yield pb.AudioChunk(sample_rate=sr, final=True, error=str(payload))
+                    return
+        finally:
+            if not pump_fut.done():
+                self.loop.call_soon_threadsafe(pump_fut.cancel)
 
 
 # ---------------------------------------------------------------------------

@@ -139,9 +139,10 @@ def test_paged_server_matches_dense(pipe):
 
 
 def test_engine_failure_contained_and_server_survives(pipe):
-    """A page-pool-exhaustion (or any engine) failure mid-serve must fail the
-    inflight requests with an exception and leave the server able to serve
-    the next request."""
+    """Requests the page pool cannot cover must fail with an exception while
+    the server keeps serving.  With admission-time worst-case reservation,
+    oversized requests are rejected UP FRONT (the round-2 behavior — pool
+    exhaustion mid-decode failing the whole batch — can no longer happen)."""
 
     async def run():
         server = ContinuousTTSServer(
@@ -149,8 +150,8 @@ def test_engine_failure_contained_and_server_survives(pipe):
             page_size=32,
         )
         await server.start()
-        # 32-token budget needs 2+ pages once decode crosses the first page;
-        # two concurrent requests exhaust the 2 usable pages
+        # each 48-token-budget request needs 3 reserved pages; the pool has
+        # 2 usable — both are refused at admission
         results = await asyncio.gather(
             server.synthesize("exhaust one", prompt_wav=_wav(220), max_new_tokens=48),
             server.synthesize("exhaust two", prompt_wav=_wav(330), max_new_tokens=48),
@@ -193,3 +194,62 @@ def test_abandoned_stream_frees_slot(pipe):
 
     first, wav = asyncio.new_event_loop().run_until_complete(run())
     assert first is not None and np.isfinite(wav).all()
+
+
+def test_control_streaming_uses_emitted_globals(pipe):
+    """Controllable-mode STREAMING must condition the vocoder on the same
+    LLM-emitted speaker tokens the offline path extracts.  Regression: the
+    chunk-vocode path used to extract globals only from the increment that
+    triggered the chunk, so globals delivered in an earlier micro-batch were
+    dropped and chunks rendered with a zero speaker embedding."""
+
+    def record_detok(p):
+        calls = []
+        orig = p.detokenize
+
+        def spy(g, s):
+            calls.append(np.array(g))
+            return orig(g, s)
+
+        return calls, spy
+
+    kwargs = dict(text="spoken identity", gender="female", pitch="moderate",
+                  speed="moderate", max_new_tokens=12)
+
+    async def run_offline():
+        calls, spy = record_detok(pipe)
+        server = ContinuousTTSServer(pipe, max_slots=2, steps_per_dispatch=4)
+        orig = pipe.detokenize
+        pipe.detokenize = spy
+        try:
+            await server.start()
+            await server.synthesize(**{k: v for k, v in kwargs.items() if k != "text"},
+                                    text=kwargs["text"])
+            await server.stop()
+        finally:
+            pipe.detokenize = orig
+        return calls
+
+    async def run_stream():
+        calls, spy = record_detok(pipe)
+        server = ContinuousTTSServer(pipe, max_slots=2, steps_per_dispatch=4)
+        orig = pipe.detokenize
+        pipe.detokenize = spy
+        try:
+            await server.start()
+            async for _ in server.synthesize_streaming(**kwargs):
+                pass
+            await server.stop()
+        finally:
+            pipe.detokenize = orig
+        return calls
+
+    # identically-seeded fresh servers → identical sampled token streams, so
+    # the globals the vocoder sees must agree between the two paths
+    off_calls = asyncio.new_event_loop().run_until_complete(run_offline())
+    str_calls = asyncio.new_event_loop().run_until_complete(run_stream())
+    if not off_calls:
+        pytest.skip("request produced no vocoder call (immediate EOS)")
+    assert str_calls, "streaming produced no vocoder call but offline did"
+    for g in str_calls:
+        np.testing.assert_array_equal(g, off_calls[0])

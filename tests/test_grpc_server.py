@@ -1,10 +1,9 @@
 """gRPC front-end tests.
 
-The grpcio transport cannot run here (grpcio is not in the image), so the
-wire-level test drives the dependency-free framed transport — the SAME
-protobuf messages and decoupled chunk/final-flag semantics over a REAL TCP
-socket (gRPC DATA-frame layout).  When grpcio is present, the same scenarios
-run against `serve_grpc` too.
+Two transports, same protobuf messages and decoupled chunk/final-flag
+semantics: the real grpcio server (skipped automatically where grpcio is
+absent) and the dependency-free framed transport over a raw TCP socket
+(gRPC DATA-frame layout).
 """
 
 import numpy as np
@@ -122,7 +121,7 @@ def test_unknown_method_yields_error_chunk(server):
 
 
 def test_grpcio_transport_if_available(pipe):
-    grpc = pytest.importorskip("grpc")  # noqa: F841  (absent in this image)
+    grpc = pytest.importorskip("grpc")  # noqa: F841
     from sparktts_tpu.serve.grpc_server import grpc_synthesize_stream, serve_grpc
 
     server, backend = serve_grpc(pipe, host="127.0.0.1", port=50911, max_slots=2,
@@ -135,3 +134,34 @@ def test_grpcio_transport_if_available(pipe):
     finally:
         server.stop(0)
         backend.close()
+
+
+def test_client_disconnect_frees_decode_slot(server):
+    """Dropping the socket mid-stream must cancel the backend request (pump
+    cancellation → async generator close → slot reaped) instead of decoding
+    to budget end for nobody."""
+    import socket
+    import time as _time
+
+    from sparktts_tpu.serve.grpc_server import _read_frame, _write_frame
+
+    backend = server.backend
+    max_slots = len(backend.server.engine.owner)
+    req = pb.SynthesisRequest(
+        text="abandon me", prompt_wav=_wav(9).tobytes(), max_new_tokens=16
+    )
+    sock = socket.create_connection((server.host, server.port))
+    r, w = sock.makefile("rb"), sock.makefile("wb")
+    _write_frame(w, b"/sparktts.SparkTTS/SynthesizeStream")
+    _write_frame(w, req.SerializeToString())
+    chunk = pb.AudioChunk.FromString(_read_frame(r))  # first chunk arrives
+    assert not chunk.error
+    sock.close()  # drop mid-stream
+
+    deadline = _time.time() + 60
+    while _time.time() < deadline:
+        if backend.server.engine.free_slots() == max_slots and not backend.server.inflight:
+            break
+        _time.sleep(0.1)
+    assert backend.server.engine.free_slots() == max_slots
+    assert not backend.server.inflight
