@@ -40,14 +40,19 @@ def export_pipeline_artifacts(
     wav_seconds: float = 6.0,
     vocoder_tokens: int = 500,
     prompt_len: int = 128,
+    decode_len: int = 512,
 ) -> Dict[str, str]:
     """Export the deployment graph set for a pipeline (weights embedded).
 
-    Graphs (reference export partitioning, `export_sparktts_onnx.py`):
+    Graphs (reference export partitioning, `export_sparktts_onnx.py`; the LLM
+    pair plays the role of the reference's text-generation-with-past export):
       mel            — ref wav → mel spectrogram
       audio_tokenize — wav + ref wav → (semantic, global) tokens
       vocoder        — (semantic, global) tokens → waveform
-      lm_prefill     — prompt ids + mask → first-token logits + KV cache
+      lm_prefill     — prompt ids + mask → last-position logits + KV cache
+                       sized prompt_len + decode_len (decode headroom)
+      lm_decode      — (token, position, cache, write_pos) → next logits +
+                       updated cache — one AR step; the consumer samples
     """
     from sparktts_tpu.codec.bicodec import bicodec_detokenize, bicodec_tokenize
     from sparktts_tpu.dsp.mel import make_mel_basis, mel_spectrogram
@@ -99,9 +104,11 @@ def export_pipeline_artifacts(
     )
     manifest["vocoder"] = "vocoder.hlo"
 
-    # LM prefill (logits for the last position + populated cache)
+    # LM prefill (logits for the last position + populated cache).  The
+    # cache carries decode_len of headroom — a prompt-length cache would be
+    # full on return and the artifact could never generate a token.
     llm = pipeline.llm_params
-    cache_len = prompt_len
+    cache_len = prompt_len + decode_len
 
     def lm_prefill(ids, mask):
         cache = init_kv_cache(cfg.llm, ids.shape[0], cache_len, pipeline.lm_dtype)
@@ -118,6 +125,36 @@ def export_pipeline_artifacts(
     )
     manifest["lm_prefill"] = "lm_prefill.hlo"
 
+    # LM single-token decode step over that cache: feed the previously
+    # sampled token at cache slot `write_pos` (int32 scalar), get the next
+    # logits.  start (B,) carries the left-pad offsets from the prefill mask.
+    def lm_decode(tok, position, start, k, v, write_pos):
+        from sparktts_tpu.lm.qwen import KVCache
+
+        logits, cache = qwen_forward(
+            llm, cfg.llm, tok[:, None], position[:, None], KVCache(k=k, v=v),
+            write_pos, None, decode_window=(start, write_pos),
+        )
+        return logits[:, -1], cache.k, cache.v
+
+    kv_shape = (
+        cfg.llm.num_hidden_layers, 1, cache_len,
+        cfg.llm.num_key_value_heads, cfg.llm.head_dim,
+    )
+    export_program(
+        lm_decode,
+        (
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros(kv_shape, pipeline.lm_dtype),
+            jnp.zeros(kv_shape, pipeline.lm_dtype),
+            jnp.zeros((), jnp.int32),
+        ),
+        out / "lm_decode.hlo",
+    )
+    manifest["lm_decode"] = "lm_decode.hlo"
+
     with open(out / "manifest.json", "w") as f:
         json.dump(
             {
@@ -127,6 +164,7 @@ def export_pipeline_artifacts(
                 "ref_len": ref_len,
                 "vocoder_tokens": vocoder_tokens,
                 "prompt_len": prompt_len,
+                "decode_len": decode_len,
             },
             f,
             indent=2,

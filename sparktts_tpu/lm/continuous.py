@@ -72,6 +72,8 @@ class SlotState(NamedTuple):
     done: jax.Array        # bool — sequence finished (EOS seen / budget hit)
     control: jax.Array     # bool — controllable-mode request (full superset
     #                        constraint); False = clone (semantic+EOS only)
+    temperature: jax.Array  # per-slot sampling temperature
+    top_p: jax.Array        # per-slot nucleus threshold
     rng: jax.Array
 
 
@@ -87,6 +89,8 @@ def init_slots(cfg: QwenConfig, max_slots: int, cache_len: int, rng, cache_dtype
         active=jnp.zeros((max_slots,), bool),
         done=jnp.ones((max_slots,), bool),
         control=jnp.ones((max_slots,), bool),
+        temperature=jnp.full((max_slots,), 0.8, jnp.float32),
+        top_p=jnp.full((max_slots,), 0.95, jnp.float32),
         rng=rng,
     )
 
@@ -185,6 +189,8 @@ def admit_prefill(
     Pad keys beyond prompt_len are masked by each future step's key mask, and
     within prefill by the causal+pad bias.
     """
+    temperature = jnp.asarray(temperature, jnp.float32)
+    top_p = jnp.asarray(top_p, jnp.float32)
     first_tok, tmp_cache, rng = prefill_one(
         params, cfg, input_ids, prompt_len, slots.rng, slots.cache.k.dtype,
         temperature, top_k, top_p, greedy, vocab_slice, extra_ids,
@@ -217,6 +223,8 @@ def admit_prefill(
         active=slots.active.at[slot].set(True),
         done=slots.done.at[slot].set(False),
         control=slots.control.at[slot].set(jnp.asarray(control, bool)),
+        temperature=slots.temperature.at[slot].set(temperature),
+        top_p=slots.top_p.at[slot].set(top_p),
         rng=rng,
     )
 
@@ -251,9 +259,7 @@ def decode_steps(
     slots: SlotState,
     cfg: QwenConfig,
     n_steps: int,
-    temperature: float = 0.8,
     top_k: int = 50,
-    top_p: float = 0.95,
     eos_ids: Tuple[int, ...] = (),
     pad_id: int = 0,
     greedy: bool = False,
@@ -303,7 +309,9 @@ def decode_steps(
         if greedy:
             nxt = greedy_token(last)
         else:
-            nxt = sample_token(sub, last, temperature, top_k, top_p)
+            # per-slot sampling params: requests in the shared batch keep the
+            # temperature / top_p they asked for
+            nxt = sample_token(sub, last, s.temperature[:, None], top_k, s.top_p[:, None])
         nxt = _expand_constrained(nxt, vocab_slice, extra_ids)
 
         is_eos = jnp.zeros_like(s.done)
@@ -323,6 +331,8 @@ def decode_steps(
             active=s.active,
             done=done,
             control=s.control,
+            temperature=s.temperature,
+            top_p=s.top_p,
             rng=rng,
         )
         return new_s, (emitted, live)
@@ -381,11 +391,19 @@ class ContinuousBatchingEngine:
     def free_slots(self) -> int:
         return sum(1 for o in self.owner if o is None)
 
-    def submit(self, prompt_ids, max_new_tokens: int = 512, mode: str = "control") -> int:
+    def submit(
+        self,
+        prompt_ids,
+        max_new_tokens: int = 512,
+        mode: str = "control",
+        temperature: float | None = None,
+        top_p: float | None = None,
+    ) -> int:
         """Admit a request; returns its id.  Raises if no slot is free.
         `mode` selects the per-slot guided constraint: "clone" narrows
         sampling to clone_slice/clone_extras (when configured), "control"
-        uses the engine-wide superset constraint."""
+        uses the engine-wide superset constraint.  temperature/top_p are
+        honored PER SLOT (top_k is static and engine-wide)."""
         slot = next((i for i, o in enumerate(self.owner) if o is None), None)
         if slot is None:
             raise RuntimeError("no free slot")
@@ -394,7 +412,9 @@ class ContinuousBatchingEngine:
         assert t_pad + max_new_tokens <= self.cache_len, "prompt+budget exceeds cache"
         ids = np.full((1, t_pad), self.pad_id, np.int32)
         ids[0, :n] = prompt_ids  # right-padded
-        temperature, top_k, top_p = self.sampling
+        eng_temperature, top_k, eng_top_p = self.sampling
+        temperature = eng_temperature if temperature is None else temperature
+        top_p = eng_top_p if top_p is None else top_p
         self.slots = admit_prefill(
             self.params,
             self.slots,
@@ -433,15 +453,13 @@ class ContinuousBatchingEngine:
         if all(o is None for o in self.owner):
             return {}
         n_steps = snap_to_ladder(n_steps, self.max_dispatch)
-        temperature, top_k, top_p = self.sampling
+        _, top_k, _ = self.sampling
         self.slots, packed = decode_steps(
             self.params,
             self.slots,
             self.cfg,
             n_steps,
-            temperature,
             top_k,
-            top_p,
             self.eos_ids,
             self.pad_id,
             self.greedy,

@@ -56,6 +56,8 @@ class PagedSlotState(NamedTuple):
     active: jax.Array      # (B,) bool
     done: jax.Array        # (B,) bool
     control: jax.Array     # (B,) bool — controllable-mode (superset) request
+    temperature: jax.Array  # (B,) per-slot sampling temperature
+    top_p: jax.Array        # (B,) per-slot nucleus threshold
     rng: jax.Array
 
 
@@ -85,6 +87,8 @@ def init_paged_slots(
         active=jnp.zeros((max_slots,), bool),
         done=jnp.ones((max_slots,), bool),
         control=jnp.ones((max_slots,), bool),
+        temperature=jnp.full((max_slots,), 0.8, jnp.float32),
+        top_p=jnp.full((max_slots,), 0.95, jnp.float32),
         rng=rng,
     )
 
@@ -114,9 +118,7 @@ def paged_decode_steps(
     slots: PagedSlotState,
     cfg: QwenConfig,
     n_steps: int,
-    temperature: float = 0.8,
     top_k: int = 50,
-    top_p: float = 0.95,
     eos_ids: Tuple[int, ...] = (),
     pad_id: int = 0,
     greedy: bool = False,
@@ -195,7 +197,8 @@ def paged_decode_steps(
         if greedy:
             nxt = greedy_token(last)
         else:
-            nxt = sample_token(sub, last, temperature, top_k, top_p)
+            # per-slot sampling params (same contract as the dense engine)
+            nxt = sample_token(sub, last, s.temperature[:, None], top_k, s.top_p[:, None])
         nxt = _expand_constrained(nxt, vocab_slice, extra_ids)
 
         is_eos = jnp.zeros_like(s.done)
@@ -215,6 +218,8 @@ def paged_decode_steps(
             active=s.active,
             done=done,
             control=s.control,
+            temperature=s.temperature,
+            top_p=s.top_p,
             rng=rng,
         )
         return new_s, (emitted, live)
@@ -261,6 +266,8 @@ def paged_admit_prefill(
 
     t_pad = input_ids.shape[1]
     page_size = slots.k_pages.shape[3]
+    temperature = jnp.asarray(temperature, jnp.float32)
+    top_p = jnp.asarray(top_p, jnp.float32)
     first_tok, tmp_cache, rng = prefill_one(
         params, cfg, input_ids, prompt_len, slots.rng, slots.k_pages.dtype,
         temperature, top_k, top_p, greedy, vocab_slice, extra_ids,
@@ -288,6 +295,8 @@ def paged_admit_prefill(
         active=slots.active.at[slot].set(True),
         done=slots.done.at[slot].set(False),
         control=slots.control.at[slot].set(jnp.asarray(control, bool)),
+        temperature=slots.temperature.at[slot].set(temperature),
+        top_p=slots.top_p.at[slot].set(top_p),
         rng=rng,
     )
 
@@ -391,7 +400,14 @@ class PagedContinuousEngine:
             )
         )
 
-    def submit(self, prompt_ids, max_new_tokens: int = 512, mode: str = "control") -> int:
+    def submit(
+        self,
+        prompt_ids,
+        max_new_tokens: int = 512,
+        mode: str = "control",
+        temperature: float | None = None,
+        top_p: float | None = None,
+    ) -> int:
         """Admit a request.  Reserves its WORST-CASE page count up front: if
         the pool cannot cover every admitted request running to its full
         budget, raises AdmissionDeferred (backpressure) instead of admitting
@@ -416,7 +432,9 @@ class PagedContinuousEngine:
         self.slot_pages[slot] = self._alloc(prompt_pages)
         ids = np.full((1, t_pad), self.pad_id, np.int32)
         ids[0, :n] = prompt_ids
-        temperature, top_k, top_p = self.sampling
+        eng_temperature, top_k, eng_top_p = self.sampling
+        temperature = eng_temperature if temperature is None else temperature
+        top_p = eng_top_p if top_p is None else top_p
         self.slots = paged_admit_prefill(
             self.params,
             self.slots,
@@ -508,15 +526,13 @@ class PagedContinuousEngine:
 
         n_steps = snap_to_ladder(n_steps, self.max_dispatch)
         self._ensure_pages(n_steps)
-        temperature, top_k, top_p = self.sampling
+        _, top_k, _ = self.sampling
         self.slots, packed = paged_decode_steps(
             self.params,
             self.slots,
             self.cfg,
             n_steps,
-            temperature,
             top_k,
-            top_p,
             self.eos_ids,
             self.pad_id,
             self.greedy,

@@ -152,10 +152,14 @@ class SparkTTSPipeline:
         cached_w2v = CKPT.load_param_cache(cache_root / "wav2vec2")
         cached_llm = CKPT.load_param_cache(cache_root / "llm")
         if cached_bc is not None and cached_w2v is not None and cached_llm is not None:
-            self.bicodec_params = cached_bc
-            self.w2v_params = cached_w2v
+            # restore returns HOST arrays — commit them to device once here,
+            # or every jitted call re-uploads the full weight trees
+            self.bicodec_params = jax.tree.map(jnp.asarray, cached_bc)
+            self.w2v_params = jax.tree.map(jnp.asarray, cached_w2v)
             self.llm_params = jax.tree.map(
-                lambda x: x.astype(lm_dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                lambda x: jnp.asarray(
+                    x, dtype=lm_dtype if jnp.issubdtype(np.asarray(x).dtype, np.floating) else None
+                ),
                 cached_llm,
             )
             return
@@ -259,8 +263,7 @@ class SparkTTSPipeline:
                 self._codec_arr(ref_wav, dtype=jnp.float32)[None, :],
             )
         # crop semantic tokens to the true frame count
-        true_frames = feature_lengths(self.config.wav2vec2, true_len) // self._enc_ratio
-        semantic = np.asarray(semantic)[:, :true_frames]
+        semantic = np.asarray(semantic)[:, : true_frames_w2v // self._enc_ratio]
         return np.asarray(global_t), semantic
 
     def detokenize(self, global_tokens: np.ndarray, semantic_tokens: np.ndarray) -> np.ndarray:
@@ -326,16 +329,14 @@ class SparkTTSPipeline:
 
         semantic_ids = extract_semantic_ids(self.tokenizer, generated)
         if gender is not None:
-            global_ids = extract_global_ids(self.tokenizer, generated)
-            token_num = self.config.bicodec.speaker_encoder.token_num
-            if global_ids.size < token_num:
-                logger.warning(
-                    "controllable mode generated %d/%d global tokens; zero-padding",
-                    global_ids.size,
-                    token_num,
-                )
-                global_ids = np.pad(global_ids, (0, token_num - global_ids.size))
-            global_token_ids = global_ids[None, :token_num]
+            from sparktts_tpu.prompt import padded_global_tokens
+
+            global_token_ids = padded_global_tokens(
+                self.tokenizer,
+                generated,
+                self.config.bicodec.speaker_encoder.token_num,
+                warn=True,
+            )
         if semantic_ids.size == 0:
             logger.warning("no semantic tokens generated; returning silence")
             return np.zeros(0, dtype=np.float32)
@@ -454,19 +455,6 @@ class SparkTTSPipeline:
     # batched APIs (serving path; reference Triton dynamic batching role)
     # ------------------------------------------------------------------
 
-    def _tokenize_batch_fn(self, wav_len: int, ref_len: int):
-        key = ("tokenize_batch", wav_len, ref_len)
-        if key not in self._jit_cache:
-            cfg = self.config
-
-            @jax.jit
-            def fn(w2v_params, bc_params, wav, feature_mask, ref_wav):
-                feat = wav2vec2_features(w2v_params, wav, cfg.wav2vec2, feature_mask)
-                return bicodec_tokenize(bc_params, cfg.bicodec, feat, ref_wav)
-
-            self._jit_cache[key] = fn
-        return self._jit_cache[key]
-
     def tokenize_audio_batch(self, wavs) -> list:
         """List of float arrays → list of (global (1, N), semantic (1, T_i)).
 
@@ -502,7 +490,8 @@ class SparkTTSPipeline:
         total_frames = feature_lengths(self.config.wav2vec2, pad_len)
         feature_mask = np.arange(total_frames)[None, :] < np.asarray(frame_counts)[:, None]
 
-        fn = self._tokenize_batch_fn(pad_len, ref_len)
+        # same jitted body as the single path — jit specializes per shape
+        fn = self._tokenize_fn(pad_len, ref_len)
         with stage("tokenize_audio_batch"):
             semantic, global_t = fn(
                 self.w2v_params,

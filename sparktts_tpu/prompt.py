@@ -236,3 +236,23 @@ def extract_global_ids(tok: SparkTokenizerBase, generated: np.ndarray) -> np.nda
     g = np.asarray(generated).reshape(-1)
     mask = (g >= tok.global_base) & (g < tok.global_base + tok.n_global)
     return (g[mask] - tok.global_base).astype(np.int32)
+
+
+def padded_global_tokens(
+    tok: SparkTokenizerBase, generated: np.ndarray, token_num: int, warn: bool = False
+) -> np.ndarray:
+    """(1, token_num) speaker tokens from a generated stream, zero-padded when
+    the LLM emitted fewer than token_num globals (controllable mode; reference
+    `cli/SparkTTS.py:222-228`).  The single source for this contract — the
+    pipeline and every serving path share it."""
+    g = extract_global_ids(tok, generated)
+    if g.size < token_num:
+        if warn:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "controllable mode generated %d/%d global tokens; zero-padding",
+                g.size, token_num,
+            )
+        g = np.pad(g, (0, token_num - g.size))
+    return g[None, :token_num]

@@ -53,6 +53,8 @@ class _Pending:
     speed: Optional[str]
     max_new_tokens: int
     future: asyncio.Future
+    temperature: Optional[float] = None
+    top_p: Optional[float] = None
     global_tokens: Optional[np.ndarray] = None
     enqueue_time: float = field(default_factory=time.perf_counter)
     # streaming mode: chunks go to this queue instead of one final future
@@ -190,6 +192,8 @@ class ContinuousTTSServer:
         pitch: Optional[str] = None,
         speed: Optional[str] = None,
         max_new_tokens: Optional[int] = None,
+        temperature: Optional[float] = None,
+        top_p: Optional[float] = None,
     ) -> np.ndarray:
         fut = asyncio.get_running_loop().create_future()
         self.stats["requests"] += 1
@@ -203,6 +207,8 @@ class ContinuousTTSServer:
                 speed=speed,
                 max_new_tokens=max_new_tokens or self.default_max_new,
                 future=fut,
+                temperature=temperature,
+                top_p=top_p,
             )
         )
         return await fut
@@ -216,10 +222,15 @@ class ContinuousTTSServer:
         pitch: Optional[str] = None,
         speed: Optional[str] = None,
         max_new_tokens: Optional[int] = None,
+        temperature: Optional[float] = None,
+        top_p: Optional[float] = None,
     ) -> AsyncIterator[np.ndarray]:
         """Async generator of waveform chunks (growing-chunk schedule,
         reference `spark_tts/1/model.py:347-385`) while the request shares the
-        continuous decode batch with everything else."""
+        continuous decode batch with everything else.  Per-request
+        temperature/top_p are honored per decode slot; top_k and the rng seed
+        are engine-wide (shared batch, one rng stream).
+        """
         from sparktts_tpu.serve.streaming import chunk_sizes
 
         fut = asyncio.get_running_loop().create_future()
@@ -237,6 +248,8 @@ class ContinuousTTSServer:
             chunk_queue=q,
             stream_target=next(schedule),
             stream_schedule=schedule,
+            temperature=temperature,
+            top_p=top_p,
         )
         self.stats["requests"] += 1
         await self.waiting.put(pending)
@@ -300,13 +313,13 @@ class ContinuousTTSServer:
 
     def _speaker_tokens(self, tokens: np.ndarray) -> np.ndarray:
         """(1, token_num) global speaker ids extracted from an emitted token
-        stream (controllable mode — reference `cli/SparkTTS.py:222-228`),
-        zero-padded if the stream carried fewer than token_num."""
-        token_num = self.pipe.config.bicodec.speaker_encoder.token_num
-        g = extract_global_ids(self.pipe.tokenizer, tokens)
-        if g.size < token_num:
-            g = np.pad(g, (0, token_num - g.size))
-        return g[None, :token_num]
+        stream (controllable mode — reference `cli/SparkTTS.py:222-228`)."""
+        from sparktts_tpu.prompt import padded_global_tokens
+
+        return padded_global_tokens(
+            self.pipe.tokenizer, tokens,
+            self.pipe.config.bicodec.speaker_encoder.token_num,
+        )
 
     def _finish_offline(self, pending: _Pending, tokens: np.ndarray):
         """Vocode a completed non-streaming request (vocode worker thread)."""
@@ -370,7 +383,13 @@ class ContinuousTTSServer:
                 pending.prompt_text,
             )
             mode = "clone"
-        req_id = self.engine.submit(ids, max_new_tokens=pending.max_new_tokens, mode=mode)
+        req_id = self.engine.submit(
+            ids,
+            max_new_tokens=pending.max_new_tokens,
+            mode=mode,
+            temperature=pending.temperature,
+            top_p=pending.top_p,
+        )
         self.inflight[req_id] = pending
         return req_id
 

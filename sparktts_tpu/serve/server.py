@@ -122,9 +122,17 @@ class TTSServer:
                     None, self._execute_batch, batch
                 )
                 for req, res in zip(batch, results):
-                    if not req.future.done():
+                    if req.future.done():
+                        continue
+                    if isinstance(res, Exception):
+                        # per-request failure (bad audio, bad params) — only
+                        # the offending request errors, co-batched neighbors
+                        # still get their audio
+                        self.stats["failures"] += 1
+                        req.future.set_exception(res)
+                    else:
                         req.future.set_result(res)
-            except Exception as e:  # propagate per-request
+            except Exception as e:  # infrastructure failure: everyone errors
                 logger.exception("batch failed")
                 self.stats["failures"] += len(batch)
                 for req in batch:
@@ -133,12 +141,16 @@ class TTSServer:
 
     # ------------------------------------------------------------------
 
-    def _execute_batch(self, batch: List[TTSRequest]) -> List[TTSResult]:
+    def _execute_batch(self, batch: List[TTSRequest]) -> List[Any]:
+        """Returns one TTSResult OR Exception per request.  Per-request input
+        problems (unreadable audio, bad params) fail only that request; an
+        exception raised out of this method is an infrastructure failure that
+        the worker applies to the whole batch."""
         from sparktts_tpu.prompt import (
             build_clone_prompt,
             build_control_prompt,
-            extract_global_ids,
             extract_semantic_ids,
+            padded_global_tokens,
         )
 
         t0 = time.perf_counter()
@@ -147,58 +159,71 @@ class TTSServer:
         self.stats["requests"] += len(batch)
         self.stats["batches"] += 1
         self.stats["batch_occupancy_sum"] += len(batch)
+        outcomes: List[Any] = [None] * len(batch)
 
-        # batch all clone-mode prompt audios through ONE tokenize program
-        clone_idx = [i for i, r in enumerate(batch) if r.gender is None]
+        # load + batch all clone-mode prompt audios through ONE tokenize
+        # program; a request whose audio can't be loaded fails alone
         clone_tokens: Dict[int, tuple] = {}
-        if clone_idx:
-            from sparktts_tpu.io.audio import load_audio
-
-            wavs = []
-            for i in clone_idx:
-                r = batch[i]
+        clone_idx, wavs = [], []
+        for i, r in enumerate(batch):
+            if r.gender is not None:
+                continue
+            try:
                 if r.prompt_wav is not None:
-                    wavs.append(np.asarray(r.prompt_wav, np.float64))
+                    wav = np.asarray(r.prompt_wav, np.float64)
                 else:
-                    wavs.append(
-                        load_audio(
-                            r.prompt_speech_path,
-                            sampling_rate=self.pipe.sample_rate,
-                            volume_normalize=self.pipe.config.volume_normalize,
-                        )
+                    from sparktts_tpu.io.audio import load_audio
+
+                    wav = load_audio(
+                        r.prompt_speech_path,
+                        sampling_rate=pipe.sample_rate,
+                        volume_normalize=pipe.config.volume_normalize,
                     )
-            for i, gs in zip(clone_idx, self.pipe.tokenize_audio_batch(wavs)):
+                if wav.size == 0:
+                    raise ValueError("empty prompt audio")
+                clone_idx.append(i)
+                wavs.append(wav)
+            except Exception as e:
+                logger.warning("request prompt-audio failed: %s", e)
+                outcomes[i] = e
+        if clone_idx:
+            for i, gs in zip(clone_idx, pipe.tokenize_audio_batch(wavs)):
                 clone_tokens[i] = gs
 
-        prompts: List[List[int]] = []
-        globals_list: List[Optional[np.ndarray]] = []
+        prompts: Dict[int, List[int]] = {}
+        globals_list: Dict[int, Optional[np.ndarray]] = {}
         for i, req in enumerate(batch):
-            if req.gender is not None:
-                prompts.append(
-                    build_control_prompt(tok, req.text, req.gender, req.pitch, req.speed)
-                )
-                globals_list.append(None)
-            else:
-                g, s = clone_tokens[i]
-                prompts.append(
-                    build_clone_prompt(
+            if outcomes[i] is not None:
+                continue
+            try:
+                if req.gender is not None:
+                    prompts[i] = build_control_prompt(
+                        tok, req.text, req.gender, req.pitch, req.speed
+                    )
+                    globals_list[i] = None
+                else:
+                    g, s = clone_tokens[i]
+                    prompts[i] = build_clone_prompt(
                         tok,
                         req.text,
                         g,
                         s if req.prompt_text is not None else None,
                         req.prompt_text,
                     )
-                )
-                globals_list.append(g)
+                    globals_list[i] = g
+            except Exception as e:
+                logger.warning("request prompt build failed: %s", e)
+                outcomes[i] = e
 
         # one jitted generate per group of identical sampling params (requests
         # in a window may carry different temperature/top_k/top_p).  The
         # guided-decoding constraint differs by task — controllable requests
         # must be able to emit global/control tokens — so mode is part of the
         # group key.
-        generated: List[np.ndarray] = [None] * len(batch)
+        generated: Dict[int, np.ndarray] = {}
         groups: Dict[tuple, List[int]] = {}
-        for i, req in enumerate(batch):
+        for i in prompts:
+            req = batch[i]
             mode = "control" if req.gender is not None else "clone"
             groups.setdefault(
                 (req.temperature, req.top_k, req.top_p, req.seed, mode), []
@@ -216,32 +241,29 @@ class TTSServer:
                 generated[i] = out
 
         token_num = pipe.config.bicodec.speaker_encoder.token_num
-        sem_list, glob_rows = [], []
-        for req, gen, g in zip(batch, generated, globals_list):
-            sem = extract_semantic_ids(tok, gen)
-            if sem.size == 0:
-                sem = np.zeros(1, np.int32)
-            sem_list.append(sem)
-            if g is None:
-                gi = extract_global_ids(tok, gen)
-                if gi.size < token_num:
-                    gi = np.pad(gi, (0, token_num - gi.size))
-                g = gi[None, :token_num]
-            glob_rows.append(np.asarray(g).reshape(-1)[:token_num])
+        live = sorted(generated)
+        if live:
+            sem_list, glob_rows = [], []
+            for i in live:
+                sem = extract_semantic_ids(tok, generated[i])
+                if sem.size == 0:
+                    sem = np.zeros(1, np.int32)
+                sem_list.append(sem)
+                g = globals_list[i]
+                if g is None:
+                    g = padded_global_tokens(tok, generated[i], token_num)
+                glob_rows.append(np.asarray(g).reshape(-1)[:token_num])
 
-        wavs = pipe.detokenize_batch(np.stack(glob_rows), sem_list)
-        infer_ms = (time.perf_counter() - t0) * 1000
-        out = []
-        for req, wav in zip(batch, wavs):
-            out.append(
-                TTSResult(
+            wavs_out = pipe.detokenize_batch(np.stack(glob_rows), sem_list)
+            infer_ms = (time.perf_counter() - t0) * 1000
+            for i, wav in zip(live, wavs_out):
+                outcomes[i] = TTSResult(
                     wav=wav,
                     sample_rate=pipe.sample_rate,
-                    queue_ms=(t0 - req.enqueue_time) * 1000,
+                    queue_ms=(t0 - batch[i].enqueue_time) * 1000,
                     infer_ms=infer_ms,
                 )
-            )
-        return out
+        return outcomes
 
     def stats_summary(self) -> Dict[str, Any]:
         s = dict(self.stats)
@@ -324,6 +346,10 @@ def serve_http(
                 self._send_json(stats)
             elif self.path == "/health":
                 ok = server.healthy
+                if cserver is not None:
+                    # a dead streaming loop must not hide behind a green
+                    # batch-server check
+                    ok = ok and cserver._task is not None and not cserver._task.done()
                 self._send_json({"healthy": ok}, 200 if ok else 503)
             elif self.path in ("/v2/health/ready", "/v2/health/live"):
                 # Triton v2 health surface (reference clients probe these).
@@ -386,9 +412,23 @@ def serve_http(
                 self._send_json({"error": f"bad request: {e}"}, 400)
                 return
             if self.path == "/tts":
-                self._do_tts(payload)
+                try:
+                    req = self._parse_payload(payload)
+                except Exception as e:  # bad field types / broken base64
+                    self._send_json({"error": f"bad request: {e}"}, 400)
+                    return
+                try:
+                    self._do_tts(req)
+                except Exception as e:  # noqa: BLE001 — server-side failure
+                    logger.exception("tts failed")
+                    self._send_json({"error": f"inference failed: {e}"}, 500)
             elif self.path == "/tts_stream":
-                self._do_tts_stream(payload)
+                try:
+                    req = self._parse_payload(payload)
+                except Exception as e:
+                    self._send_json({"error": f"bad request: {e}"}, 400)
+                    return
+                self._do_tts_stream(req, payload)
             else:
                 self._send_json({"error": "not found"}, 404)
 
@@ -440,8 +480,7 @@ def serve_http(
                 }
             )
 
-        def _do_tts(self, payload):
-            req = self._parse_payload(payload)
+        def _do_tts(self, req):
             fut = asyncio.run_coroutine_threadsafe(server.synthesize(req), loop)
             res: TTSResult = fut.result()
             self._send_json(
@@ -453,15 +492,23 @@ def serve_http(
                 }
             )
 
-        def _do_tts_stream(self, payload):
+        def _do_tts_stream(self, req, payload):
             if cserver is None:
                 self._send_json({"error": "streaming disabled"}, 501)
                 return
+            if not (cserver._task is not None and not cserver._task.done()):
+                self._send_json({"error": "streaming loop not running"}, 503)
+                return
             import queue as _queue
 
-            req = self._parse_payload(payload)
             chunk_q: _queue.Queue = _queue.Queue()
             client_gone = threading.Event()
+
+            if "top_k" in payload or "seed" in payload:
+                logger.warning(
+                    "/tts_stream: top_k/seed are engine-wide on the continuous "
+                    "path (shared batch) — per-request values ignored"
+                )
 
             async def pump():
                 agen = cserver.synthesize_streaming(
@@ -472,6 +519,8 @@ def serve_http(
                     pitch=req.pitch,
                     speed=req.speed,
                     max_new_tokens=payload.get("max_new_tokens"),
+                    temperature=payload.get("temperature"),
+                    top_p=payload.get("top_p"),
                 )
                 try:
                     async for chunk in agen:
@@ -500,7 +549,12 @@ def serve_http(
 
             try:
                 while True:
-                    kind, val = chunk_q.get()
+                    try:
+                        # bounded wait: if the streaming loop dies mid-request
+                        # the handler must not hold this thread forever
+                        kind, val = chunk_q.get(timeout=600)
+                    except _queue.Empty:
+                        kind, val = "error", "stream timed out server-side"
                     if kind == "chunk":
                         line = json.dumps(
                             {

@@ -124,7 +124,17 @@ class StreamingSynthesizer:
         ov_tokens = overlap_tokens(self.cfg)
         target = next(schedule)
 
-        cache = init_kv_cache(pipe.config.llm, 1, t_pad + max_new, pipe.lm_dtype)
+        # dispatch sizes: the FIRST dispatch covers exactly the first chunk
+        # (first-audio latency), later ones are large (throughput); a fixed
+        # size set keeps the XLA compile cache to three decode programs.  The
+        # cache carries one dispatch of slack so the final dispatch never
+        # needs clamping to the budget residue (an off-menu n_steps would
+        # compile a fresh program mid-stream); overshoot tokens are discarded
+        # host-side instead.
+        first_dispatch = target
+        big_dispatch = max(self.steps, 100)
+        slack = max(first_dispatch, big_dispatch)
+        cache = init_kv_cache(pipe.config.llm, 1, t_pad + max_new + slack, pipe.lm_dtype)
         vocab_slice, extra_ids = pipe.guided_constraint(
             "control" if gender is not None else "clone"
         )
@@ -154,14 +164,19 @@ class StreamingSynthesizer:
         def vocode(sem_ids: np.ndarray) -> np.ndarray:
             nonlocal global_token_ids
             if global_token_ids is None:
-                # controllable mode: first tokens emitted are the globals
-                from sparktts_tpu.prompt import extract_global_ids
+                # controllable mode: the globals are at the head of the RAW
+                # emitted stream (never sem_ids — those are codec-space and
+                # would alias into the wrong id range)
+                from sparktts_tpu.prompt import padded_global_tokens
 
-                g = extract_global_ids(tok, np.concatenate(pending) if pending else sem_ids)
-                token_num = pipe.config.bicodec.speaker_encoder.token_num
-                if g.size < token_num:
-                    g = np.pad(g, (0, token_num - g.size))
-                global_token_ids = g[None, :token_num]
+                raw = (
+                    np.concatenate(pending)
+                    if pending
+                    else np.zeros(0, np.int32)
+                )
+                global_token_ids = padded_global_tokens(
+                    tok, raw, pipe.config.bicodec.speaker_encoder.token_num
+                )
             return pipe.detokenize(global_token_ids, sem_ids[None, :])
 
         # derive the sample overlap from the TOKEN overlap and the model's
@@ -171,11 +186,6 @@ class StreamingSynthesizer:
         # seam audio)
         overlap_samples = ov_tokens * pipe._wave_upsample
 
-        # dispatch sizes: the FIRST dispatch covers exactly the first chunk
-        # (first-audio latency), later ones are large (throughput); a fixed
-        # size set keeps the XLA compile cache to three decode programs
-        first_dispatch = target
-        big_dispatch = max(self.steps, 100)
         while not done and total_steps < max_new:
             need = max(1, target - len(token_buf))
             if total_steps == 0:
@@ -184,7 +194,6 @@ class StreamingSynthesizer:
                 n = self.steps
             else:
                 n = big_dispatch
-            n = min(n, max_new - total_steps)
             state, toks, valid = decode_chunk(
                 pipe.llm_params,
                 pipe.config.llm,
@@ -199,14 +208,17 @@ class StreamingSynthesizer:
                 vocab_slice=vocab_slice,
                 extra_ids=extra_ids,
             )
-            total_steps += n
             # one host round trip for both arrays; the explicit valid mask
             # replaces the old `last emission == pad` done-proxy, which ate
             # tokens whenever pad_id was a legitimately sampled id
             toks_h, valid_h = jax.device_get((toks, valid))
             raw = toks_h[0][valid_h[0]]
+            # discard overshoot beyond the token budget (the dispatch size is
+            # from the fixed menu; the cache has slack for the extra writes)
+            raw = raw[: max_new - total_steps]
+            total_steps += n
             pending.append(raw)
-            done = not bool(valid_h[0][-1])
+            done = not bool(valid_h[0][-1]) or total_steps >= max_new
             sem = extract_semantic_ids(tok, raw)
             token_buf.extend(sem.tolist())
 

@@ -196,3 +196,29 @@ def test_per_slot_mode_constraint(params):
     # the flattened sampler must actually exercise ids outside the clone
     # range on the control slot — otherwise this test proves nothing
     assert ctrl_toks - allowed_clone, "control slot never left the clone range"
+
+
+def test_per_slot_sampling_params(params):
+    """Per-request temperature/top_p are honored PER SLOT within one shared
+    batch: a near-zero-temperature slot reproduces the greedy sequence while
+    its neighbor samples at the engine default."""
+    prompt = _prompt(6, 12)
+    ref = ContinuousBatchingEngine(
+        params, CFG, max_slots=4, cache_len=64, prompt_pad=16,
+        eos_ids=(), pad_id=PAD, greedy=True, cache_dtype=jnp.float32,
+    )
+    r = ref.submit(prompt, max_new_tokens=12)
+    ref.run_until_done(n_steps=6)
+    greedy_toks = ref.finished[r]
+
+    eng = ContinuousBatchingEngine(
+        params, CFG, max_slots=4, cache_len=64, prompt_pad=16,
+        eos_ids=(), pad_id=PAD, cache_dtype=jnp.float32,
+        temperature=2.0,  # engine default: hot sampling
+    )
+    r_cold = eng.submit(prompt, max_new_tokens=12, temperature=1e-4)
+    r_hot = eng.submit(_prompt(7, 12), max_new_tokens=12)
+    eng.run_until_done(n_steps=6)
+
+    np.testing.assert_array_equal(eng.finished[r_cold], greedy_toks)
+    assert len(eng.finished[r_hot]) == 12

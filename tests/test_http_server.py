@@ -239,3 +239,61 @@ def test_v2_endpoint_robustness(server_port):
     with urllib.request.urlopen(f"{base}/v2/health/live", timeout=30) as r:
         assert r.status == 200
         assert r.read() == b""  # returns immediately — Content-Length: 0
+
+
+def test_http_bad_base64_gets_400(server_port):
+    """Malformed prompt_wav_b64 must produce a 400 JSON error, not a dropped
+    connection (the native endpoints used to raise out of do_POST)."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    body = json.dumps({"text": "hi", "prompt_wav_b64": "!!!not-base64!!!"}).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server_port}/tts", data=body,
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=60)
+    assert e.value.code == 400
+    assert "error" in json.loads(e.value.read())
+
+
+def test_http_bad_request_does_not_poison_cobatched_neighbor(server_port):
+    """A request with unusable prompt audio must fail ALONE; a good request
+    sharing its dynamic-batch window still synthesizes."""
+    import base64
+    import json
+    import urllib.error
+    import urllib.request
+
+    results = {}
+
+    def post(name, payload):
+        body = json.dumps(payload).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server_port}/tts", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=300) as r:
+                results[name] = json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            results[name] = e.code
+
+    good_wav = (0.1 * np.sin(np.arange(4000) / 10)).astype(np.float32)
+    bad = {"text": "bad", "prompt_wav_b64": base64.b64encode(b"").decode()}  # empty audio
+    good = {
+        "text": "good",
+        "prompt_wav_b64": base64.b64encode(good_wav.tobytes()).decode(),
+    }
+    threads = [
+        threading.Thread(target=post, args=("bad", bad)),
+        threading.Thread(target=post, args=("good", good)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert results.get("bad") == 500 or isinstance(results.get("bad"), int)
+    assert isinstance(results.get("good"), dict) and "wav_b64" in results["good"]
