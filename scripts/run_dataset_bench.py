@@ -234,7 +234,11 @@ def main():
     # regressions by artifact diffing (role of the reference's seed_tts
     # WER/similarity evaluation).  With random weights the absolute values
     # are meaningless but stable for a fixed seed/config.
-    from sparktts_tpu.bench.metrics import mel_distance, speaker_similarity
+    from sparktts_tpu.bench.metrics import (
+        mel_distance,
+        semantic_consistency,
+        speaker_similarity,
+    )
 
     qual = []
     for t in tasks[:3]:
@@ -246,6 +250,7 @@ def main():
             {
                 "mel_distance_l1": round(mel_distance(ref, recon[:n]), 4),
                 "speaker_similarity": round(speaker_similarity(pipe, ref, recon[:n]), 4),
+                "semantic_consistency": round(semantic_consistency(pipe, t.prompt_wav), 4),
             }
         )
     results["codec_quality"] = {

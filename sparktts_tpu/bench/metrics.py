@@ -65,3 +65,17 @@ def speaker_similarity(pipeline, wav_a: np.ndarray, wav_b: np.ndarray) -> float:
     if denom == 0:
         return 0.0
     return float(np.dot(va, vb) / denom)
+
+
+def semantic_consistency(pipeline, wav: np.ndarray) -> float:
+    """Fraction of semantic tokens preserved by one synthesis round trip:
+    tokenize(detokenize(tokenize(wav))) vs tokenize(wav).  An ASR-free proxy
+    for the reference benchmark's WER check (no ASR model ships in this
+    environment): content-destroying codec/quant regressions drop it."""
+    g, s = pipeline.tokenize_audio(np.asarray(wav, np.float32))
+    recon = pipeline.detokenize(g, s)
+    _, s2 = pipeline.tokenize_audio(recon)
+    n = min(s.shape[1], s2.shape[1])
+    if n == 0:
+        return 0.0
+    return float(np.mean(np.asarray(s)[0, :n] == np.asarray(s2)[0, :n]))

@@ -42,3 +42,16 @@ def test_speaker_similarity_bounds():
     assert s_same == pytest.approx(1.0, abs=1e-4)
     assert -1.0 <= s_diff <= 1.0
     assert s_diff < s_same
+
+
+def test_semantic_consistency():
+    """Round-trip token preservation metric: 1.0 when detokenize→tokenize
+    reproduces the token stream, and bounded in [0, 1]."""
+    from sparktts_tpu.bench.metrics import semantic_consistency
+    from sparktts_tpu.pipeline import SparkTTSPipeline
+
+    pipe = SparkTTSPipeline(max_new_tokens=16, prompt_bucket=32)
+    rng = np.random.default_rng(3)
+    wav = (0.2 * rng.standard_normal(16000)).astype(np.float32)
+    v = semantic_consistency(pipe, wav)
+    assert 0.0 <= v <= 1.0
