@@ -53,8 +53,13 @@ def _flash_kernel(
         l_scratch[...] = jnp.zeros(l_scratch.shape, jnp.float32)
         acc_scratch[...] = jnp.zeros(acc_scratch.shape, jnp.float32)
 
-    # causal tile skip: run only if this KV tile intersects the allowed region
-    should_run = (kv_idx * block_k) <= (q_idx * block_q + block_q - 1)
+    # tile skip: run only if this KV tile intersects the allowed region —
+    # not entirely in the causal future, and not entirely inside this batch
+    # row's left padding (tiles before start[b] would compute then mask to
+    # nothing)
+    should_run = ((kv_idx * block_k) <= (q_idx * block_q + block_q - 1)) & (
+        (kv_idx + 1) * block_k - 1 >= start_ref[b]
+    )
 
     @pl.when(should_run)
     def _run():

@@ -82,6 +82,7 @@ def _expand_constrained(idx: jax.Array, vocab_slice, extra_ids) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "top_k", "greedy", "use_flash", "vocab_slice", "extra_ids"),
+    donate_argnums=(4,),  # the cache is consumed — alias it into the output
 )
 def prefill(
     params,
@@ -146,9 +147,8 @@ def decode_step(
     greedy: bool = False,
     vocab_slice: Tuple[int, int] | None = None,
     extra_ids: Tuple[int, ...] = (),
-) -> Tuple[GenState, jax.Array]:
-    """Feed the last sampled token, sample the next.  Returns (state, token
-    that was *consumed* this step — i.e. the token at position `step`).
+) -> GenState:
+    """Feed the last sampled token (state.cur_token), sample the next.
 
     The key-validity mask is an index compare fused into the attention
     (decode_window) — no per-step (B, 1, S) fp32 bias materialized."""
@@ -184,7 +184,7 @@ def decode_step(
         start=state.start,
         prompt_len=state.prompt_len,
     )
-    return new_state, state.cur_token
+    return new_state
 
 
 def _decode_scan(params, cfg, state, t_pad, n_steps, temperature, top_k, top_p,
@@ -199,7 +199,7 @@ def _decode_scan(params, cfg, state, t_pad, n_steps, temperature, top_k, top_p,
     def body(state, _):
         emitted = state.cur_token
         valid = ~state.done
-        new_state, _ = decode_step(
+        new_state = decode_step(
             params, cfg, state, t_pad, temperature, top_k, top_p, eos_ids, pad_id,
             greedy, vocab_slice, extra_ids,
         )
@@ -215,6 +215,7 @@ def _decode_scan(params, cfg, state, t_pad, n_steps, temperature, top_k, top_p,
         "cfg", "t_pad", "n_steps", "top_k", "eos_ids", "pad_id", "greedy",
         "vocab_slice", "extra_ids",
     ),
+    donate_argnums=(2,),  # GenState (with the KV cache) is consumed per call
 )
 def decode_chunk(
     params,
@@ -309,7 +310,7 @@ def generate(
         # explicit emission-validity mask: lengths must not be inferred from
         # token values (pad_id may be a legal sampled id)
         valid = jax.lax.dynamic_update_slice(valid, (~state.done)[:, None], (0, state.step))
-        new_state, _ = decode_step(
+        new_state = decode_step(
             params, cfg, state, t_pad, temperature, top_k, top_p, eos_ids, pad_id,
             greedy, vocab_slice, extra_ids,
         )

@@ -52,9 +52,10 @@ def quantize_qwen_int8(params: dict, quantize_embed: bool = True) -> dict:
     for k in QUANT_KEYS:
         qlayers[k] = quantize_linear_int8(layers[k])
     out = {"final_ln": params["final_ln"], "layers": qlayers}
-    if quantize_embed:
+    if quantize_embed and not isinstance(params["embed"], dict):
         out["embed"] = quantize_embedding_int8(params["embed"])
     else:
+        # already-quantized embedding passes through (same guard as int4)
         out["embed"] = params["embed"]
     if "lm_head" in params:
         out["lm_head"] = quantize_linear_int8(params["lm_head"])

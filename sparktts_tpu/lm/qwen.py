@@ -159,7 +159,10 @@ def _attention_block(
     cache_k = _write_kv_at_layer(cache_k, k, layer_idx, write_pos)
     cache_v = _write_kv_at_layer(cache_v, v, layer_idx, write_pos)
 
-    if flash_start is not None and t > 1:
+    # largest Pallas tile that divides t (the kernel requires t % block == 0);
+    # odd prompt buckets (non-multiple-of-8 t_pad) fall back to the dense path
+    flash_block = next((bb for bb in (128, 64, 32, 16, 8) if t % bb == 0), None)
+    if flash_start is not None and t > 1 and flash_block is not None:
         from sparktts_tpu.kernels.flash_attention import flash_attention_prefill
 
         out = flash_attention_prefill(
@@ -168,8 +171,8 @@ def _attention_block(
             v.transpose(0, 2, 1, 3),
             flash_start,
             sm_scale=hd**-0.5,
-            block_q=64 if t % 128 else 128,
-            block_k=64 if t % 128 else 128,
+            block_q=flash_block,
+            block_k=flash_block,
             interpret=jax.default_backend() == "cpu",
         )
         out = out.transpose(0, 2, 1, 3).reshape(b, t, nh * hd).astype(x.dtype)
@@ -356,17 +359,28 @@ def head_logits(
     if vocab_slice is None:
         return linear_apply(head, x).astype(jnp.float32)
     if "w_p4" in head:
-        # int4 nibble-packed head: unpack, fold the group scales into a
-        # dense (H, V) view, then slice rows like the fp path.  The head is
-        # only sliced once per program (constant-folded), so the transient
-        # dequant is a compile-time cost, not a per-step one.
+        # int4 nibble-packed head: the vocab lives on the OUT (column) axis
+        # of the packed (H/2, V) table, so slice the constrained columns
+        # FIRST and dequantize only those — params are traced jit arguments,
+        # so a full-table dequant would materialize the whole (H, V) fp32
+        # matrix at RUNTIME (hundreds of MB per invocation), not at compile
+        # time.
         from sparktts_tpu.lm.quant import unpack_int4
 
         packed, gs = head["w_p4"], head["gscale"]   # (in/2, out), (G, out)
-        w_full = unpack_int4(packed)
-        group = w_full.shape[0] // gs.shape[-2]
-        w_full = w_full * jnp.repeat(gs, group, axis=-2)
-        w, scale = _select_vocab_rows(w_full.T, vocab_slice, extra_ids), None
+        lo, hi = vocab_slice
+        cols_p = [packed[:, lo:hi]]
+        cols_g = [gs[:, lo:hi]]
+        if extra_ids:
+            ex = jnp.asarray(extra_ids, jnp.int32)
+            cols_p.append(jnp.take(packed, ex, axis=1))
+            cols_g.append(jnp.take(gs, ex, axis=1))
+        packed_s = jnp.concatenate(cols_p, axis=1) if len(cols_p) > 1 else cols_p[0]
+        gs_s = jnp.concatenate(cols_g, axis=1) if len(cols_g) > 1 else cols_g[0]
+        w_sel = unpack_int4(packed_s)               # (H, V_sel)
+        group = w_sel.shape[0] // gs_s.shape[-2]
+        w_sel = w_sel * jnp.repeat(gs_s, group, axis=-2)
+        w, scale = w_sel.T, None
     elif "w_q" in head:
         w = _select_vocab_rows(head["w_q"].T, vocab_slice, extra_ids)
         scale = _select_vocab_rows(head["scale"].reshape(-1), vocab_slice, extra_ids)

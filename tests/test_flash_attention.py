@@ -52,3 +52,29 @@ def test_flash_fully_masked_rows_are_finite():
     start = jnp.asarray([64], jnp.int32)  # first 64 queries have zero valid keys
     out = flash_attention_prefill(q, k, v, start, interpret=True)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_flash_falls_back_on_odd_prompt_bucket():
+    """A t_pad no Pallas tile divides (e.g. 100) must fall back to the dense
+    attention path instead of crashing the kernel's divisibility assert —
+    prompt_bucket is a public pipeline arg, so any value must work."""
+    from sparktts_tpu.config import QwenConfig
+    from sparktts_tpu.lm.generate import generate
+    from sparktts_tpu.lm.qwen import init_qwen
+
+    cfg = QwenConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, eos_token_id=0, pad_token_id=1,
+    )
+    params = init_qwen(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    t = 100  # not a multiple of 8 — no flash tile fits
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(5, 120, size=(1, t)), jnp.int32)
+    mask = jnp.ones((1, t), bool)
+    kwargs = dict(max_new_tokens=4, cache_len=t + 4, eos_ids=(), pad_id=1,
+                  greedy=True, cache_dtype=jnp.float32)
+    toks_flash, _ = generate(params, cfg, ids, mask, jax.random.PRNGKey(1),
+                             use_flash=True, **kwargs)
+    toks_ref, _ = generate(params, cfg, ids, mask, jax.random.PRNGKey(1), **kwargs)
+    np.testing.assert_array_equal(np.asarray(toks_flash), np.asarray(toks_ref))

@@ -151,3 +151,41 @@ def test_int4_untied_head_guided_decoding():
     masked[8:40] = np.asarray(full)[0, -1, 8:40]
     masked[5] = np.asarray(full)[0, -1, 5]
     assert int(t[0]) == int(np.argmax(masked))
+
+
+def test_constrained_int4_head_slices_before_dequant():
+    """The guided-decoding int4 head path must dequantize ONLY the
+    constrained columns (params are traced, so a full-table dequant would
+    materialize (H, V) fp32 at runtime) and match the full-dequant result."""
+    from sparktts_tpu.lm.quant import quantize_linear_int4, unpack_int4
+    from sparktts_tpu.lm.qwen import head_logits
+
+    rng = np.random.default_rng(0)
+    H, V = 32, 64
+    w = jnp.asarray(rng.standard_normal((H, V)), jnp.float32)
+    head_q = quantize_linear_int4({"w": w}, group=8)
+    x = jnp.asarray(rng.standard_normal((1, 1, H)), jnp.float32)
+
+    packed, gs = head_q["w_p4"], head_q["gscale"]
+    w_full = unpack_int4(packed)
+    w_full = w_full * jnp.repeat(gs, w_full.shape[0] // gs.shape[-2], axis=-2)
+    lo, hi, extras = 10, 30, (40, 3)
+    ref_rows = jnp.concatenate(
+        [w_full.T[lo:hi], jnp.take(w_full.T, jnp.asarray(extras), axis=0)], 0
+    )
+    ref = jnp.einsum("bth,vh->btv", x, ref_rows)
+    got = head_logits({"lm_head": head_q}, x, vocab_slice=(lo, hi), extra_ids=extras)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_int8_quantize_passes_through_quantized_embed():
+    """Re-quantizing a tree whose embedding is already int8 must pass the
+    dict through (same guard the int4 path has) instead of crashing."""
+    from sparktts_tpu.lm.quant import quantize_qwen_int8
+
+    params = init_qwen(jax.random.PRNGKey(0), CFG)
+    once = quantize_qwen_int8(params)
+    twice_embed_src = dict(params)
+    twice_embed_src["embed"] = once["embed"]  # already-quantized embedding
+    out = quantize_qwen_int8(twice_embed_src)
+    assert out["embed"] is once["embed"]
