@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Microbenchmark the decode step at production dims (Qwen2.5-0.5B,
+int8 weights, guided decoding) to attribute the per-step time budget.
+
+Knobs swept:
+  * layer-scan unroll factor (scan boundary tax attribution)
+  * greedy vs sampled (sampler cost attribution)
+
+    python scripts/bench_decode_step.py --n_steps 128 --iters 5
+"""
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from sparktts_tpu.utils.platform import apply_platform_env  # noqa: E402
+
+apply_platform_env()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n_steps", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--t_pad", type=int, default=256)
+    ap.add_argument("--cache_len", type=int, default=2048)
+    ap.add_argument("--unrolls", default="1,2,4,6")
+    ap.add_argument("--no_guided", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from sparktts_tpu.config import QwenConfig
+    from sparktts_tpu.lm.generate import decode_chunk, init_kv_cache, prefill
+    from sparktts_tpu.lm.quant import quantize_qwen_int8
+    from sparktts_tpu.lm.qwen import init_qwen
+
+    cfg = QwenConfig()
+    # clone-mode guided constraint shape: 8192 semantic rows + EOS
+    vocab_slice = None if args.no_guided else (151665, 151665 + 8192)
+    extra_ids = () if args.no_guided else (cfg.eos_token_id,)
+
+    key = jax.random.PRNGKey(0)
+    params = quantize_qwen_int8(init_qwen(key, cfg, dtype=jnp.bfloat16))
+    params = jax.device_put(params)
+
+    b, t_pad = args.batch, args.t_pad
+    ids = jax.random.randint(key, (b, t_pad), 0, 1000, jnp.int32)
+    mask = jnp.ones((b, t_pad), bool)
+
+    results = {}
+    for unroll in [int(u) for u in args.unrolls.split(",")]:
+        for greedy in (False, True):
+            cache = init_kv_cache(cfg, b, args.cache_len, jnp.bfloat16)
+            state = prefill(
+                params, cfg, ids, mask, cache, jax.random.PRNGKey(1),
+                0.8, 50, 0.95, greedy=greedy,
+                vocab_slice=vocab_slice, extra_ids=extra_ids,
+            )
+            kwargs = dict(
+                temperature=0.8, top_k=50, top_p=0.95,
+                eos_ids=(), pad_id=0, greedy=greedy,
+                vocab_slice=vocab_slice, extra_ids=extra_ids,
+                scan_unroll=unroll,
+            )
+            # warm (compile); device_get — block_until_ready does not
+            # synchronize through the axon relay
+            t0 = time.perf_counter()
+            state, toks, valid = decode_chunk(
+                params, cfg, state, t_pad, args.n_steps, **kwargs
+            )
+            jax.device_get(toks)
+            compile_s = time.perf_counter() - t0
+
+            times = []
+            for _ in range(args.iters):
+                t0 = time.perf_counter()
+                state, toks, valid = decode_chunk(
+                    params, cfg, state, t_pad, args.n_steps, **kwargs
+                )
+                jax.device_get(toks)
+                times.append(time.perf_counter() - t0)
+            best = min(times)
+            ms_per_tok = best / args.n_steps * 1e3
+            name = f"unroll{unroll}_{'greedy' if greedy else 'sampled'}"
+            results[name] = {
+                "ms_per_token": round(ms_per_tok, 4),
+                "tok_s": round(args.n_steps / best, 1),
+                "compile_s": round(compile_s, 1),
+            }
+            print(name, json.dumps(results[name]), flush=True)
+
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

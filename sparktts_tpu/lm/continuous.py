@@ -398,20 +398,33 @@ class ContinuousBatchingEngine:
         mode: str = "control",
         temperature: float | None = None,
         top_p: float | None = None,
+        prompt_len: int | None = None,
     ) -> int:
         """Admit a request; returns its id.  Raises if no slot is free.
         `mode` selects the per-slot guided constraint: "clone" narrows
         sampling to clone_slice/clone_extras (when configured), "control"
         uses the engine-wide superset constraint.  temperature/top_p are
-        honored PER SLOT (top_k is static and engine-wide)."""
+        honored PER SLOT (top_k is static and engine-wide).
+
+        `prompt_ids` may be a host id list OR an already-assembled DEVICE
+        array (1, t_pad) right-padded to a prompt_pad multiple, with
+        `prompt_len` giving the true length — the device-chained admission
+        path (`pipeline.assemble_clone_ids`) submits without any host sync."""
         slot = next((i for i, o in enumerate(self.owner) if o is None), None)
         if slot is None:
             raise RuntimeError("no free slot")
-        n = len(prompt_ids)
-        t_pad = ((n + self.prompt_pad - 1) // self.prompt_pad) * self.prompt_pad
+        if isinstance(prompt_ids, jax.Array):
+            assert prompt_ids.ndim == 2 and prompt_len is not None
+            n = int(prompt_len)
+            t_pad = prompt_ids.shape[1]
+            assert t_pad % self.prompt_pad == 0 and n <= t_pad, (t_pad, n)
+            ids = prompt_ids
+        else:
+            n = len(prompt_ids)
+            t_pad = ((n + self.prompt_pad - 1) // self.prompt_pad) * self.prompt_pad
+            ids = np.full((1, t_pad), self.pad_id, np.int32)
+            ids[0, :n] = prompt_ids  # right-padded
         assert t_pad + max_new_tokens <= self.cache_len, "prompt+budget exceeds cache"
-        ids = np.full((1, t_pad), self.pad_id, np.int32)
-        ids[0, :n] = prompt_ids  # right-padded
         eng_temperature, top_k, eng_top_p = self.sampling
         temperature = eng_temperature if temperature is None else temperature
         top_p = eng_top_p if top_p is None else top_p
@@ -444,14 +457,27 @@ class ContinuousBatchingEngine:
     def step(self, n_steps: int = 16) -> Dict[int, np.ndarray]:
         """Advance all active slots by (about) n_steps tokens; returns
         {req_id: np.ndarray(new tokens)} for requests that produced tokens
-        this call.  Finished requests move to `self.finished`.
+        this call.  Finished requests move to `self.finished`."""
+        return self.step_chained(n_steps, None)[0]
+
+    def step_chained(self, n_steps: int = 16, chain_fn=None) -> Tuple[Dict[int, np.ndarray], Optional[np.ndarray]]:
+        """`step`, optionally with a caller-supplied device computation
+        CHAINED onto the decode dispatch before the single host fetch.
+
+        `chain_fn(packed_device) -> int32 (L,)` runs extra device work on the
+        step result (e.g. speculatively vocode a slot's streaming chunk —
+        `pipeline.spec_vocode_chain`); its output is concatenated with the
+        packed step result on device and the host fetches BOTH in one
+        transfer.  Returns (increments, chain_output_or_None).  On a
+        tunneled TPU this is the difference between one and three relay
+        round-trips per streaming chunk.
 
         n_steps is snapped UP to the fixed DISPATCH_LADDER (capped at
         max_dispatch) so every dispatch size is a pre-compilable program;
         slots stop on device when they hit their budget limit, so a snapped
         dispatch never writes past a slot's reserved cache region."""
         if all(o is None for o in self.owner):
-            return {}
+            return {}, None
         n_steps = snap_to_ladder(n_steps, self.max_dispatch)
         _, top_k, _ = self.sampling
         self.slots, packed = decode_steps(
@@ -468,8 +494,18 @@ class ContinuousBatchingEngine:
             self.clone_slice,
             self.clone_extras,
         )
-        # ONE host round-trip for tokens + validity + done flags
-        toks, valid, done = unpack_step_result(jax.device_get(packed), n_steps)
+        # ONE host round-trip for tokens + validity + done flags (+ chained
+        # extra output when present)
+        extra = None
+        if chain_fn is not None:
+            flat = jax.device_get(
+                jnp.concatenate([packed.reshape(-1), chain_fn(packed)])
+            )
+            cut = self.max_slots * (2 * n_steps + 1)
+            toks, valid, done = unpack_step_result(flat[:cut].reshape(self.max_slots, -1), n_steps)
+            extra = flat[cut:]
+        else:
+            toks, valid, done = unpack_step_result(jax.device_get(packed), n_steps)
         out: Dict[int, np.ndarray] = {}
         for slot, req in enumerate(self.owner):
             if req is None:
@@ -486,7 +522,7 @@ class ContinuousBatchingEngine:
                 self.slots = self.slots._replace(
                     active=self.slots.active.at[slot].set(False),
                 )
-        return out
+        return out, extra
 
     def release_slot(self, slot: int) -> None:
         """Forcibly free a slot (failure containment): drops the request's

@@ -147,6 +147,7 @@ def decode_step(
     greedy: bool = False,
     vocab_slice: Tuple[int, int] | None = None,
     extra_ids: Tuple[int, ...] = (),
+    scan_unroll: int = 1,
 ) -> GenState:
     """Feed the last sampled token (state.cur_token), sample the next.
 
@@ -158,7 +159,7 @@ def decode_step(
     logits, cache = qwen_forward(
         params, cfg, state.cur_token[:, None], positions, state.cache, cache_pos,
         None, decode_window=(state.start, cache_pos),
-        vocab_slice=vocab_slice, extra_ids=extra_ids,
+        vocab_slice=vocab_slice, extra_ids=extra_ids, scan_unroll=scan_unroll,
     )
     rng, sub = jax.random.split(state.rng)
     if greedy:
@@ -188,7 +189,8 @@ def decode_step(
 
 
 def _decode_scan(params, cfg, state, t_pad, n_steps, temperature, top_k, top_p,
-                 eos_ids, pad_id, greedy, vocab_slice=None, extra_ids=()):
+                 eos_ids, pad_id, greedy, vocab_slice=None, extra_ids=(),
+                 scan_unroll=1):
     """Returns (state, tokens (B, n), valid (B, n) bool).
 
     `valid` is the explicit emission mask — callers must NOT infer liveness
@@ -201,7 +203,7 @@ def _decode_scan(params, cfg, state, t_pad, n_steps, temperature, top_k, top_p,
         valid = ~state.done
         new_state = decode_step(
             params, cfg, state, t_pad, temperature, top_k, top_p, eos_ids, pad_id,
-            greedy, vocab_slice, extra_ids,
+            greedy, vocab_slice, extra_ids, scan_unroll,
         )
         return new_state, (emitted, valid)
 
@@ -213,7 +215,7 @@ def _decode_scan(params, cfg, state, t_pad, n_steps, temperature, top_k, top_p,
     jax.jit,
     static_argnames=(
         "cfg", "t_pad", "n_steps", "top_k", "eos_ids", "pad_id", "greedy",
-        "vocab_slice", "extra_ids",
+        "vocab_slice", "extra_ids", "scan_unroll",
     ),
     donate_argnums=(2,),  # GenState (with the KV cache) is consumed per call
 )
@@ -231,6 +233,7 @@ def decode_chunk(
     greedy: bool = False,
     vocab_slice: Tuple[int, int] | None = None,
     extra_ids: Tuple[int, ...] = (),
+    scan_unroll: int = 1,
 ) -> Tuple[GenState, jax.Array, jax.Array]:
     """Run `n_steps` decode steps as one XLA program (lax.scan) and return
     (state, tokens (B, n_steps), valid (B, n_steps) bool).  The streaming
@@ -239,7 +242,7 @@ def decode_chunk(
     `spark_tts/1/model.py:347-385`)."""
     return _decode_scan(
         params, cfg, state, t_pad, n_steps, temperature, top_k, top_p, eos_ids, pad_id,
-        greedy, vocab_slice, extra_ids,
+        greedy, vocab_slice, extra_ids, scan_unroll,
     )
 
 
@@ -257,6 +260,7 @@ def decode_chunk(
         "use_flash",
         "vocab_slice",
         "extra_ids",
+        "scan_unroll",
     ),
 )
 def generate(
@@ -277,6 +281,7 @@ def generate(
     use_flash: bool = False,
     vocab_slice: Tuple[int, int] | None = None,
     extra_ids: Tuple[int, ...] = (),
+    scan_unroll: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     """Full generation.  Returns (tokens (B, max_new_tokens) int32 padded with
     pad_id after EOS, lengths (B,) including the EOS token).
@@ -312,7 +317,7 @@ def generate(
         valid = jax.lax.dynamic_update_slice(valid, (~state.done)[:, None], (0, state.step))
         new_state = decode_step(
             params, cfg, state, t_pad, temperature, top_k, top_p, eos_ids, pad_id,
-            greedy, vocab_slice, extra_ids,
+            greedy, vocab_slice, extra_ids, scan_unroll,
         )
         return (new_state, tokens, valid)
 

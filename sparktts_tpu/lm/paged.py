@@ -407,6 +407,7 @@ class PagedContinuousEngine:
         mode: str = "control",
         temperature: float | None = None,
         top_p: float | None = None,
+        prompt_len: int | None = None,
     ) -> int:
         """Admit a request.  Reserves its WORST-CASE page count up front: if
         the pool cannot cover every admitted request running to its full
@@ -416,8 +417,16 @@ class PagedContinuousEngine:
         slot = next((i for i, o in enumerate(self.owner) if o is None), None)
         if slot is None:
             raise RuntimeError("no free slot")
-        n = len(prompt_ids)
-        t_pad = ((n + self._admit_bucket - 1) // self._admit_bucket) * self._admit_bucket
+        if isinstance(prompt_ids, jax.Array):
+            # device-chained admission (see ContinuousBatchingEngine.submit):
+            # ids arrive pre-assembled on device, true length via prompt_len
+            assert prompt_ids.ndim == 2 and prompt_len is not None
+            n = int(prompt_len)
+            assert prompt_ids.shape[1] % self._admit_bucket == 0 and n <= prompt_ids.shape[1]
+            t_pad = prompt_ids.shape[1]
+        else:
+            n = len(prompt_ids)
+            t_pad = ((n + self._admit_bucket - 1) // self._admit_bucket) * self._admit_bucket
         total_pages = (t_pad + max_new_tokens + self.page_size - 1) // self.page_size
         assert total_pages <= self.pages_per_slot, "prompt+budget exceeds page table"
         prompt_pages = t_pad // self.page_size
@@ -430,8 +439,11 @@ class PagedContinuousEngine:
                 f"{self._outstanding_growth()}) — retry after slots free"
             )
         self.slot_pages[slot] = self._alloc(prompt_pages)
-        ids = np.full((1, t_pad), self.pad_id, np.int32)
-        ids[0, :n] = prompt_ids
+        if isinstance(prompt_ids, jax.Array):
+            ids = prompt_ids
+        else:
+            ids = np.full((1, t_pad), self.pad_id, np.int32)
+            ids[0, :n] = prompt_ids
         eng_temperature, top_k, eng_top_p = self.sampling
         temperature = eng_temperature if temperature is None else temperature
         top_p = eng_top_p if top_p is None else top_p
@@ -520,8 +532,14 @@ class PagedContinuousEngine:
     def step(self, n_steps: int = 16) -> Dict[int, np.ndarray]:
         """Advance all active slots by (about) n_steps tokens — snapped to
         the DISPATCH_LADDER; slots stop on device at their token limit."""
+        return self.step_chained(n_steps, None)[0]
+
+    def step_chained(self, n_steps: int = 16, chain_fn=None) -> Tuple[Dict[int, np.ndarray], Optional[np.ndarray]]:
+        """`step` with an optional chained device computation fetched in the
+        same single host transfer — see
+        `ContinuousBatchingEngine.step_chained`."""
         if all(o is None for o in self.owner):
-            return {}
+            return {}, None
         from sparktts_tpu.lm.continuous import snap_to_ladder, unpack_step_result
 
         n_steps = snap_to_ladder(n_steps, self.max_dispatch)
@@ -542,7 +560,16 @@ class PagedContinuousEngine:
             self.clone_extras,
             self.interpret,
         )
-        toks, valid, done = unpack_step_result(jax.device_get(packed), n_steps)
+        extra = None
+        if chain_fn is not None:
+            flat = jax.device_get(
+                jnp.concatenate([packed.reshape(-1), chain_fn(packed)])
+            )
+            cut = self.max_slots * (2 * n_steps + 1)
+            toks, valid, done = unpack_step_result(flat[:cut].reshape(self.max_slots, -1), n_steps)
+            extra = flat[cut:]
+        else:
+            toks, valid, done = unpack_step_result(jax.device_get(packed), n_steps)
         out: Dict[int, np.ndarray] = {}
         for slot, req in enumerate(self.owner):
             if req is None:
@@ -557,7 +584,7 @@ class PagedContinuousEngine:
                 self.finished[req] = np.asarray(self.buffers.pop(req), np.int32)
                 self.owner[slot] = None
                 self._release(slot)
-        return out
+        return out, extra
 
     def release_slot(self, slot: int) -> None:
         """Forcibly free a slot (failure containment): drops buffered tokens,

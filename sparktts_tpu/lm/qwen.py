@@ -248,6 +248,7 @@ def qwen_forward(
     vocab_slice: Optional[Tuple[int, int]] = None,
     extra_ids: Tuple[int, ...] = (),
     logits_last_only: bool = False,
+    scan_unroll: int = 1,
 ) -> Tuple[jax.Array, KVCache]:
     """Token ids → logits (B, T, V) and updated cache.
 
@@ -271,6 +272,16 @@ def qwen_forward(
 
     logits_last_only: compute logits for the final position only (prefill
     needs just the next-token distribution; skips a (B, T, V) materialize).
+
+    scan_unroll: unroll factor for the layer scan — each scan-iteration
+    boundary on TPU costs scalar-core sequencing + a fresh weight-slice DMA
+    prologue; unrolling N layers per iteration amortizes that at N× the
+    layer-body compile size.  Measured on v5e at decode shapes
+    (scripts/bench_decode_step.py): unroll=2/4 are 18-27% SLOWER than
+    unroll=1 — the larger body breaks XLA's weight-stream double buffering
+    (two layers' weights must be VMEM-resident at once), which costs more
+    than the boundary saves.  Default 1 is the production setting; the knob
+    stays for attribution experiments.
     """
     x = embed_lookup(params, input_ids)
 
@@ -288,7 +299,10 @@ def qwen_forward(
         return (x, ck_all, cv_all, li + 1), None
 
     (x, new_k, new_v, _), _ = jax.lax.scan(
-        layer_step, (x, cache.k, cache.v, jnp.zeros((), jnp.int32)), params["layers"]
+        layer_step,
+        (x, cache.k, cache.v, jnp.zeros((), jnp.int32)),
+        params["layers"],
+        unroll=scan_unroll,
     )
 
     if logits_last_only:

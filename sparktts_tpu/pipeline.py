@@ -225,9 +225,14 @@ class SparkTTSPipeline:
     # audio tokenization (reference BiCodecTokenizer, audio_tokenizer.py)
     # ------------------------------------------------------------------
 
-    def tokenize_audio(self, audio) -> Tuple[np.ndarray, np.ndarray]:
+    def tokenize_audio_device(self, audio) -> Tuple[jax.Array, jax.Array, int]:
         """Audio path or float array → (global_tokens (1, N), semantic_tokens
-        (1, T)) (reference `audio_tokenizer.py:119-130`)."""
+        (1, S_pad), true_semantic_len) with the token arrays LEFT ON DEVICE —
+        no host transfer.  The true semantic count is a deterministic
+        function of the wav length, so callers (device-side prompt assembly,
+        `serve/continuous_server.py`) never need to read the device arrays to
+        know the shapes; on a tunneled TPU that saves a full relay round-trip
+        per admission."""
         if isinstance(audio, (str, Path)):
             wav = load_audio(
                 audio,
@@ -262,15 +267,73 @@ class SparkTTSPipeline:
                 self._codec_arr(feature_mask),
                 self._codec_arr(ref_wav, dtype=jnp.float32)[None, :],
             )
+        return global_t, semantic, true_frames_w2v // self._enc_ratio
+
+    def tokenize_audio(self, audio) -> Tuple[np.ndarray, np.ndarray]:
+        """Audio path or float array → (global_tokens (1, N), semantic_tokens
+        (1, T)) (reference `audio_tokenizer.py:119-130`)."""
+        global_t, semantic, true_sem = self.tokenize_audio_device(audio)
         # crop semantic tokens to the true frame count
-        semantic = np.asarray(semantic)[:, : true_frames_w2v // self._enc_ratio]
-        return np.asarray(global_t), semantic
+        return np.asarray(global_t), np.asarray(semantic)[:, :true_sem]
+
+    def _assemble_fn(self, t_pad: int, s_pad: int):
+        """Jitted device-side clone-prompt assembly: scatter the codec's
+        global/semantic token ids (still on device) into the host-built
+        scaffold (`prompt.clone_prompt_scaffold`).  Formulated as a masked
+        gather so the offsets and the true semantic count are TRACED scalars
+        — one compiled program per (prompt bucket, wav bucket), never per
+        text length."""
+        key = ("assemble", t_pad, s_pad)
+        if key not in self._jit_cache:
+            g_base = self.tokenizer.global_base
+            s_base = self.tokenizer.semantic_base
+
+            @jax.jit
+            def fn(scaffold, g, s, g_off, s_off, n_sem):
+                pos = jnp.arange(t_pad)
+                n_g = g.shape[1]
+                from_g = g[0, jnp.clip(pos - g_off, 0, n_g - 1)] + g_base
+                from_s = s[0, jnp.clip(pos - s_off, 0, s_pad - 1)] + s_base
+                in_g = (pos >= g_off) & (pos < g_off + n_g)
+                in_s = (pos >= s_off) & (pos < s_off + n_sem)
+                ids = jnp.where(in_g, from_g, jnp.where(in_s, from_s, scaffold))
+                return ids[None, :].astype(jnp.int32)
+
+            self._jit_cache[key] = fn
+        return self._jit_cache[key]
+
+    def assemble_clone_ids(
+        self,
+        scaffold: np.ndarray,   # (t_pad,) int32 from clone_prompt_scaffold
+        global_t: jax.Array,    # (1, N) device
+        semantic: jax.Array,    # (1, S_pad) device
+        g_off: int,
+        s_off: int,
+        n_sem: int,             # semantic ids to include (0 = none)
+    ) -> jax.Array:
+        """(1, t_pad) right-padded clone prompt ids, assembled ON DEVICE from
+        the still-on-device codec tokens — token-identical to
+        `build_clone_prompt` + host padding, with zero host syncs."""
+        fn = self._assemble_fn(len(scaffold), semantic.shape[1])
+        return fn(
+            jnp.asarray(scaffold),
+            jnp.asarray(global_t, dtype=jnp.int32),
+            jnp.asarray(semantic, dtype=jnp.int32),
+            jnp.asarray(g_off, jnp.int32),
+            jnp.asarray(s_off, jnp.int32),
+            jnp.asarray(n_sem, jnp.int32),
+        )
 
     def detokenize(self, global_tokens: np.ndarray, semantic_tokens: np.ndarray) -> np.ndarray:
         """(global (1, N), semantic (1, T)) → waveform np.float32 (T * hop,)
         (reference `audio_tokenizer.py:132-146`)."""
         semantic_tokens = np.asarray(semantic_tokens, dtype=np.int32)
-        global_tokens = np.asarray(global_tokens, dtype=np.int32).reshape(1, -1)
+        if isinstance(global_tokens, jax.Array):
+            # device-resident speaker tokens (device-chained admission keeps
+            # them on device): reshape/cast are dispatches, not host syncs
+            global_tokens = jnp.reshape(global_tokens.astype(jnp.int32), (1, -1))
+        else:
+            global_tokens = np.asarray(global_tokens, dtype=np.int32).reshape(1, -1)
         t_true = semantic_tokens.shape[1]
         t_pad = _round_up(max(t_true, 1), self.vocode_bucket)
         # edge-replicate pad: avoids a spectral discontinuity at the crop point
@@ -283,6 +346,37 @@ class SparkTTSPipeline:
                 self._codec_arr(global_tokens),
             )
         return np.asarray(wav)[0, : t_true * self._wave_upsample].astype(np.float32)
+
+    def spec_vocode_chain(self, slot: int, target: int, global_tokens):
+        """Build a `chain_fn` for the continuous engines' `step_chained`:
+        speculatively vocode decode-slot `slot`'s first `target` emitted
+        tokens IN THE SAME device-dispatch chain as the decode micro-batch,
+        and pack the waveform bits into the step result so the host fetches
+        tokens + audio in ONE transfer.
+
+        Speculative: assumes the first `target` emissions are semantic ids
+        (true for a guided clone stream unless EOS fires inside the chunk —
+        the caller validates against the fetched tokens and falls back to the
+        normal vocode path when the assumption missed).  The semantic window
+        is edge-replicate padded to the vocode bucket on device, exactly like
+        `detokenize`, so a validated speculative chunk is bit-identical to
+        the normal path's."""
+        t_pad = _round_up(max(target, 1), self.vocode_bucket)
+        detok = self._detokenize_fn(t_pad)
+        bc_params = self.bicodec_params
+        sem_base = self.tokenizer.semantic_base
+        n_sem = self.tokenizer.n_semantic
+        up = self._wave_upsample
+        g = jnp.reshape(jnp.asarray(global_tokens, dtype=jnp.int32), (1, -1))
+
+        def chain(packed: jax.Array) -> jax.Array:
+            ids = packed[slot, :target]
+            sem = jnp.clip(ids - sem_base, 0, n_sem - 1)
+            sem_p = sem[jnp.minimum(jnp.arange(t_pad), target - 1)][None, :]
+            wav = detok(bc_params, sem_p, g)[0, : target * up].astype(jnp.float32)
+            return jax.lax.bitcast_convert_type(wav, jnp.int32)
+
+        return chain
 
     # ------------------------------------------------------------------
     # inference (reference cli/SparkTTS.py:157-236)

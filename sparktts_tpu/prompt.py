@@ -217,6 +217,47 @@ def build_control_prompt(
     return ids
 
 
+def clone_prompt_scaffold(
+    tok: SparkTokenizerBase,
+    text: str,
+    n_global: int,
+    n_semantic: int,
+    prompt_text: Optional[str] = None,
+    t_pad: Optional[int] = None,
+) -> Tuple[np.ndarray, int, int, int]:
+    """Host-known half of a clone prompt, for DEVICE-side assembly.
+
+    Every id in the clone prompt except the audio tokens themselves is known
+    on the host without reading the codec's output (the audio-token COUNTS
+    are deterministic functions of the wav length), so admission can chain
+    tokenize → assemble → prefill as pure device dispatches with zero host
+    syncs — on a tunneled TPU each sync costs a full relay round-trip.
+    Returns (scaffold (t_pad,) int32 right-padded with pad_id, prompt_len,
+    global_offset, semantic_offset); positions [global_offset,
+    global_offset+n_global) and [semantic_offset, semantic_offset+n_semantic)
+    hold pad_id placeholders the device fills in (`assemble_clone_ids`).
+    Token order matches `build_clone_prompt` exactly."""
+    head: List[int] = [tok.token_id(TASK_TOKEN_MAP["tts"]), tok.token_id("<|start_content|>")]
+    head.extend(tok.encode(prompt_text + text if prompt_text is not None else text))
+    head.append(tok.token_id("<|end_content|>"))
+    head.append(tok.token_id("<|start_global_token|>"))
+    g_off = len(head)
+    tail: List[int] = [tok.token_id("<|end_global_token|>")]
+    if prompt_text is not None:
+        tail.append(tok.token_id("<|start_semantic_token|>"))
+    else:
+        n_semantic = 0
+    s_off = g_off + n_global + len(tail)
+    prompt_len = s_off + n_semantic
+    if t_pad is None:
+        t_pad = prompt_len
+    assert t_pad >= prompt_len, (t_pad, prompt_len)
+    scaffold = np.full(t_pad, tok.pad_id, np.int32)
+    scaffold[:g_off] = head
+    scaffold[g_off + n_global : s_off] = tail
+    return scaffold, prompt_len, g_off, s_off
+
+
 # ---------------------------------------------------------------------------
 # extraction (arithmetic replacement for the regex path)
 # ---------------------------------------------------------------------------

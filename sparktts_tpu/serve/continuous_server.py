@@ -31,10 +31,11 @@ from typing import AsyncIterator, Dict, Optional
 
 import numpy as np
 
-from sparktts_tpu.lm.continuous import AdmissionDeferred
+from sparktts_tpu.lm.continuous import AdmissionDeferred, snap_to_ladder
 from sparktts_tpu.prompt import (
     build_clone_prompt,
     build_control_prompt,
+    clone_prompt_scaffold,
     extract_global_ids,
     extract_semantic_ids,
 )
@@ -81,8 +82,18 @@ class ContinuousTTSServer:
         page_size: int = 256,
         n_pages: Optional[int] = None,
         greedy: bool = False,
+        device_admission: bool = True,
+        spec_first_chunk: bool = True,
     ):
         self.pipe = pipeline
+        # latency features for tunneled/remote TPUs — each host sync costs a
+        # relay round-trip, so admission chains tokenize→assemble→prefill as
+        # pure device dispatches (device_admission) and a streaming request's
+        # first chunk is vocoded INSIDE the decode dispatch chain and fetched
+        # with the step result in one transfer (spec_first_chunk).  Both are
+        # no-ops for correctness: outputs are bit-identical to the plain path.
+        self.device_admission = device_admission and pipeline.codec_device is None
+        self.spec_first_chunk = spec_first_chunk and pipeline.codec_device is None
         # steps_per_dispatch caps the adaptive dispatch size (ladder max)
         self.steps = steps_per_dispatch
         self.default_max_new = default_max_new_tokens or pipeline.max_new_tokens
@@ -369,9 +380,26 @@ class ContinuousTTSServer:
         # time spent queued, not including the admission prefill itself
         self.stage_stats.record("queue_wait", time.perf_counter() - pending.enqueue_time)
         tok = self.pipe.tokenizer
+        prompt_len = None
         if pending.gender is not None:
             ids = build_control_prompt(tok, pending.text, pending.gender, pending.pitch, pending.speed)
             mode = "control"
+        elif self.device_admission:
+            # zero-sync admission: codec tokens stay on device, the prompt is
+            # assembled there (the audio-token COUNTS are deterministic from
+            # the wav length), and prefill chains straight on — the host
+            # never waits on the relay between tokenize and prefill
+            g_dev, s_dev, n_sem = self.pipe.tokenize_audio_device(pending.prompt_wav)
+            pending.global_tokens = g_dev
+            use_sem = n_sem if pending.prompt_text is not None else 0
+            bucket = getattr(self.engine, "_admit_bucket", self.engine.prompt_pad)
+            scaffold, prompt_len, g_off, s_off = clone_prompt_scaffold(
+                tok, pending.text, g_dev.shape[1], use_sem, pending.prompt_text
+            )
+            t_pad = -(-prompt_len // bucket) * bucket
+            scaffold = np.pad(scaffold, (0, t_pad - prompt_len), constant_values=tok.pad_id)
+            ids = self.pipe.assemble_clone_ids(scaffold, g_dev, s_dev, g_off, s_off, use_sem)
+            mode = "clone"
         else:
             g, s = self.pipe.tokenize_audio(pending.prompt_wav)
             pending.global_tokens = g
@@ -389,6 +417,7 @@ class ContinuousTTSServer:
             mode=mode,
             temperature=pending.temperature,
             top_p=pending.top_p,
+            prompt_len=prompt_len,
         )
         self.inflight[req_id] = pending
         return req_id
@@ -440,6 +469,58 @@ class ContinuousTTSServer:
             need = slot_need if need is None else min(need, slot_need)
         return need if need is not None else self.steps
 
+    def _plan_spec(self, n_dispatch: int):
+        """Pick ONE streaming clone slot whose FIRST chunk this dispatch
+        fully covers, for speculative on-device chunk rendering: the chunk's
+        vocode is chained onto the decode dispatch and fetched with the step
+        result in one transfer (engine.step_chained).  First chunk only —
+        later chunks' semantic prefix spans earlier dispatches and already
+        overlaps decode on the vocode worker thread; the first chunk is the
+        latency-critical one.  Returns (req_id, target, chain_fn) or None."""
+        if not self.spec_first_chunk:
+            return None
+        for slot, req in enumerate(self.engine.owner):
+            if req is None:
+                continue
+            p = self.inflight.get(req)
+            if (
+                p is None or p.cancelled or p.chunk_queue is None
+                or p.stream_emitted or p.stream_buf or p.raw_buf
+                or p.gender is not None or p.global_tokens is None
+            ):
+                continue
+            target = p.stream_target
+            if 0 < target <= min(n_dispatch, int(self.engine.budget[slot])):
+                return req, target, self.pipe.spec_vocode_chain(slot, target, p.global_tokens)
+        return None
+
+    def _apply_spec(self, spec, chained: np.ndarray, increments) -> Optional[int]:
+        """Validate a speculative first chunk against the fetched tokens; on
+        success push the pre-rendered wav and do the stream bookkeeping
+        inline (returns the req id so the normal vocode path skips this
+        increment).  The speculation only misses when EOS fired inside the
+        chunk — then the chained render used garbage past EOS, so fall back
+        to the normal path, which renders the valid prefix exactly."""
+        req_id, target, _ = spec
+        p = self.inflight.get(req_id)
+        new = increments.get(req_id)
+        if p is None or p.cancelled or new is None or len(new) < target:
+            return None
+        tok = self.pipe.tokenizer
+        head = np.asarray(new[:target])
+        if not (
+            (head >= tok.semantic_base) & (head < tok.semantic_base + tok.n_semantic)
+        ).all():
+            return None
+        wav = chained.view(np.float32).copy()
+        p.raw_buf.extend(np.asarray(new).tolist())
+        p.stream_buf.extend(extract_semantic_ids(tok, new).tolist())
+        p.stream_emitted = target
+        p.stream_target = next(p.stream_schedule)
+        p.chunk_queue.put_nowait(wav)
+        self.stats["spec_chunks"] = self.stats.get("spec_chunks", 0) + 1
+        return req_id
+
     def _try_admit(self, pending: _Pending, engine_idle: bool) -> bool:
         """Admit one request; returns False when admission was deferred
         (paged backpressure).  A deferral with an IDLE engine is a hard
@@ -486,8 +567,10 @@ class ContinuousTTSServer:
             before = set(self.engine.finished)
             try:
                 t0 = time.perf_counter()
-                increments = await asyncio.get_running_loop().run_in_executor(
-                    None, self.engine.step, self._requested_steps()
+                req_steps = self._requested_steps()
+                spec = self._plan_spec(snap_to_ladder(req_steps, self.engine.max_dispatch))
+                increments, chained = await asyncio.get_running_loop().run_in_executor(
+                    None, self.engine.step_chained, req_steps, spec[2] if spec else None
                 )
                 self.stage_stats.record("decode_dispatch", time.perf_counter() - t0)
             except Exception as e:
@@ -501,9 +584,19 @@ class ContinuousTTSServer:
                         self.engine.release_slot(slot)
                 self.stats["failures"] = self.stats.get("failures", 0) + 1
                 continue
+            # a validated speculative first chunk was already rendered inside
+            # the decode dispatch — push it inline; everything else goes to
+            # the vocode worker as usual
+            spec_req = (
+                self._apply_spec(spec, chained, increments)
+                if spec is not None and chained is not None
+                else None
+            )
             # streaming consumers get chunks as soon as their schedule fills
             # (vocoded on the worker thread, overlapping the next dispatch)
             for req_id, new_tokens in increments.items():
+                if req_id == spec_req:
+                    continue
                 pending = self.inflight.get(req_id)
                 if pending is not None and pending.chunk_queue is not None:
                     self._vocode_q.put_nowait((pending, new_tokens, False, False))

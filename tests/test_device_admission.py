@@ -1,0 +1,149 @@
+"""Device-chained admission + speculative first-chunk rendering.
+
+These paths exist to kill host syncs on the streaming critical path (each
+sync costs a relay round-trip on a tunneled TPU); they must be EXACTLY
+behavior-preserving: same prompt ids as host assembly, bit-identical
+streamed audio vs the plain vocode-worker path.
+"""
+
+import asyncio
+import dataclasses
+
+import numpy as np
+import pytest
+
+from sparktts_tpu.config import tiny_test_config
+from sparktts_tpu.pipeline import SparkTTSPipeline
+from sparktts_tpu.prompt import build_clone_prompt, clone_prompt_scaffold
+from sparktts_tpu.serve.continuous_server import ContinuousTTSServer, _Pending
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    cfg = tiny_test_config()
+    # small first chunk (4 tokens) so a 16-token budget spans several chunks
+    cfg = dataclasses.replace(
+        cfg, streaming=dataclasses.replace(cfg.streaming, frame_rate=4)
+    )
+    return SparkTTSPipeline(config=cfg, max_new_tokens=16, prompt_bucket=32)
+
+
+def _wav(freq=300.0):
+    sr = 16000
+    t = np.arange(sr) / sr
+    return 0.3 * np.sin(2 * np.pi * freq * t)
+
+
+@pytest.mark.parametrize("with_prompt_text", [False, True])
+def test_device_assembled_prompt_matches_host(pipe, with_prompt_text):
+    prompt_text = "transcript words" if with_prompt_text else None
+    g_dev, s_dev, n_sem = pipe.tokenize_audio_device(_wav())
+    g = np.asarray(g_dev)
+    s = np.asarray(s_dev)[:, :n_sem]
+
+    host_ids = build_clone_prompt(
+        pipe.tokenizer, "hello world", g, s if with_prompt_text else None, prompt_text
+    )
+    use_sem = n_sem if with_prompt_text else 0
+    scaffold, prompt_len, g_off, s_off = clone_prompt_scaffold(
+        pipe.tokenizer, "hello world", g.shape[1], use_sem, prompt_text
+    )
+    assert prompt_len == len(host_ids)
+    t_pad = -(-prompt_len // 32) * 32
+    scaffold = np.pad(
+        scaffold, (0, t_pad - prompt_len), constant_values=pipe.tokenizer.pad_id
+    )
+    dev_ids = np.asarray(
+        pipe.assemble_clone_ids(scaffold, g_dev, s_dev, g_off, s_off, use_sem)
+    )
+    np.testing.assert_array_equal(dev_ids[0, :prompt_len], np.asarray(host_ids))
+    assert (dev_ids[0, prompt_len:] == pipe.tokenizer.pad_id).all()
+
+
+def _stream_chunks(server, **kw):
+    async def run():
+        await server.start()
+        chunks = []
+        async for c in server.synthesize_streaming(
+            "stream this text", prompt_wav=_wav(260), **kw
+        ):
+            chunks.append(c)
+        await server.stop()
+        return chunks
+
+    return asyncio.new_event_loop().run_until_complete(run())
+
+
+def test_spec_first_chunk_bit_identical_to_plain_path(pipe):
+    fast = ContinuousTTSServer(pipe, max_slots=2, steps_per_dispatch=8)
+    plain = ContinuousTTSServer(
+        pipe,
+        max_slots=2,
+        steps_per_dispatch=8,
+        device_admission=False,
+        spec_first_chunk=False,
+    )
+    c_fast = _stream_chunks(fast)
+    c_plain = _stream_chunks(plain)
+    assert fast.stats.get("spec_chunks", 0) >= 1, "speculative path never triggered"
+    assert len(c_fast) == len(c_plain)
+    for a, b in zip(c_fast, c_plain):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_offline_device_admission_matches_plain(pipe):
+    fast = ContinuousTTSServer(pipe, max_slots=2, steps_per_dispatch=8)
+    plain = ContinuousTTSServer(
+        pipe, max_slots=2, steps_per_dispatch=8, device_admission=False
+    )
+
+    def run(server):
+        async def go():
+            await server.start()
+            wav = await server.synthesize("same text", prompt_wav=_wav(410))
+            await server.stop()
+            return wav
+
+        return asyncio.new_event_loop().run_until_complete(go())
+
+    np.testing.assert_array_equal(run(fast), run(plain))
+
+
+def test_apply_spec_rejects_non_semantic_head(pipe):
+    """EOS (or any non-semantic id) inside the speculated window must fall
+    back to the normal vocode path — the chained render used garbage."""
+    server = ContinuousTTSServer(pipe, max_slots=1, steps_per_dispatch=8)
+    tok = pipe.tokenizer
+    up = pipe._wave_upsample
+
+    def mk_pending():
+        p = _Pending(
+            text="x", prompt_wav=None, prompt_text=None, gender=None, pitch=None,
+            speed=None, max_new_tokens=8, future=None,
+            chunk_queue=asyncio.Queue(), stream_target=2,
+            stream_schedule=iter([4, 8, 16]),
+        )
+        p.global_tokens = np.zeros((1, 4), np.int32)
+        return p
+
+    wav_bits = np.arange(2 * up, dtype=np.float32).view(np.int32)
+
+    # head contains EOS → rejected, no bookkeeping
+    p = mk_pending()
+    server.inflight = {7: p}
+    bad = np.asarray([tok.semantic_base, tok.eos_ids[0], tok.semantic_base + 1])
+    assert server._apply_spec((7, 2, None), wav_bits, {7: bad}) is None
+    assert p.stream_emitted == 0 and not p.stream_buf
+
+    # all-semantic head → accepted, chunk pushed, schedule advanced
+    p = mk_pending()
+    server.inflight = {9: p}
+    good = np.asarray(
+        [tok.semantic_base + 5, tok.semantic_base + 6, tok.semantic_base + 7]
+    )
+    assert server._apply_spec((9, 2, None), wav_bits, {9: good}) == 9
+    assert p.stream_emitted == 2
+    assert p.stream_buf == [5, 6, 7]
+    assert p.stream_target == 4
+    chunk = p.chunk_queue.get_nowait()
+    np.testing.assert_array_equal(chunk, wav_bits.view(np.float32))
