@@ -549,12 +549,11 @@ class SparkTTSPipeline:
     # batched APIs (serving path; reference Triton dynamic batching role)
     # ------------------------------------------------------------------
 
-    def tokenize_audio_batch(self, wavs) -> list:
-        """List of float arrays → list of (global (1, N), semantic (1, T_i)).
-
-        One padded batch through wav2vec2 (with a proper attention mask on the
-        transformer) + BiCodec — the reference's Triton audio_tokenizer batch
-        path (`model_repo/audio_tokenizer/1/model.py:86-137`)."""
+    def tokenize_audio_batch_device(self, wavs) -> Tuple[jax.Array, jax.Array, list]:
+        """List of float arrays → (global (B, N), semantic (B, S_pad),
+        [true_semantic_len]) with the token arrays LEFT ON DEVICE — the batch
+        counterpart of `tokenize_audio_device` (true counts are host-known
+        functions of the wav lengths)."""
         b = len(wavs)
         wavs = [np.asarray(w, dtype=np.float64) for w in wavs]
         lens = [len(w) for w in wavs]
@@ -594,13 +593,148 @@ class SparkTTSPipeline:
                 self._codec_arr(feature_mask),
                 self._codec_arr(refs),
             )
+        return global_t, semantic, [f // self._enc_ratio for f in frame_counts]
+
+    def tokenize_audio_batch(self, wavs) -> list:
+        """List of float arrays → list of (global (1, N), semantic (1, T_i)).
+
+        One padded batch through wav2vec2 (with a proper attention mask on the
+        transformer) + BiCodec — the reference's Triton audio_tokenizer batch
+        path (`model_repo/audio_tokenizer/1/model.py:86-137`)."""
+        global_t, semantic, counts = self.tokenize_audio_batch_device(wavs)
         semantic = np.asarray(semantic)
         global_t = np.asarray(global_t)
-        out = []
-        for i in range(b):
-            t = frame_counts[i] // self._enc_ratio
-            out.append((global_t[i : i + 1], semantic[i : i + 1, :t]))
-        return out
+        return [
+            (global_t[i : i + 1], semantic[i : i + 1, : counts[i]])
+            for i in range(len(wavs))
+        ]
+
+    def assemble_clone_ids_batch(
+        self,
+        scaffolds: np.ndarray,   # (B, t_pad) int32, LEFT- or RIGHT-padded
+        global_t: jax.Array,     # (B, N) device
+        semantic: jax.Array,     # (B, S_pad) device
+        g_offs: np.ndarray,      # (B,) per-row global-token offset
+        s_offs: np.ndarray,      # (B,) per-row semantic-token offset
+        n_sems: np.ndarray,      # (B,) semantic ids to include (0 = none)
+    ) -> jax.Array:
+        """Batched `assemble_clone_ids`: every row's audio tokens scattered
+        into its scaffold on device, one program per (t_pad, S_pad)."""
+        t_pad, s_pad = scaffolds.shape[1], semantic.shape[1]
+        key = ("assemble_b", t_pad, s_pad)
+        if key not in self._jit_cache:
+            g_base = self.tokenizer.global_base
+            s_base = self.tokenizer.semantic_base
+
+            @jax.jit
+            def fn(scaffold, g, s, g_off, s_off, n_sem):
+                pos = jnp.arange(t_pad)[None, :]
+                n_g = g.shape[1]
+                gi = jnp.clip(pos - g_off[:, None], 0, n_g - 1)
+                from_g = jnp.take_along_axis(g, gi, axis=1) + g_base
+                si = jnp.clip(pos - s_off[:, None], 0, s_pad - 1)
+                from_s = jnp.take_along_axis(s, si, axis=1) + s_base
+                in_g = (pos >= g_off[:, None]) & (pos < (g_off + n_g)[:, None])
+                in_s = (pos >= s_off[:, None]) & (pos < (s_off + n_sem)[:, None])
+                return jnp.where(
+                    in_g, from_g, jnp.where(in_s, from_s, scaffold)
+                ).astype(jnp.int32)
+
+            self._jit_cache[key] = fn
+        return self._jit_cache[key](
+            jnp.asarray(scaffolds),
+            jnp.asarray(global_t, dtype=jnp.int32),
+            jnp.asarray(semantic, dtype=jnp.int32),
+            jnp.asarray(g_offs, dtype=jnp.int32),
+            jnp.asarray(s_offs, dtype=jnp.int32),
+            jnp.asarray(n_sems, dtype=jnp.int32),
+        )
+
+    def generate_and_vocode_batch(
+        self,
+        input_ids,               # (B, t_pad) LEFT-padded, device or host
+        mask,                    # (B, t_pad) bool
+        global_rows,             # (B, token_num) device or host
+        temperature: float = 0.8,
+        top_k: int = 50,
+        top_p: float = 0.95,
+        max_new_tokens: Optional[int] = None,
+        seed: int = 0,
+        greedy: bool = False,
+    ):
+        """Fused guided-clone offline path: LLM generation → ON-DEVICE
+        semantic extraction → batched vocode → ONE packed host fetch.
+        Valid for guided clone mode only, where every pre-EOS emission is a
+        semantic id, so extraction is offset arithmetic with the on-device
+        `lengths` — no host detour (each host sync costs a relay round-trip
+        on a tunneled TPU).  With the vocode bucket at the full budget (the
+        offline serving configuration) output is bit-identical to
+        generate_tokens_batch + detokenize_batch.  Returns (wav_list,
+        generated_token_list)."""
+        assert self.guided, "fused generate+vocode requires guided decoding"
+        tok = self.tokenizer
+        max_new = max_new_tokens or self.max_new_tokens
+        b, t_pad = input_ids.shape
+        vocab_slice, extra_ids = self.guided_constraint("clone")
+        with stage("llm_generate_vocode_fused"):
+            tokens, lengths = generate(
+                self.llm_params,
+                self.config.llm,
+                jnp.asarray(input_ids),
+                jnp.asarray(mask),
+                jax.random.PRNGKey(seed),
+                max_new_tokens=max_new,
+                cache_len=t_pad + max_new,
+                temperature=temperature,
+                top_k=top_k,
+                top_p=top_p,
+                eos_ids=tuple(tok.eos_ids),
+                pad_id=tok.pad_id,
+                greedy=greedy,
+                cache_dtype=self.lm_dtype,
+                use_flash=self.use_flash,
+                vocab_slice=vocab_slice,
+                extra_ids=extra_ids,
+            )
+            last = jnp.take_along_axis(
+                tokens, jnp.maximum(lengths - 1, 0)[:, None], axis=1
+            )[:, 0]
+            is_eos = jnp.zeros(lengths.shape, bool)
+            for e in tok.eos_ids:
+                is_eos = is_eos | (last == e)
+            sem_count = lengths - (is_eos & (lengths > 0)).astype(lengths.dtype)
+            bucket = _round_up(max(max_new, 1), self.vocode_bucket)
+            # edge-replicate pad to the bucket, like detokenize/_batch
+            idx = jnp.minimum(
+                jnp.arange(bucket)[None, :], jnp.maximum(sem_count, 1)[:, None] - 1
+            )
+            sem = jnp.clip(
+                jnp.take_along_axis(tokens, idx, axis=1) - tok.semantic_base,
+                0,
+                tok.n_semantic - 1,
+            )
+            wav = self._detokenize_fn(bucket)(
+                self.bicodec_params, sem, jnp.asarray(global_rows, dtype=jnp.int32)
+            )
+            flat = jnp.concatenate(
+                [
+                    tokens.reshape(-1),
+                    lengths.astype(jnp.int32),
+                    sem_count.astype(jnp.int32),
+                    jax.lax.bitcast_convert_type(
+                        wav.reshape(-1).astype(jnp.float32), jnp.int32
+                    ),
+                ]
+            )
+            out = np.asarray(flat)  # the single host transfer
+        toks_h = out[: b * max_new].reshape(b, max_new)
+        lens_h = out[b * max_new : b * max_new + b]
+        counts_h = out[b * max_new + b : b * max_new + 2 * b]
+        wav_h = out[b * max_new + 2 * b :].view(np.float32).reshape(b, -1)
+        up = self._wave_upsample
+        wavs = [wav_h[i, : counts_h[i] * up].astype(np.float32) for i in range(b)]
+        tokens_out = [toks_h[i, : lens_h[i]] for i in range(b)]
+        return wavs, tokens_out
 
     def generate_tokens_batch(
         self,

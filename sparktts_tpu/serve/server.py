@@ -67,11 +67,20 @@ class TTSServer:
         max_batch: int = 16,
         batch_window_ms: float = 10.0,
         request_timeout_s: Optional[float] = None,
+        fused_clone: bool = True,
     ):
         self.pipe = pipeline
         self.max_batch = max_batch
         self.batch_window = batch_window_ms / 1000.0
         self.request_timeout_s = request_timeout_s
+        # fused clone path: tokenize → device prompt assembly → generate →
+        # on-device semantic extraction → vocode, ONE host fetch per sampling
+        # group instead of three per window (tunneled TPUs pay a relay
+        # round-trip per sync).  Guided clone only; controllable-mode
+        # requests keep the host path (their globals arrive in the stream).
+        self.fused_clone = (
+            fused_clone and pipeline.guided and pipeline.codec_device is None
+        )
         self.queue: asyncio.Queue = asyncio.Queue()
         self._worker_task: Optional[asyncio.Task] = None
         self.stats = {"requests": 0, "batches": 0, "batch_occupancy_sum": 0, "failures": 0}
@@ -186,14 +195,60 @@ class TTSServer:
             except Exception as e:
                 logger.warning("request prompt-audio failed: %s", e)
                 outcomes[i] = e
-        if clone_idx:
+
+        # fused clone path: codec tokens never touch the host — device prompt
+        # assembly feeds generate_and_vocode_batch (one fetch per group)
+        fused_rows: Dict[int, int] = {}   # batch index → assembled row
+        fused_ids = fused_globals = None
+        if clone_idx and self.fused_clone:
+            import jax.numpy as jnp
+
+            from sparktts_tpu.prompt import clone_prompt_scaffold
+
+            g_dev, s_dev, sem_counts = pipe.tokenize_audio_batch_device(wavs)
+            scaffs = []
+            for j, i in enumerate(clone_idx):
+                req = batch[i]
+                try:
+                    use_sem = sem_counts[j] if req.prompt_text is not None else 0
+                    scaffs.append(
+                        (i, j, use_sem)
+                        + clone_prompt_scaffold(
+                            tok, req.text, g_dev.shape[1], use_sem, req.prompt_text
+                        )
+                    )
+                except Exception as e:
+                    logger.warning("request prompt build failed: %s", e)
+                    outcomes[i] = e
+            if scaffs:
+                t_pad = max(p for (_, _, _, _, p, _, _) in scaffs)
+                t_pad = -(-t_pad // pipe.prompt_bucket) * pipe.prompt_bucket
+                nb = len(scaffs)
+                rows = np.full((nb, t_pad), tok.pad_id, np.int32)
+                fused_mask = np.zeros((nb, t_pad), bool)
+                g_offs = np.zeros(nb, np.int32)
+                s_offs = np.zeros(nb, np.int32)
+                n_sems = np.zeros(nb, np.int32)
+                sel = np.zeros(nb, np.int32)
+                for r, (i, j, use_sem, scaffold, plen, g_off, s_off) in enumerate(scaffs):
+                    shift = t_pad - plen  # LEFT-padded, like generate_tokens_batch
+                    rows[r, shift:] = scaffold
+                    fused_mask[r, shift:] = True
+                    g_offs[r], s_offs[r], n_sems[r] = g_off + shift, s_off + shift, use_sem
+                    sel[r] = j
+                    fused_rows[i] = r
+                fused_globals = jnp.asarray(g_dev, jnp.int32)[jnp.asarray(sel)]
+                fused_ids = pipe.assemble_clone_ids_batch(
+                    rows, fused_globals, s_dev[jnp.asarray(sel)], g_offs, s_offs, n_sems
+                )
+        elif clone_idx:
             for i, gs in zip(clone_idx, pipe.tokenize_audio_batch(wavs)):
                 clone_tokens[i] = gs
 
         prompts: Dict[int, List[int]] = {}
         globals_list: Dict[int, Optional[np.ndarray]] = {}
         for i, req in enumerate(batch):
-            if outcomes[i] is not None:
+            if outcomes[i] is not None or i in fused_rows:
                 continue
             try:
                 if req.gender is not None:
@@ -222,13 +277,39 @@ class TTSServer:
         # group key.
         generated: Dict[int, np.ndarray] = {}
         groups: Dict[tuple, List[int]] = {}
-        for i in prompts:
+        for i in list(prompts) + list(fused_rows):
             req = batch[i]
             mode = "control" if req.gender is not None else "clone"
             groups.setdefault(
                 (req.temperature, req.top_k, req.top_p, req.seed, mode), []
             ).append(i)
         for (temperature, top_k, top_p, seed, mode), idxs in groups.items():
+            fused_in_group = [i for i in idxs if i in fused_rows]
+            if fused_in_group:
+                import jax.numpy as jnp
+
+                rsel = jnp.asarray([fused_rows[i] for i in fused_in_group])
+                hsel = [fused_rows[i] for i in fused_in_group]
+                wavs_out, _ = pipe.generate_and_vocode_batch(
+                    fused_ids[rsel],
+                    fused_mask[hsel],
+                    fused_globals[rsel],
+                    temperature=temperature,
+                    top_k=top_k,
+                    top_p=top_p,
+                    seed=seed,
+                )
+                infer_ms = (time.perf_counter() - t0) * 1000
+                for i, wav in zip(fused_in_group, wavs_out):
+                    outcomes[i] = TTSResult(
+                        wav=wav,
+                        sample_rate=pipe.sample_rate,
+                        queue_ms=(t0 - batch[i].enqueue_time) * 1000,
+                        infer_ms=infer_ms,
+                    )
+                idxs = [i for i in idxs if i not in fused_rows]
+                if not idxs:
+                    continue
             outs = pipe.generate_tokens_batch(
                 [prompts[i] for i in idxs],
                 temperature=temperature,

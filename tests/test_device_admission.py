@@ -109,6 +109,80 @@ def test_offline_device_admission_matches_plain(pipe):
     np.testing.assert_array_equal(run(fast), run(plain))
 
 
+def test_fused_generate_vocode_bit_identical(pipe):
+    """Pipeline-level: generate_and_vocode_batch (one fetch) is bit-identical
+    to generate_tokens_batch + host extraction + detokenize_batch at the same
+    batch composition."""
+    from sparktts_tpu.prompt import build_clone_prompt, extract_semantic_ids
+
+    tok = pipe.tokenizer
+    wavs = [_wav(250), _wav(390)]
+    texts = ["clone one", "clone two"]
+    ptexts = [None, "said"]
+    host = pipe.tokenize_audio_batch(wavs)
+    prompts = [
+        build_clone_prompt(
+            tok, texts[j], host[j][0], host[j][1] if ptexts[j] else None, ptexts[j]
+        )
+        for j in range(2)
+    ]
+    outs = pipe.generate_tokens_batch(prompts, seed=0, mode="clone")
+    sems = [extract_semantic_ids(tok, o) for o in outs]
+    glob_rows = np.stack([np.asarray(host[j][0]).reshape(-1) for j in range(2)])
+    ref_wavs = pipe.detokenize_batch(
+        glob_rows, [s if s.size else np.zeros(1, np.int32) for s in sems]
+    )
+
+    longest = max(len(p) for p in prompts)
+    t_pad = -(-longest // 32) * 32
+    ids = np.full((2, t_pad), tok.pad_id, np.int32)
+    mask = np.zeros((2, t_pad), bool)
+    for i, p in enumerate(prompts):
+        ids[i, t_pad - len(p):] = p
+        mask[i, t_pad - len(p):] = True
+    fused_wavs, fused_toks = pipe.generate_and_vocode_batch(ids, mask, glob_rows, seed=0)
+    for j in range(2):
+        np.testing.assert_array_equal(outs[j], fused_toks[j])
+        np.testing.assert_array_equal(ref_wavs[j], fused_wavs[j])
+
+
+def test_fused_window_batch_matches_host_path(pipe):
+    """Server-level: the fused offline window path agrees with the host path
+    on a mixed clone+control window.  Tokens are deterministic either way;
+    waveforms are compared with a float tolerance because the two paths
+    vocode under different BATCH COMPOSITIONS (fused groups clone requests
+    separately from control ones) and XLA programs of different batch sizes
+    reduce in different orders — a pre-existing property of detokenize_batch,
+    not introduced by fusion (bit-exactness at equal composition is covered
+    by test_fused_generate_vocode_bit_identical)."""
+    from sparktts_tpu.serve.server import TTSRequest, TTSServer
+
+    def run(fused):
+        server = TTSServer(pipe, max_batch=4, fused_clone=fused)
+        reqs = [
+            TTSRequest(text="clone one", prompt_wav=_wav(250)),
+            TTSRequest(text="clone two", prompt_wav=_wav(390), prompt_text="said"),
+            TTSRequest(
+                text="created", gender="female", pitch="moderate", speed="moderate"
+            ),
+        ]
+
+        async def go():
+            await server.start()
+            res = await asyncio.gather(*(server.synthesize(r) for r in reqs))
+            await server.stop()
+            return res
+
+        return asyncio.new_event_loop().run_until_complete(go())
+
+    r_fused = run(True)
+    r_host = run(False)
+    for a, b in zip(r_fused, r_host):
+        assert a.wav.size > 0
+        assert a.wav.shape == b.wav.shape
+        np.testing.assert_allclose(a.wav, b.wav, rtol=1e-4, atol=1e-5)
+
+
 def test_apply_spec_rejects_non_semantic_head(pipe):
     """EOS (or any non-semantic id) inside the speculated window must fall
     back to the normal vocode path — the chained render used garbage."""
