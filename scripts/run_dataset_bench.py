@@ -178,23 +178,40 @@ def main():
             pipe, tasks[: max(3, len(max_new_choices) * len(prompt_secs))],
             concurrency=2, streaming=True, max_slots=args.max_slots,
         )
-        prompt_ids = [
-            pipe.tokenizer.encode(t.text)[: pipe.prompt_bucket - 40] for t in tasks
-        ]
-        for b in range(1, max(offline_concs, default=1) + 1):
-            # batched audio tokenization (wav2vec2) per (b, duration bucket)
-            for dur in prompt_secs:
-                wavs = [t.prompt_wav for t in tasks if len(t.prompt_wav) == dur * 16000]
-                if wavs:
-                    pipe.tokenize_audio_batch((wavs * b)[:b])
-            for max_new in max_new_choices:
-                pipe.generate_tokens_batch(
-                    prompt_ids[:b], max_new_tokens=max_new, seed=0
+        # warm the offline server's fused clone path (tokenize →
+        # device assembly → generate+vocode) at every window composition the
+        # timed runs can produce: batch sizes 1..max_conc over the duration
+        # buckets.  Calling _execute_batch directly pins the exact window
+        # composition (the asyncio batching window is timing-dependent).
+        # Distinct per-request seeds exercise the per-row-key program — the
+        # same signature the timed runs compile.
+        from sparktts_tpu.serve.server import TTSRequest, TTSServer
+
+        warm_srv = TTSServer(pipe)
+
+        def _warm_window(idxs):
+            reqs = [
+                TTSRequest(
+                    text=tasks[i].text,
+                    prompt_wav=tasks[i].prompt_wav,
+                    prompt_text=tasks[i].prompt_text,
+                    seed=i,
                 )
-                pipe.detokenize_batch(
-                    np.zeros((b, pipe.config.bicodec.speaker_encoder.token_num), np.int32),
-                    [np.zeros(max_new, np.int32)] * b,
-                )
+                for i in idxs
+            ]
+            outs = warm_srv._execute_batch(reqs)
+            for o in outs:
+                if isinstance(o, Exception):
+                    raise o
+
+        max_conc = max(offline_concs, default=1)
+        # singles per duration bucket first (conc-1 windows), then mixed
+        # windows at every batch size up to max_conc
+        for i in range(min(len(prompt_secs), len(tasks))):
+            _warm_window([i])
+        for b in range(2, max_conc + 1):
+            _warm_window(list(range(min(b, len(tasks)))))
+        del warm_srv
         print(f"warmup done in {time.time() - t0:.1f}s", file=sys.stderr)
 
     for conc in offline_concs:

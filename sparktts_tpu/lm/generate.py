@@ -41,6 +41,19 @@ class GenState(NamedTuple):
     prompt_len: jax.Array  # (B,) true prompt lengths
 
 
+def _split_rng(rng: jax.Array):
+    """`jax.random.split` for either a single raw key (2,) or a per-row raw
+    key batch (B, 2).  Per-row keys give every batch row an independent
+    sample stream keyed only by its own seed, so requests with distinct
+    seeds can ride one compiled program (and a row's output is invariant to
+    the rest of the batch)."""
+    if rng.ndim == 2:
+        ks = jax.vmap(lambda k: jax.random.split(k, 2))(rng)  # (B, 2, 2)
+        return ks[:, 0], ks[:, 1]
+    rng, sub = jax.random.split(rng)
+    return rng, sub
+
+
 def packed_allowed_mask(vocab_slice, extra_ids, allow_slice, allow_extras):
     """(W,) bool over the PACKED guided-decoding logit axis (slice rows then
     extras): True where the packed row's full-vocab id lies in
@@ -114,7 +127,7 @@ def prefill(
     )
     last_logits = logits[:, -1]
 
-    rng, sub = jax.random.split(rng)
+    rng, sub = _split_rng(rng)
     if greedy:
         tok = greedy_token(last_logits)
     else:
@@ -161,7 +174,7 @@ def decode_step(
         None, decode_window=(state.start, cache_pos),
         vocab_slice=vocab_slice, extra_ids=extra_ids, scan_unroll=scan_unroll,
     )
-    rng, sub = jax.random.split(state.rng)
+    rng, sub = _split_rng(state.rng)
     if greedy:
         nxt = greedy_token(logits[:, -1])
     else:

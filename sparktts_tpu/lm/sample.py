@@ -50,6 +50,12 @@ def sample_token(
     Chain order matches HF: temperature → top-k → top-p → categorical.
     top_k must be static (it sizes the sorted slice).  temperature == 0 is
     handled by `greedy_token` at the call site.
+
+    `rng` may be a single raw key (2,) — one gumbel draw over the whole
+    batch, the classic path — or a PER-ROW raw key batch (B, 2): each row's
+    draw then depends only on its own key, making a row's sample stream
+    invariant to batch composition (requests with distinct seeds can share
+    one program; see pipeline.generate_tokens_batch).
     """
     scaled = logits / temperature
     # measured on v5e: flat top_k over the 166k vocab is not the decode
@@ -66,7 +72,10 @@ def sample_token(
     keep = keep.at[:, 0].set(True)
     filtered = jnp.where(keep, vals, NEG_INF)
 
-    choice = jax.random.categorical(rng, filtered, axis=-1)  # (B,)
+    if rng.ndim == 2:  # per-row keys
+        choice = jax.vmap(jax.random.categorical)(rng, filtered)  # (B,)
+    else:
+        choice = jax.random.categorical(rng, filtered, axis=-1)  # (B,)
     return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
 
 

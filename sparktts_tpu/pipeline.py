@@ -55,6 +55,24 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _seed_rng(seed, b: int) -> jax.Array:
+    """Sampling key(s) for a batch of `b` rows.
+
+    An int seed keeps the classic single-key stream (one gumbel draw over
+    the whole batch).  A sequence of per-row seeds builds a (B, 2) raw key
+    batch: each row's sample stream then depends only on its own seed, so
+    requests with different seeds can share ONE compiled generate program
+    (the serving window no longer splits by seed) and a row's output is
+    invariant to batch composition."""
+    if np.isscalar(seed) or isinstance(seed, (int, np.integer)):
+        return jax.random.PRNGKey(int(seed))
+    seeds = np.asarray(list(seed), np.uint32)
+    if len(seeds) != b:
+        raise ValueError(f"got {len(seeds)} seeds for batch of {b}")
+    # one jitted vmapped seeding — no per-seed host/device round-trips
+    return jax.jit(jax.vmap(jax.random.PRNGKey))(jnp.asarray(seeds))
+
+
 class SparkTTSPipeline:
     """Drop-in equivalent of the reference `SparkTTS` class."""
 
@@ -659,7 +677,7 @@ class SparkTTSPipeline:
         top_k: int = 50,
         top_p: float = 0.95,
         max_new_tokens: Optional[int] = None,
-        seed: int = 0,
+        seed=0,                  # int, or per-row seed sequence (see _seed_rng)
         greedy: bool = False,
     ):
         """Fused guided-clone offline path: LLM generation → ON-DEVICE
@@ -682,7 +700,7 @@ class SparkTTSPipeline:
                 self.config.llm,
                 jnp.asarray(input_ids),
                 jnp.asarray(mask),
-                jax.random.PRNGKey(seed),
+                _seed_rng(seed, b),
                 max_new_tokens=max_new,
                 cache_len=t_pad + max_new,
                 temperature=temperature,
@@ -743,7 +761,7 @@ class SparkTTSPipeline:
         top_k: int = 50,
         top_p: float = 0.95,
         max_new_tokens: Optional[int] = None,
-        seed: int = 0,
+        seed=0,                  # int, or per-row seed sequence (see _seed_rng)
         greedy: bool = False,
         mode: str = "clone",
     ):
@@ -767,7 +785,7 @@ class SparkTTSPipeline:
                 self.config.llm,
                 jnp.asarray(input_ids),
                 jnp.asarray(mask),
-                jax.random.PRNGKey(seed),
+                _seed_rng(seed, b),
                 max_new_tokens=max_new,
                 cache_len=t_pad + max_new,
                 temperature=temperature,

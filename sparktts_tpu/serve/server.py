@@ -280,10 +280,13 @@ class TTSServer:
         for i in list(prompts) + list(fused_rows):
             req = batch[i]
             mode = "control" if req.gender is not None else "clone"
+            # seed is NOT part of the key: generation takes per-row keys, so
+            # requests with distinct seeds share one compiled program instead
+            # of serializing b=1 calls within the window
             groups.setdefault(
-                (req.temperature, req.top_k, req.top_p, req.seed, mode), []
+                (req.temperature, req.top_k, req.top_p, mode), []
             ).append(i)
-        for (temperature, top_k, top_p, seed, mode), idxs in groups.items():
+        for (temperature, top_k, top_p, mode), idxs in groups.items():
             fused_in_group = [i for i in idxs if i in fused_rows]
             if fused_in_group:
                 import jax.numpy as jnp
@@ -297,7 +300,7 @@ class TTSServer:
                     temperature=temperature,
                     top_k=top_k,
                     top_p=top_p,
-                    seed=seed,
+                    seed=[batch[i].seed for i in fused_in_group],
                 )
                 infer_ms = (time.perf_counter() - t0) * 1000
                 for i, wav in zip(fused_in_group, wavs_out):
@@ -315,7 +318,7 @@ class TTSServer:
                 temperature=temperature,
                 top_k=top_k,
                 top_p=top_p,
-                seed=seed,
+                seed=[batch[i].seed for i in idxs],
                 mode=mode,
             )
             for i, out in zip(idxs, outs):

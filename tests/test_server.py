@@ -76,7 +76,10 @@ def test_controllable_requests_use_control_constraint(pipe):
     pipe.generate_tokens_batch = spy
     try:
         async def run():
-            server = TTSServer(pipe, max_batch=4, batch_window_ms=30)
+            # fused_clone off: this regression pins the HOST batch path's
+            # mode routing (the fused path is clone-only by construction and
+            # covered by test_device_admission)
+            server = TTSServer(pipe, max_batch=4, batch_window_ms=30, fused_clone=False)
             await server.start()
             res = await asyncio.gather(
                 server.synthesize(TTSRequest(text="a", prompt_wav=_prompt_wav())),
