@@ -118,7 +118,10 @@ def main():
         d = linear_apply(layer["down"], g[..., : cfg.intermediate_size])
         return carry_x + d * 1e-3
 
-    def make_step(variant):
+    def make_step(variant, params, head_w):
+        # params/head_w arrive as jit ARGUMENTS (closing over them would
+        # embed them as constants in the serialized module — the relay's
+        # remote-compile endpoint rejects multi-hundred-MB bodies with 413)
         def step_full(state, _):
             x, cache, wp, pos, rng = state
             start = jnp.zeros((B,), jnp.int32)
@@ -192,8 +195,10 @@ def main():
         }[variant]
 
     @functools.partial(jax.jit, static_argnames=("variant",), donate_argnums=(0,))
-    def run(state, variant):
-        state, _ = jax.lax.scan(make_step(variant), state, None, length=args.n_steps)
+    def run(state, p, hw, variant):
+        state, _ = jax.lax.scan(
+            make_step(variant, p, hw), state, None, length=args.n_steps
+        )
         return state
 
     results = {}
@@ -208,13 +213,13 @@ def main():
                 jax.random.PRNGKey(1),
             )
 
-        state = run(fresh(), variant)
+        state = run(fresh(), params, head_w, variant)
         jax.device_get(state[0])  # force completion (relay: block is advisory)
         times = []
         for _ in range(args.iters):
             state = fresh()
             t0 = time.perf_counter()
-            state = run(state, variant)
+            state = run(state, params, head_w, variant)
             jax.device_get(state[0])
             times.append(time.perf_counter() - t0)
         ms_tok = min(times) / args.n_steps * 1e3
