@@ -66,7 +66,7 @@ def main():
     parser.add_argument("--out", default="BENCH_DATASET.json")
     parser.add_argument("--tiny", action="store_true", help="tiny CPU config")
     parser.add_argument("--offline_conc", default="1,2,4")
-    parser.add_argument("--streaming_conc", default="1,2")
+    parser.add_argument("--streaming_conc", default="1,2,4")
     parser.add_argument("--max_slots", type=int, default=8)
     parser.add_argument("--no_int8_lm", action="store_true")
     parser.add_argument("--no_warmup", action="store_true")
@@ -179,12 +179,16 @@ def main():
             concurrency=2, streaming=True, max_slots=args.max_slots,
         )
         # warm the offline server's fused clone path (tokenize →
-        # device assembly → generate+vocode) at every window composition the
-        # timed runs can produce: batch sizes 1..max_conc over the duration
-        # buckets.  Calling _execute_batch directly pins the exact window
-        # composition (the asyncio batching window is timing-dependent).
-        # Distinct per-request seeds exercise the per-row-key program — the
-        # same signature the timed runs compile.
+        # device assembly → generate+vocode) at every XLA shape signature
+        # the timed runs can produce.  The compile surface is
+        # (batch, prompt t_pad bucket) for the fused generate and
+        # (t_pad, wav-duration bucket) for tokenize/assembly — enumerate the
+        # signatures actually present in THIS task set and warm each once
+        # (a missed combo is a 5-10 s relay compile inside a timed request).
+        # Calling _execute_batch directly pins the exact window composition
+        # (the asyncio batching window is timing-dependent); distinct seeds
+        # exercise the per-row-key program the timed runs compile.
+        from sparktts_tpu.prompt import clone_prompt_scaffold
         from sparktts_tpu.serve.server import TTSRequest, TTSServer
 
         warm_srv = TTSServer(pipe)
@@ -204,15 +208,59 @@ def main():
                 if isinstance(o, Exception):
                     raise o
 
+        n_glob = pipe.config.bicodec.speaker_encoder.token_num
+        tpad_of, dur_of = {}, {}
+        for i, t in enumerate(tasks):
+            # signature computed as the server does (synthetic tasks carry no
+            # prompt_text, so the scaffold has no semantic-token section)
+            _, plen, _, _ = clone_prompt_scaffold(
+                pipe.tokenizer, t.text, n_glob, 0, t.prompt_text
+            )
+            tpad_of[i] = -(-plen // pipe.prompt_bucket) * pipe.prompt_bucket
+            dur_of[i] = len(t.prompt_wav)
         max_conc = max(offline_concs, default=1)
-        # singles per duration bucket first (conc-1 windows), then mixed
-        # windows at every batch size up to max_conc
-        for i in range(min(len(prompt_secs), len(tasks))):
-            _warm_window([i])
-        for b in range(2, max_conc + 1):
-            _warm_window(list(range(min(b, len(tasks)))))
+        buckets = sorted(set(tpad_of.values()))
+        durs = sorted(set(dur_of.values()))
+        n_warm = 0
+        for b in range(1, max_conc + 1):
+            for tp in buckets:
+                for d in durs:
+                    # a runtime window with max t_pad == tp and max wav
+                    # bucket == d needs an anchor for each; fill the rest
+                    # from tasks at-or-below both
+                    both = next(
+                        (i for i in tpad_of
+                         if tpad_of[i] == tp and dur_of[i] == d), None,
+                    )
+                    if both is not None:
+                        anchors = [both]
+                    else:
+                        a_t = next(
+                            (i for i in tpad_of
+                             if tpad_of[i] == tp and dur_of[i] <= d), None,
+                        )
+                        a_d = next(
+                            (i for i in dur_of
+                             if dur_of[i] == d and tpad_of[i] <= tp), None,
+                        )
+                        if a_t is None or a_d is None:
+                            continue  # combo unreachable at runtime too
+                        anchors = [a_t, a_d]
+                    if len(anchors) > b:
+                        continue  # needs a bigger window than this phase uses
+                    window = anchors + [
+                        i for i in tpad_of
+                        if i not in anchors and tpad_of[i] <= tp and dur_of[i] <= d
+                    ]
+                    if len(window) >= b:
+                        _warm_window(window[:b])
+                        n_warm += 1
         del warm_srv
-        print(f"warmup done in {time.time() - t0:.1f}s", file=sys.stderr)
+        print(
+            f"warmup done in {time.time() - t0:.1f}s "
+            f"({n_warm} fused windows over t_pad={buckets}, wav={durs})",
+            file=sys.stderr,
+        )
 
     for conc in offline_concs:
         # aligned window-batching server: one whole-generation XLA program

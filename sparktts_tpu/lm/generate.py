@@ -262,56 +262,39 @@ def decode_chunk(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cfg",
-        "max_new_tokens",
-        "cache_len",
-        "top_k",
-        "eos_ids",
-        "pad_id",
-        "greedy",
-        "cache_dtype",
-        "use_flash",
-        "vocab_slice",
-        "extra_ids",
-        "scan_unroll",
+        "cfg", "max_new_tokens", "t_pad", "top_k", "eos_ids", "pad_id",
+        "greedy", "vocab_slice", "extra_ids", "scan_unroll",
     ),
+    donate_argnums=(2,),  # GenState (with the KV cache) is consumed
 )
-def generate(
+def _decode_all(
     params,
     cfg: QwenConfig,
-    input_ids: jax.Array,    # (B, T_pad) int32, left-padded
-    prompt_mask: jax.Array,  # (B, T_pad) bool
-    rng: jax.Array,
+    state: GenState,
+    t_pad: int,
     max_new_tokens: int,
-    cache_len: int,
-    temperature: float = 0.8,
-    top_k: int = 50,
-    top_p: float = 0.95,
-    eos_ids: Tuple[int, ...] = (),
-    pad_id: int = 0,
-    greedy: bool = False,
-    cache_dtype=jnp.bfloat16,
-    use_flash: bool = False,
-    vocab_slice: Tuple[int, int] | None = None,
-    extra_ids: Tuple[int, ...] = (),
-    scan_unroll: int = 1,
+    temperature: float,
+    top_k: int,
+    top_p: float,
+    eos_ids: Tuple[int, ...],
+    pad_id: int,
+    greedy: bool,
+    vocab_slice: Tuple[int, int] | None,
+    extra_ids: Tuple[int, ...],
+    scan_unroll: int,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Full generation.  Returns (tokens (B, max_new_tokens) int32 padded with
-    pad_id after EOS, lengths (B,) including the EOS token).
+    """The full decode loop (early EOS exit) as ONE XLA program.
 
-    vocab_slice/extra_ids: optional guided-decoding constraint — sampling is
-    restricted to embedding rows [lo, hi) plus extra_ids (returned ids are in
-    the FULL vocab space).  For TTS this is the semantic/global token range
-    plus EOS, which also guarantees the output is parseable."""
-    b, t_pad = input_ids.shape
-    assert cache_len >= t_pad + max_new_tokens, "cache too small"
-
-    cache = init_kv_cache(cfg, b, cache_len, cache_dtype)
-    state = prefill(
-        params, cfg, input_ids, prompt_mask, cache, rng, temperature, top_k, top_p, greedy,
-        use_flash=use_flash, vocab_slice=vocab_slice, extra_ids=extra_ids,
-    )
-
+    Kept as a separate top-level program from `prefill` ON PURPOSE: with the
+    fused Pallas decode-attention kernel, a module that contains both the
+    prefill attention and the kernel miscompiles on v5e (wrong logits from
+    the first step; reproduced and bisected 2026-08-17 — prefill-free
+    modules and kernel-free modules are both correct, the combination is
+    not).  Two programs also let decode program caching span prompt buckets
+    and cost only one extra async dispatch per generation, which the
+    kernel's ~0.12 ms/token win repays several times over at typical
+    utterance lengths."""
+    b = state.cur_token.shape[0]
     tokens0 = jnp.full((b, max_new_tokens), pad_id, jnp.int32)
     valid0 = jnp.zeros((b, max_new_tokens), bool)
 
@@ -338,3 +321,52 @@ def generate(
 
     lengths = jnp.sum(valid, axis=1).astype(jnp.int32)
     return tokens, lengths
+
+
+def generate(
+    params,
+    cfg: QwenConfig,
+    input_ids: jax.Array,    # (B, T_pad) int32, left-padded
+    prompt_mask: jax.Array,  # (B, T_pad) bool
+    rng: jax.Array,
+    max_new_tokens: int,
+    cache_len: int,
+    temperature: float = 0.8,
+    top_k: int = 50,
+    top_p: float = 0.95,
+    eos_ids: Tuple[int, ...] = (),
+    pad_id: int = 0,
+    greedy: bool = False,
+    cache_dtype=jnp.bfloat16,
+    use_flash: bool = False,
+    vocab_slice: Tuple[int, int] | None = None,
+    extra_ids: Tuple[int, ...] = (),
+    scan_unroll: int = 1,
+) -> Tuple[jax.Array, jax.Array]:
+    """Full generation.  Returns (tokens (B, max_new_tokens) int32 padded with
+    pad_id after EOS, lengths (B,) including the EOS token).
+
+    vocab_slice/extra_ids: optional guided-decoding constraint — sampling is
+    restricted to embedding rows [lo, hi) plus extra_ids (returned ids are in
+    the FULL vocab space).  For TTS this is the semantic/global token range
+    plus EOS, which also guarantees the output is parseable.
+
+    Runs as TWO chained top-level XLA programs — jitted `prefill`, then the
+    jitted `_decode_all` loop — with no host sync between them (async
+    dispatch chains device-side).  See `_decode_all` for why they must not
+    share a module."""
+    b, t_pad = input_ids.shape
+    assert cache_len >= t_pad + max_new_tokens, "cache too small"
+    # 64-align the cache so the fused decode-attention kernel's S-blocking
+    # applies (extra slots sit outside every valid window — free capacity)
+    cache_len = ((cache_len + 63) // 64) * 64
+
+    cache = init_kv_cache(cfg, b, cache_len, cache_dtype)
+    state = prefill(
+        params, cfg, input_ids, prompt_mask, cache, rng, temperature, top_k, top_p, greedy,
+        use_flash=use_flash, vocab_slice=vocab_slice, extra_ids=extra_ids,
+    )
+    return _decode_all(
+        params, cfg, state, t_pad, max_new_tokens, temperature, top_k, top_p,
+        tuple(eos_ids), pad_id, greedy, vocab_slice, tuple(extra_ids), scan_unroll,
+    )

@@ -20,6 +20,7 @@ TPU-native replacement for the reference's HF `model.generate` local path
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -28,6 +29,24 @@ import numpy as np
 
 from sparktts_tpu.config import QwenConfig
 from sparktts_tpu.nn.layers import init_linear, linear_apply, rms_norm_apply
+
+
+def _decode_kernel_mode() -> str:
+    """Dense-decode attention implementation: 'xla' (einsum chain) or
+    'kernel' (fused Pallas core, kernels/decode_attention.py).
+
+    SPARKTTS_DECODE_KERNEL=1/0 forces; 'auto' (default) selects the kernel
+    on real TPUs and the XLA path on CPU (interpret-mode Pallas is test-only
+    — the kernel parity suite covers it explicitly).  Measured on v5e at
+    production dims (BENCH_NOTES decode ablation + A/B): 1.083 → 0.960
+    ms/token greedy (−11%), the attention-core kernel-boundary overhead the
+    ablation attributed."""
+    v = os.environ.get("SPARKTTS_DECODE_KERNEL", "auto").lower()
+    if v in ("1", "true", "kernel"):
+        return "kernel"
+    if v in ("0", "false", "xla"):
+        return "xla"
+    return "kernel" if jax.default_backend() == "tpu" else "xla"
 
 
 class KVCache(NamedTuple):
@@ -177,6 +196,30 @@ def _attention_block(
         )
         out = out.transpose(0, 2, 1, 3).reshape(b, t, nh * hd).astype(x.dtype)
         return linear_apply(layer["o"], out), cache_k, cache_v
+
+    if decode_window is not None and t == 1 and _decode_kernel_mode() == "kernel":
+        s_len = cache_k.shape[2]
+        block_s = next((bb for bb in (512, 256, 128, 64) if s_len % bb == 0), None)
+        if block_s is not None:
+            from sparktts_tpu.kernels.decode_attention import dense_decode_attention
+
+            start, pos = decode_window
+            pos_b = jnp.broadcast_to(
+                jnp.asarray(pos, jnp.int32), start.shape
+            ).astype(jnp.int32)
+            out = dense_decode_attention(
+                q.reshape(b, nh, hd),
+                cache_k,
+                cache_v,
+                layer_idx,
+                start.astype(jnp.int32),
+                pos_b,
+                sm_scale=hd**-0.5,
+                block_s=block_s,
+                interpret=jax.default_backend() == "cpu",
+            )
+            out = out.reshape(b, 1, nh * hd).astype(x.dtype)
+            return linear_apply(layer["o"], out), cache_k, cache_v
 
     ck = jax.lax.dynamic_index_in_dim(cache_k, layer_idx, 0, keepdims=False)
     cv = jax.lax.dynamic_index_in_dim(cache_v, layer_idx, 0, keepdims=False)

@@ -98,6 +98,8 @@ class ContinuousTTSServer:
         self.steps = steps_per_dispatch
         self.default_max_new = default_max_new_tokens or pipeline.max_new_tokens
         cache_len = cache_len or (pipeline.prompt_bucket * 4 + self.default_max_new)
+        # 64-align so the fused decode-attention kernel's S-blocking applies
+        cache_len = ((cache_len + 63) // 64) * 64
         # ONE engine serves clone AND controllable requests: it compiles with
         # the superset ("control") constraint, and clone slots narrow it on
         # device to semantic+EOS via the per-slot mode mask — both modes then
