@@ -148,8 +148,14 @@ def _attention_block(
     cfg: QwenConfig,
     flash_start: Optional[jax.Array] = None,
     decode_window: Optional[Tuple[jax.Array, jax.Array]] = None,
+    allow_decode_kernel: bool = True,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Shared attention for prefill (T>=1) and decode (T=1).
+
+    allow_decode_kernel=False opts this call out of the fused Pallas decode
+    kernel regardless of mode — REQUIRED for any module whose trace also
+    contains a prefill-shaped attention (v5e miscompiles such modules; see
+    kernels/decode_attention.py and lm/generate._decode_all).
 
     cache_k/v: (L, B, S, n_kv, hd) full stacked caches (aliasable scan carry);
     layer_idx selects the plane; new keys written at [write_pos, write_pos+T).
@@ -197,7 +203,12 @@ def _attention_block(
         out = out.transpose(0, 2, 1, 3).reshape(b, t, nh * hd).astype(x.dtype)
         return linear_apply(layer["o"], out), cache_k, cache_v
 
-    if decode_window is not None and t == 1 and _decode_kernel_mode() == "kernel":
+    if (
+        decode_window is not None
+        and t == 1
+        and allow_decode_kernel
+        and _decode_kernel_mode() == "kernel"
+    ):
         s_len = cache_k.shape[2]
         block_s = next((bb for bb in (512, 256, 128, 64) if s_len % bb == 0), None)
         if block_s is not None:
@@ -292,6 +303,7 @@ def qwen_forward(
     extra_ids: Tuple[int, ...] = (),
     logits_last_only: bool = False,
     scan_unroll: int = 1,
+    allow_decode_kernel: bool = True,
 ) -> Tuple[jax.Array, KVCache]:
     """Token ids → logits (B, T, V) and updated cache.
 
@@ -335,6 +347,7 @@ def qwen_forward(
         attn_out, ck_all, cv_all = _attention_block(
             layer, y, positions, ck_all, cv_all, li, write_pos, key_mask_bias, cfg,
             flash_start=flash_start, decode_window=decode_window,
+            allow_decode_kernel=allow_decode_kernel,
         )
         x = residual + attn_out
         y = rms_norm_apply(layer["ln2"], x, eps=cfg.rms_norm_eps)

@@ -153,6 +153,10 @@ def speculative_generate_greedy(
                 draft_params, draft_cfg, tok[:, None], positions, drf_cache,
                 cache_pos, None, decode_window=(state.start, cache_pos),
                 vocab_slice=vocab_slice, extra_ids=extra_ids,
+                # this module's trace also contains the two prefills — the
+                # fused decode kernel miscompiles such modules on v5e (see
+                # lm/generate._decode_all); keep the draft loop on XLA
+                allow_decode_kernel=False,
             )
             nxt = _expand_constrained(greedy_token(logits[:, -1]), vocab_slice, extra_ids)
             return (drf_cache, nxt), tok
@@ -326,6 +330,10 @@ def speculative_generate(
                 draft_params, draft_cfg, tok[:, None], positions, drf_cache,
                 cache_pos, None, decode_window=(state.start, cache_pos),
                 vocab_slice=vocab_slice, extra_ids=extra_ids,
+                # this module's trace also contains the two prefills — the
+                # fused decode kernel miscompiles such modules on v5e (see
+                # lm/generate._decode_all); keep the draft loop on XLA
+                allow_decode_kernel=False,
             )
             p = warped_probs(logits[:, -1], temperature, top_k, top_p)
             nxt_packed = sample_token(r, logits[:, -1], temperature, top_k, top_p)
