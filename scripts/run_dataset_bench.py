@@ -262,20 +262,25 @@ def main():
             file=sys.stderr,
         )
 
+    def record(stats):
+        # checkpoint after EVERY timed run: the TPU relay in this environment
+        # can wedge mid-session, and a 20-minute run must not lose its
+        # completed measurements to a hang in a later phase
+        print(json.dumps(stats), file=sys.stderr)
+        results["runs"].append(stats)
+        Path(args.out + ".partial").write_text(json.dumps(results, indent=2) + "\n")
+
     for conc in offline_concs:
         # aligned window-batching server: one whole-generation XLA program
         # per batch — the strongest offline configuration (bench.py's path)
         from sparktts_tpu.bench.harness import run_offline_benchmark
 
-        stats = run_offline_benchmark(pipe, tasks, concurrency=conc)
-        print(json.dumps(stats), file=sys.stderr)
-        results["runs"].append(stats)
-
-        stats = run_continuous_benchmark(
-            pipe, tasks, concurrency=conc, streaming=False, max_slots=args.max_slots
+        record(run_offline_benchmark(pipe, tasks, concurrency=conc))
+        record(
+            run_continuous_benchmark(
+                pipe, tasks, concurrency=conc, streaming=False, max_slots=args.max_slots
+            )
         )
-        print(json.dumps(stats), file=sys.stderr)
-        results["runs"].append(stats)
 
     if streaming_concs and args.stream_vocode_bucket:
         # streaming phase: finer vocode buckets (chunk lengths follow the
@@ -288,11 +293,11 @@ def main():
                 max_slots=args.max_slots,
             )
     for conc in streaming_concs:
-        stats = run_continuous_benchmark(
-            pipe, tasks, concurrency=conc, streaming=True, max_slots=args.max_slots
+        record(
+            run_continuous_benchmark(
+                pipe, tasks, concurrency=conc, streaming=True, max_slots=args.max_slots
+            )
         )
-        print(json.dumps(stats), file=sys.stderr)
-        results["runs"].append(stats)
 
     # quality metrics (BASELINE.md parity bar): codec round-trip mel distance
     # and speaker similarity on a few prompts — catches codec/quantization

@@ -422,7 +422,18 @@ def serve_http(
             self.wfile.write(body)
 
         def do_GET(self):
-            if self.path == "/stats":
+            if self.path in ("/", "/ui"):
+                # native browser UI (role of the reference's gradio webui.py;
+                # gradio-free — see serve/ui.py)
+                from sparktts_tpu.serve.ui import render_ui
+
+                body = render_ui(pipeline.sample_rate).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/stats":
                 stats = server.stats_summary()
                 if cserver is not None:
                     stats["streaming"] = dict(cserver.stats)

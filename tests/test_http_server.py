@@ -297,3 +297,21 @@ def test_http_bad_request_does_not_poison_cobatched_neighbor(server_port):
         t.join(timeout=300)
     assert results.get("bad") == 500 or isinstance(results.get("bad"), int)
     assert isinstance(results.get("good"), dict) and "wav_b64" in results["good"]
+
+
+def test_native_ui_page(server_port):
+    """GET / serves the dependency-free browser UI (role of the reference's
+    gradio webui.py tabs, reference webui.py:94-269): both tabs, the 1-5
+    slider-level mapping, and the server's sample rate baked into the JS."""
+    import urllib.request
+
+    with urllib.request.urlopen(f"http://127.0.0.1:{server_port}/", timeout=10) as r:
+        assert r.headers["Content-Type"].startswith("text/html")
+        page = r.read().decode()
+    assert "Voice Clone" in page and "Voice Creation" in page
+    assert "const SR = 16000" in page
+    # reference LEVELS_MAP_UI surface (webui.py:38-45): sliders 1..5
+    for level in ("very_low", "moderate", "very_high"):
+        assert level in page
+    # the page drives the same endpoints every other client uses
+    assert "/tts_stream" in page and '"/tts"' in page
