@@ -246,6 +246,25 @@ def unpack_step_result(packed: np.ndarray, n_steps: int):
     return toks, valid, done
 
 
+def fetch_step_result(packed, chain_fn, max_slots: int, n_steps: int):
+    """Fetch a decode dispatch's packed device result — plus an optional
+    chained device computation's output — in ONE host transfer (each host
+    sync costs a relay round-trip on a tunneled TPU).  Shared by the dense
+    and paged engines so the packed layout / chained-fetch protocol lives in
+    exactly one place.  Returns (toks, valid, done, chained_or_None)."""
+    if chain_fn is not None:
+        flat = jax.device_get(
+            jnp.concatenate([packed.reshape(-1), chain_fn(packed)])
+        )
+        cut = max_slots * (2 * n_steps + 1)
+        toks, valid, done = unpack_step_result(
+            flat[:cut].reshape(max_slots, -1), n_steps
+        )
+        return toks, valid, done, flat[cut:]
+    toks, valid, done = unpack_step_result(jax.device_get(packed), n_steps)
+    return toks, valid, done, None
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -494,18 +513,9 @@ class ContinuousBatchingEngine:
             self.clone_slice,
             self.clone_extras,
         )
-        # ONE host round-trip for tokens + validity + done flags (+ chained
-        # extra output when present)
-        extra = None
-        if chain_fn is not None:
-            flat = jax.device_get(
-                jnp.concatenate([packed.reshape(-1), chain_fn(packed)])
-            )
-            cut = self.max_slots * (2 * n_steps + 1)
-            toks, valid, done = unpack_step_result(flat[:cut].reshape(self.max_slots, -1), n_steps)
-            extra = flat[cut:]
-        else:
-            toks, valid, done = unpack_step_result(jax.device_get(packed), n_steps)
+        toks, valid, done, extra = fetch_step_result(
+            packed, chain_fn, self.max_slots, n_steps
+        )
         out: Dict[int, np.ndarray] = {}
         for slot, req in enumerate(self.owner):
             if req is None:

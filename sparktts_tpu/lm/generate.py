@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from sparktts_tpu.config import QwenConfig
 from sparktts_tpu.lm.qwen import (
     KVCache,
+    aligned_cache_len,
     init_kv_cache,
     prefill_inputs,
     qwen_forward,
@@ -357,9 +358,8 @@ def generate(
     share a module."""
     b, t_pad = input_ids.shape
     assert cache_len >= t_pad + max_new_tokens, "cache too small"
-    # 64-align the cache so the fused decode-attention kernel's S-blocking
-    # applies (extra slots sit outside every valid window — free capacity)
-    cache_len = ((cache_len + 63) // 64) * 64
+    # extra aligned slots sit outside every valid window — free capacity
+    cache_len = aligned_cache_len(cache_len)
 
     cache = init_kv_cache(cfg, b, cache_len, cache_dtype)
     state = prefill(

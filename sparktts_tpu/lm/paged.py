@@ -540,7 +540,7 @@ class PagedContinuousEngine:
         `ContinuousBatchingEngine.step_chained`."""
         if all(o is None for o in self.owner):
             return {}, None
-        from sparktts_tpu.lm.continuous import snap_to_ladder, unpack_step_result
+        from sparktts_tpu.lm.continuous import fetch_step_result, snap_to_ladder
 
         n_steps = snap_to_ladder(n_steps, self.max_dispatch)
         self._ensure_pages(n_steps)
@@ -560,16 +560,9 @@ class PagedContinuousEngine:
             self.clone_extras,
             self.interpret,
         )
-        extra = None
-        if chain_fn is not None:
-            flat = jax.device_get(
-                jnp.concatenate([packed.reshape(-1), chain_fn(packed)])
-            )
-            cut = self.max_slots * (2 * n_steps + 1)
-            toks, valid, done = unpack_step_result(flat[:cut].reshape(self.max_slots, -1), n_steps)
-            extra = flat[cut:]
-        else:
-            toks, valid, done = unpack_step_result(jax.device_get(packed), n_steps)
+        toks, valid, done, extra = fetch_step_result(
+            packed, chain_fn, self.max_slots, n_steps
+        )
         out: Dict[int, np.ndarray] = {}
         for slot, req in enumerate(self.owner):
             if req is None:

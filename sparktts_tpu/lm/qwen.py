@@ -46,6 +46,10 @@ def _decode_kernel_mode() -> str:
         return "kernel"
     if v in ("0", "false", "xla"):
         return "xla"
+    # the tunneled axon relay ALSO reports default_backend() == "tpu" (its
+    # PJRT platform name; verified in recorded BENCH_DATASET artifacts), so
+    # this gate engages there; "== tpu" (not "!= cpu") keeps Mosaic kernels
+    # off hypothetical GPU backends
     return "kernel" if jax.default_backend() == "tpu" else "xla"
 
 
@@ -56,6 +60,15 @@ class KVCache(NamedTuple):
     @property
     def max_len(self) -> int:
         return self.k.shape[2]
+
+
+def aligned_cache_len(n: int) -> int:
+    """Round a KV-cache length up to 64 so the fused decode-attention
+    kernel's S-blocking applies (kernels/decode_attention.py requires
+    S % block == 0 with block >= 64; an unaligned cache silently falls back
+    to the XLA attention path).  Every cache-sizing site must use this —
+    alignment lives here, not per call site."""
+    return ((n + 63) // 64) * 64
 
 
 def init_kv_cache(cfg: QwenConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> KVCache:

@@ -70,7 +70,13 @@ def _seed_rng(seed, b: int) -> jax.Array:
     if len(seeds) != b:
         raise ValueError(f"got {len(seeds)} seeds for batch of {b}")
     # one jitted vmapped seeding — no per-seed host/device round-trips
-    return jax.jit(jax.vmap(jax.random.PRNGKey))(jnp.asarray(seeds))
+    return _batch_keys(jnp.asarray(seeds))
+
+
+# module-level so the jit executable cache persists across calls (a fresh
+# jax.jit(jax.vmap(...)) wrapper per call would retrace+recompile every
+# serving window — a remote compile round-trip per request on a relay TPU)
+_batch_keys = jax.jit(jax.vmap(jax.random.PRNGKey))
 
 
 class SparkTTSPipeline:
@@ -294,32 +300,6 @@ class SparkTTSPipeline:
         # crop semantic tokens to the true frame count
         return np.asarray(global_t), np.asarray(semantic)[:, :true_sem]
 
-    def _assemble_fn(self, t_pad: int, s_pad: int):
-        """Jitted device-side clone-prompt assembly: scatter the codec's
-        global/semantic token ids (still on device) into the host-built
-        scaffold (`prompt.clone_prompt_scaffold`).  Formulated as a masked
-        gather so the offsets and the true semantic count are TRACED scalars
-        — one compiled program per (prompt bucket, wav bucket), never per
-        text length."""
-        key = ("assemble", t_pad, s_pad)
-        if key not in self._jit_cache:
-            g_base = self.tokenizer.global_base
-            s_base = self.tokenizer.semantic_base
-
-            @jax.jit
-            def fn(scaffold, g, s, g_off, s_off, n_sem):
-                pos = jnp.arange(t_pad)
-                n_g = g.shape[1]
-                from_g = g[0, jnp.clip(pos - g_off, 0, n_g - 1)] + g_base
-                from_s = s[0, jnp.clip(pos - s_off, 0, s_pad - 1)] + s_base
-                in_g = (pos >= g_off) & (pos < g_off + n_g)
-                in_s = (pos >= s_off) & (pos < s_off + n_sem)
-                ids = jnp.where(in_g, from_g, jnp.where(in_s, from_s, scaffold))
-                return ids[None, :].astype(jnp.int32)
-
-            self._jit_cache[key] = fn
-        return self._jit_cache[key]
-
     def assemble_clone_ids(
         self,
         scaffold: np.ndarray,   # (t_pad,) int32 from clone_prompt_scaffold
@@ -331,15 +311,16 @@ class SparkTTSPipeline:
     ) -> jax.Array:
         """(1, t_pad) right-padded clone prompt ids, assembled ON DEVICE from
         the still-on-device codec tokens — token-identical to
-        `build_clone_prompt` + host padding, with zero host syncs."""
-        fn = self._assemble_fn(len(scaffold), semantic.shape[1])
-        return fn(
-            jnp.asarray(scaffold),
-            jnp.asarray(global_t, dtype=jnp.int32),
-            jnp.asarray(semantic, dtype=jnp.int32),
-            jnp.asarray(g_off, jnp.int32),
-            jnp.asarray(s_off, jnp.int32),
-            jnp.asarray(n_sem, jnp.int32),
+        `build_clone_prompt` + host padding, with zero host syncs.  The B=1
+        case of `assemble_clone_ids_batch` (ONE masked-gather implementation
+        to audit; the program count is unchanged: one per (t_pad, S_pad))."""
+        return self.assemble_clone_ids_batch(
+            np.asarray(scaffold, np.int32)[None, :],
+            global_t,
+            semantic,
+            np.asarray([g_off]),
+            np.asarray([s_off]),
+            np.asarray([n_sem]),
         )
 
     def detokenize(self, global_tokens: np.ndarray, semantic_tokens: np.ndarray) -> np.ndarray:

@@ -66,6 +66,12 @@ class _Pending:
     stream_target: int = 0
     stream_schedule: Optional[object] = None
     cancelled: bool = False  # consumer abandoned the stream mid-flight
+    # increments handed off by the EVENT-LOOP thread (vocode enqueue or an
+    # applied speculative chunk).  _plan_spec must key "first chunk still
+    # pending" off this, NOT off stream_buf/raw_buf/stream_emitted — those
+    # mutate on the vocode worker thread, so an increment still queued in
+    # _vocode_q would leave them empty and misidentify the slot as fresh.
+    loop_increments: int = 0
 
 
 class ContinuousTTSServer:
@@ -97,9 +103,11 @@ class ContinuousTTSServer:
         # steps_per_dispatch caps the adaptive dispatch size (ladder max)
         self.steps = steps_per_dispatch
         self.default_max_new = default_max_new_tokens or pipeline.max_new_tokens
-        cache_len = cache_len or (pipeline.prompt_bucket * 4 + self.default_max_new)
-        # 64-align so the fused decode-attention kernel's S-blocking applies
-        cache_len = ((cache_len + 63) // 64) * 64
+        from sparktts_tpu.lm.qwen import aligned_cache_len
+
+        cache_len = aligned_cache_len(
+            cache_len or (pipeline.prompt_bucket * 4 + self.default_max_new)
+        )
         # ONE engine serves clone AND controllable requests: it compiles with
         # the superset ("control") constraint, and clone slots narrow it on
         # device to semantic+EOS via the per-slot mode mask — both modes then
@@ -487,7 +495,8 @@ class ContinuousTTSServer:
             p = self.inflight.get(req)
             if (
                 p is None or p.cancelled or p.chunk_queue is None
-                or p.stream_emitted or p.stream_buf or p.raw_buf
+                or p.loop_increments  # an earlier increment exists (possibly
+                                      # still queued for the vocode worker)
                 or p.gender is not None or p.global_tokens is None
             ):
                 continue
@@ -520,7 +529,14 @@ class ContinuousTTSServer:
         p.stream_emitted = target
         p.stream_target = next(p.stream_schedule)
         p.chunk_queue.put_nowait(wav)
+        p.loop_increments += 1
         self.stats["spec_chunks"] = self.stats.get("spec_chunks", 0) + 1
+        # the ladder-snapped dispatch may have over-covered the first chunk:
+        # hand the (already-booked) remainder to the vocode worker as an
+        # empty increment so any follow-up chunk it completes is emitted NOW,
+        # exactly when the plain path would emit it — not a dispatch later
+        if len(p.stream_buf) >= p.stream_emitted + p.stream_target:
+            self._vocode_q.put_nowait((p, np.zeros(0, np.int32), False, False))
         return req_id
 
     def _try_admit(self, pending: _Pending, engine_idle: bool) -> bool:
@@ -601,6 +617,7 @@ class ContinuousTTSServer:
                     continue
                 pending = self.inflight.get(req_id)
                 if pending is not None and pending.chunk_queue is not None:
+                    pending.loop_increments += 1
                     self._vocode_q.put_nowait((pending, new_tokens, False, False))
             for req_id in set(self.engine.finished) - before:
                 self._finish(req_id, self.engine.finished.pop(req_id))

@@ -19,7 +19,7 @@ import numpy as np
 
 from sparktts_tpu.config import StreamingConfig
 from sparktts_tpu.lm.generate import decode_chunk, prefill
-from sparktts_tpu.lm.qwen import init_kv_cache
+from sparktts_tpu.lm.qwen import aligned_cache_len, init_kv_cache
 from sparktts_tpu.prompt import extract_semantic_ids
 
 
@@ -134,7 +134,10 @@ class StreamingSynthesizer:
         first_dispatch = target
         big_dispatch = max(self.steps, 100)
         slack = max(first_dispatch, big_dispatch)
-        cache = init_kv_cache(pipe.config.llm, 1, t_pad + max_new + slack, pipe.lm_dtype)
+        cache = init_kv_cache(
+            pipe.config.llm, 1,
+            aligned_cache_len(t_pad + max_new + slack), pipe.lm_dtype,
+        )
         vocab_slice, extra_ids = pipe.guided_constraint(
             "control" if gender is not None else "clone"
         )

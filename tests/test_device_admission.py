@@ -221,3 +221,42 @@ def test_apply_spec_rejects_non_semantic_head(pipe):
     assert p.stream_target == 4
     chunk = p.chunk_queue.get_nowait()
     np.testing.assert_array_equal(chunk, wav_bits.view(np.float32))
+
+
+def test_spec_two_concurrent_streams_not_garbled(pipe):
+    """Two streaming requests admitted together: the speculative planner must
+    not misidentify request B as 'first chunk still pending' while B's first
+    increment sits unprocessed in the vocode queue (state it would read is
+    mutated on the vocode WORKER thread) — that would render B's SECOND
+    increment as its first chunk and permanently garble the stream.  The
+    planner keys off the event-loop-owned increment count instead; both
+    concurrent streams must match the plain path bit-for-bit (greedy pins
+    the token streams across batch compositions)."""
+
+    def run(spec):
+        server = ContinuousTTSServer(
+            pipe, max_slots=2, steps_per_dispatch=8, greedy=True,
+            device_admission=spec, spec_first_chunk=spec,
+        )
+
+        async def consume(text, wav):
+            chunks = []
+            async for c in server.synthesize_streaming(text, prompt_wav=wav):
+                chunks.append(c)
+            return np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
+
+        async def go():
+            await server.start()
+            a, b = await asyncio.gather(
+                consume("first stream text", _wav(260)),
+                consume("second stream text here", _wav(410)),
+            )
+            await server.stop()
+            return a, b
+
+        return asyncio.new_event_loop().run_until_complete(go())
+
+    fast_a, fast_b = run(True)
+    plain_a, plain_b = run(False)
+    np.testing.assert_array_equal(fast_a, plain_a)
+    np.testing.assert_array_equal(fast_b, plain_b)
