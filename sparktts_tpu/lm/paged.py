@@ -173,7 +173,9 @@ def paged_decode_steps(
             attn = linear_apply(layer["o"], attn.reshape(b, 1, nh * hd).astype(x.dtype))
             x = residual + attn
             y = rms_norm_apply(layer["ln2"], x, eps=cfg.rms_norm_eps)
-            x = x + mlp_block(layer, y)
+            # paged decode modules are decode-only (admission prefill is a
+            # separate program), so the fused MLP kernel is safe here too
+            x = x + mlp_block(layer, y, decode_fused=True)
             return (x, kp, vp, li + 1), None
 
         (x, kp, vp, _), _ = jax.lax.scan(

@@ -296,10 +296,49 @@ def project_qkv(layer, x: jax.Array, positions: jax.Array, cfg: QwenConfig):
     return apply_rope(q, positions, cfg), apply_rope(k, positions, cfg), v
 
 
-def mlp_block(layer, x: jax.Array) -> jax.Array:
-    gu = linear_apply(layer["gateup"], x)
+def _mlp_kernel_mode() -> str:
+    """Fused int8 MLP matvec for decode: 'xla' or 'kernel'
+    (kernels/int8_mlp.py).  SPARKTTS_MLP_KERNEL=1/0 forces; 'auto'
+    (default) currently selects XLA everywhere — the kernel is gated off
+    until it has a measured win on the target TPU (flip here when it does;
+    same protocol as the decode-attention kernel's rollout)."""
+    v = os.environ.get("SPARKTTS_MLP_KERNEL", "auto").lower()
+    if v in ("1", "true", "kernel"):
+        return "kernel"
+    return "xla"
+
+
+def mlp_block(layer, x: jax.Array, decode_fused: bool = False) -> jax.Array:
+    gu_p, down_p = layer["gateup"], layer["down"]
+    if (
+        decode_fused
+        and "w_q" in gu_p
+        and "w_q" in down_p
+        and "b" not in gu_p
+        # matvec regime only: weight streaming dominates to ~16 rows (one
+        # VMEM-resident activation tile); larger batches amortize weights
+        # and the plain MXU matmuls win
+        and x.shape[0] * x.shape[1] <= 16
+        and _mlp_kernel_mode() == "kernel"
+    ):
+        from sparktts_tpu.kernels.int8_mlp import int8_mlp_matvec, mlp_block_size
+
+        block_i = mlp_block_size(down_p["w_q"].shape[0])
+        if block_i is not None:
+            b, t, h = x.shape
+            y = int8_mlp_matvec(
+                x.reshape(b * t, h),
+                gu_p["w_q"],
+                gu_p["scale"],
+                down_p["w_q"],
+                down_p["scale"],
+                block_i=block_i,
+                interpret=jax.default_backend() == "cpu",
+            )
+            return y.reshape(b, t, h)
+    gu = linear_apply(gu_p, x)
     gate, up = jnp.split(gu, 2, axis=-1)
-    return linear_apply(layer["down"], jax.nn.silu(gate) * up)
+    return linear_apply(down_p, jax.nn.silu(gate) * up)
 
 
 def qwen_forward(
@@ -364,7 +403,16 @@ def qwen_forward(
         )
         x = residual + attn_out
         y = rms_norm_apply(layer["ln2"], x, eps=cfg.rms_norm_eps)
-        x = x + mlp_block(layer, y)
+        # the fused MLP kernel follows the decode-attention kernel's module
+        # hazard rule: decode-shaped modules only (see allow_decode_kernel)
+        x = x + mlp_block(
+            layer, y,
+            decode_fused=(
+                decode_window is not None
+                and input_ids.shape[1] == 1
+                and allow_decode_kernel
+            ),
+        )
         return (x, ck_all, cv_all, li + 1), None
 
     (x, new_k, new_v, _), _ = jax.lax.scan(
