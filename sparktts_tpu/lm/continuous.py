@@ -229,6 +229,74 @@ def admit_prefill(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "slot_cache_len", "top_k", "greedy", "vocab_slice", "extra_ids",
+        "clone_slice", "clone_extras", "tokenize_fn", "assemble_fn",
+    ),
+    donate_argnums=(1,),
+)
+def admit_prefill_fused(
+    params,
+    slots: SlotState,
+    cfg: QwenConfig,
+    slot: jax.Array,
+    w2v_params,
+    bc_params,
+    wav: jax.Array,            # (1, pad_len) f32/bf16 normalized prompt wav
+    feature_mask: jax.Array,   # (1, F) bool wav2vec2 frame validity
+    ref_wav: jax.Array,        # (1, ref_len)
+    scaffold: jax.Array,       # (1, t_pad) int32 host-built prompt scaffold
+    g_off: jax.Array,          # (1,) global-token offset in the scaffold
+    s_off: jax.Array,          # (1,)
+    n_sem: jax.Array,          # (1,) semantic ids to include (0 = none)
+    prompt_len: jax.Array,     # scalar true prompt length
+    slot_cache_len: int,
+    temperature: float = 0.8,
+    top_k: int = 50,
+    top_p: float = 0.95,
+    greedy: bool = False,
+    vocab_slice: Tuple[int, int] | None = None,
+    extra_ids: Tuple[int, ...] = (),
+    limit: jax.Array | int | None = None,
+    clone_slice: Tuple[int, int] | None = None,
+    clone_extras: Tuple[int, ...] = (),
+    tokenize_fn=None,          # static: pipeline._tokenize_fn(pad_len, ref_len)
+    assemble_fn=None,          # static: pipeline._assemble_fn_batch(t_pad, s_pad)
+) -> Tuple[SlotState, jax.Array]:
+    """`admit_prefill` with the audio tokenization and the device-side
+    prompt assembly INLINED into the same XLA program: wav → wav2vec2 →
+    BiCodec tokenize → scaffold scatter → LLM prefill → slot install, one
+    dispatch.  On a tunneled TPU each dispatch costs a fixed ~33 ms
+    (BENCH_NOTES decode ablation), so fusing the admission chain's three
+    dispatches into one takes ~66 ms off first-audio latency.  Clone mode
+    only (control prompts have no audio to tokenize).
+
+    Safe kernel composition: the module contains prefill-shaped attention
+    (flash kernel) but NO decode-shaped fused kernels — the v5e
+    prefill+decode-kernel miscompile class doesn't apply.
+
+    Returns (new slots, global_tokens (1, N) — still on device, for the
+    vocoder)."""
+    semantic, global_t = tokenize_fn(w2v_params, bc_params, wav, feature_mask, ref_wav)
+    ids = assemble_fn(
+        scaffold,
+        jnp.asarray(global_t, jnp.int32),
+        jnp.asarray(semantic, jnp.int32),
+        g_off,
+        s_off,
+        n_sem,
+    )
+    new_slots = admit_prefill(
+        params, slots, cfg, slot, ids, prompt_len, slot_cache_len,
+        temperature, top_k, top_p, greedy, vocab_slice, extra_ids,
+        limit=limit, control=False,
+        clone_slice=clone_slice, clone_extras=clone_extras,
+    )
+    return new_slots, global_t
+
+
 def pack_step_result(toks: jax.Array, valid: jax.Array, done: jax.Array) -> jax.Array:
     """Pack (tokens (B,n), valid (B,n), done (B,)) into ONE int32 array
     (B, 2n+1) so the host fetches the whole step result in a single transfer
@@ -472,6 +540,64 @@ class ContinuousBatchingEngine:
         self.budget[slot] = max_new_tokens
         self.buffers[req_id] = []
         return req_id
+
+    def submit_fused(
+        self,
+        tokenize_fn,
+        assemble_fn,
+        tok_args: tuple,         # pipeline.tokenize_host_prep device args
+        scaffold: np.ndarray,    # (t_pad,) int32, t_pad % prompt_pad == 0
+        g_off: int,
+        s_off: int,
+        n_sem: int,
+        prompt_len: int,
+        max_new_tokens: int = 512,
+        temperature: float | None = None,
+        top_p: float | None = None,
+    ) -> Tuple[int, jax.Array]:
+        """Clone-mode admission as ONE device dispatch: audio tokenize +
+        prompt assembly + prefill fused (`admit_prefill_fused`) — the
+        zero-sync admission chain collapsed from three programs to one.
+        Returns (req_id, global_tokens (1, N) still on device)."""
+        slot = next((i for i, o in enumerate(self.owner) if o is None), None)
+        if slot is None:
+            raise RuntimeError("no free slot")
+        t_pad = len(scaffold)
+        assert t_pad % self.prompt_pad == 0 and prompt_len <= t_pad
+        assert t_pad + max_new_tokens <= self.cache_len, "prompt+budget exceeds cache"
+        eng_temperature, top_k, eng_top_p = self.sampling
+        temperature = eng_temperature if temperature is None else temperature
+        top_p = eng_top_p if top_p is None else top_p
+        self.slots, global_t = admit_prefill_fused(
+            self.params,
+            self.slots,
+            self.cfg,
+            jnp.asarray(slot, jnp.int32),
+            *tok_args,
+            jnp.asarray(np.asarray(scaffold, np.int32)[None, :]),
+            jnp.asarray([g_off], jnp.int32),
+            jnp.asarray([s_off], jnp.int32),
+            jnp.asarray([n_sem], jnp.int32),
+            jnp.asarray(prompt_len, jnp.int32),
+            self.cache_len,
+            temperature,
+            top_k,
+            top_p,
+            self.greedy,
+            self.vocab_slice,
+            self.extra_ids,
+            limit=jnp.asarray(prompt_len + max_new_tokens, jnp.int32),
+            clone_slice=self.clone_slice,
+            clone_extras=self.clone_extras,
+            tokenize_fn=tokenize_fn,
+            assemble_fn=assemble_fn,
+        )
+        req_id = self._next_req
+        self._next_req += 1
+        self.owner[slot] = req_id
+        self.budget[slot] = max_new_tokens
+        self.buffers[req_id] = []
+        return req_id, global_t
 
     def step(self, n_steps: int = 16) -> Dict[int, np.ndarray]:
         """Advance all active slots by (about) n_steps tokens; returns

@@ -249,14 +249,15 @@ class SparkTTSPipeline:
     # audio tokenization (reference BiCodecTokenizer, audio_tokenizer.py)
     # ------------------------------------------------------------------
 
-    def tokenize_audio_device(self, audio) -> Tuple[jax.Array, jax.Array, int]:
-        """Audio path or float array → (global_tokens (1, N), semantic_tokens
-        (1, S_pad), true_semantic_len) with the token arrays LEFT ON DEVICE —
-        no host transfer.  The true semantic count is a deterministic
-        function of the wav length, so callers (device-side prompt assembly,
-        `serve/continuous_server.py`) never need to read the device arrays to
-        know the shapes; on a tunneled TPU that saves a full relay round-trip
-        per admission."""
+    def tokenize_host_prep(self, audio):
+        """Host-side half of audio tokenization: wav load/normalize/pad and
+        shape bookkeeping, WITHOUT dispatching the device program.  Returns
+        (tokenize_fn, tok_args, true_semantic_len, s_pad) — callers either
+        run `tokenize_fn(*tok_args)` directly (tokenize_audio_device) or
+        inline it into a larger fused program (the fused admission,
+        `lm/continuous.admit_prefill_fused`).  `tokenize_fn` comes from the
+        per-shape jit cache, so its identity is stable — safe as a static
+        jit argument."""
         if isinstance(audio, (str, Path)):
             wav = load_audio(
                 audio,
@@ -283,15 +284,27 @@ class SparkTTSPipeline:
         feature_mask = np.arange(total_frames)[None, :] < true_frames_w2v
 
         fn = self._tokenize_fn(pad_len, len(ref_wav))
+        tok_args = (
+            self.w2v_params,
+            self.bicodec_params,
+            self._codec_arr(wav_in)[None, :],
+            self._codec_arr(feature_mask),
+            self._codec_arr(ref_wav, dtype=jnp.float32)[None, :],
+        )
+        return fn, tok_args, true_frames_w2v // self._enc_ratio, total_frames // self._enc_ratio
+
+    def tokenize_audio_device(self, audio) -> Tuple[jax.Array, jax.Array, int]:
+        """Audio path or float array → (global_tokens (1, N), semantic_tokens
+        (1, S_pad), true_semantic_len) with the token arrays LEFT ON DEVICE —
+        no host transfer.  The true semantic count is a deterministic
+        function of the wav length, so callers (device-side prompt assembly,
+        `serve/continuous_server.py`) never need to read the device arrays to
+        know the shapes; on a tunneled TPU that saves a full relay round-trip
+        per admission."""
+        fn, tok_args, true_sem, _ = self.tokenize_host_prep(audio)
         with stage("tokenize_audio"):
-            semantic, global_t = fn(
-                self.w2v_params,
-                self.bicodec_params,
-                self._codec_arr(wav_in)[None, :],
-                self._codec_arr(feature_mask),
-                self._codec_arr(ref_wav, dtype=jnp.float32)[None, :],
-            )
-        return global_t, semantic, true_frames_w2v // self._enc_ratio
+            semantic, global_t = fn(*tok_args)
+        return global_t, semantic, true_sem
 
     def tokenize_audio(self, audio) -> Tuple[np.ndarray, np.ndarray]:
         """Audio path or float array → (global_tokens (1, N), semantic_tokens
@@ -608,18 +621,10 @@ class SparkTTSPipeline:
             for i in range(len(wavs))
         ]
 
-    def assemble_clone_ids_batch(
-        self,
-        scaffolds: np.ndarray,   # (B, t_pad) int32, LEFT- or RIGHT-padded
-        global_t: jax.Array,     # (B, N) device
-        semantic: jax.Array,     # (B, S_pad) device
-        g_offs: np.ndarray,      # (B,) per-row global-token offset
-        s_offs: np.ndarray,      # (B,) per-row semantic-token offset
-        n_sems: np.ndarray,      # (B,) semantic ids to include (0 = none)
-    ) -> jax.Array:
-        """Batched `assemble_clone_ids`: every row's audio tokens scattered
-        into its scaffold on device, one program per (t_pad, S_pad)."""
-        t_pad, s_pad = scaffolds.shape[1], semantic.shape[1]
+    def _assemble_fn_batch(self, t_pad: int, s_pad: int):
+        """Cached jitted device-side clone-prompt assembly (batched masked
+        gather).  Stable identity per (t_pad, s_pad) — safe as a static jit
+        argument to the fused admission program."""
         key = ("assemble_b", t_pad, s_pad)
         if key not in self._jit_cache:
             g_base = self.tokenizer.global_base
@@ -640,7 +645,20 @@ class SparkTTSPipeline:
                 ).astype(jnp.int32)
 
             self._jit_cache[key] = fn
-        return self._jit_cache[key](
+        return self._jit_cache[key]
+
+    def assemble_clone_ids_batch(
+        self,
+        scaffolds: np.ndarray,   # (B, t_pad) int32, LEFT- or RIGHT-padded
+        global_t: jax.Array,     # (B, N) device
+        semantic: jax.Array,     # (B, S_pad) device
+        g_offs: np.ndarray,      # (B,) per-row global-token offset
+        s_offs: np.ndarray,      # (B,) per-row semantic-token offset
+        n_sems: np.ndarray,      # (B,) semantic ids to include (0 = none)
+    ) -> jax.Array:
+        """Batched `assemble_clone_ids`: every row's audio tokens scattered
+        into its scaffold on device, one program per (t_pad, S_pad)."""
+        return self._assemble_fn_batch(scaffolds.shape[1], semantic.shape[1])(
             jnp.asarray(scaffolds),
             jnp.asarray(global_t, dtype=jnp.int32),
             jnp.asarray(semantic, dtype=jnp.int32),

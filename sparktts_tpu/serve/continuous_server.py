@@ -90,6 +90,7 @@ class ContinuousTTSServer:
         greedy: bool = False,
         device_admission: bool = True,
         spec_first_chunk: bool = True,
+        fused_admission: bool = True,
     ):
         self.pipe = pipeline
         # latency features for tunneled/remote TPUs — each host sync costs a
@@ -100,6 +101,10 @@ class ContinuousTTSServer:
         # no-ops for correctness: outputs are bit-identical to the plain path.
         self.device_admission = device_admission and pipeline.codec_device is None
         self.spec_first_chunk = spec_first_chunk and pipeline.codec_device is None
+        # tokenize+assemble+prefill as ONE program (dense engine only); the
+        # three-program chain below remains for the paged engine and as the
+        # fused_admission=False escape hatch
+        self.fused_admission = fused_admission
         # steps_per_dispatch caps the adaptive dispatch size (ladder max)
         self.steps = steps_per_dispatch
         self.default_max_new = default_max_new_tokens or pipeline.max_new_tokens
@@ -394,6 +399,44 @@ class ContinuousTTSServer:
         if pending.gender is not None:
             ids = build_control_prompt(tok, pending.text, pending.gender, pending.pitch, pending.speed)
             mode = "control"
+        elif (
+            self.device_admission
+            and self.fused_admission
+            and hasattr(self.engine, "submit_fused")
+        ):
+            # fully-fused admission: tokenize + assembly + prefill in ONE
+            # device dispatch (admit_prefill_fused) — each dispatch costs a
+            # fixed ~33 ms through the relay, so this is ~66 ms off
+            # first-audio latency vs the three-program chain below
+            fn, tok_args, n_sem_true, s_pad = self.pipe.tokenize_host_prep(
+                pending.prompt_wav
+            )
+            use_sem = n_sem_true if pending.prompt_text is not None else 0
+            n_glob = self.pipe.config.bicodec.speaker_encoder.token_num
+            scaffold, prompt_len, g_off, s_off = clone_prompt_scaffold(
+                tok, pending.text, n_glob, use_sem, pending.prompt_text
+            )
+            bucket = self.engine.prompt_pad
+            t_pad = -(-prompt_len // bucket) * bucket
+            scaffold = np.pad(
+                scaffold, (0, t_pad - prompt_len), constant_values=tok.pad_id
+            )
+            req_id, g_dev = self.engine.submit_fused(
+                fn,
+                self.pipe._assemble_fn_batch(t_pad, s_pad),
+                tok_args,
+                scaffold,
+                g_off,
+                s_off,
+                use_sem,
+                prompt_len,
+                max_new_tokens=pending.max_new_tokens,
+                temperature=pending.temperature,
+                top_p=pending.top_p,
+            )
+            pending.global_tokens = g_dev
+            self.inflight[req_id] = pending
+            return req_id
         elif self.device_admission:
             # zero-sync admission: codec tokens stay on device, the prompt is
             # assembled there (the audio-token COUNTS are deterministic from

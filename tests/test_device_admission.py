@@ -260,3 +260,67 @@ def test_spec_two_concurrent_streams_not_garbled(pipe):
     plain_a, plain_b = run(False)
     np.testing.assert_array_equal(fast_a, plain_a)
     np.testing.assert_array_equal(fast_b, plain_b)
+
+
+def test_fused_admission_matches_three_program_chain(pipe):
+    """The ONE-dispatch fused admission (tokenize+assembly+prefill inlined,
+    lm/continuous.admit_prefill_fused) must produce exactly the audio of the
+    three-program device-admission chain, offline AND streaming."""
+    fused = ContinuousTTSServer(pipe, max_slots=2, steps_per_dispatch=8, greedy=True)
+    chain = ContinuousTTSServer(
+        pipe, max_slots=2, steps_per_dispatch=8, greedy=True, fused_admission=False
+    )
+
+    def run(server):
+        async def go():
+            await server.start()
+            off = await server.synthesize("fused admission", prompt_wav=_wav(330))
+            chunks = []
+            async for c in server.synthesize_streaming(
+                "fused streaming", prompt_wav=_wav(410)
+            ):
+                chunks.append(c)
+            await server.stop()
+            return off, np.concatenate(chunks) if chunks else np.zeros(0)
+
+        return asyncio.new_event_loop().run_until_complete(go())
+
+    f_off, f_stream = run(fused)
+    c_off, c_stream = run(chain)
+    np.testing.assert_array_equal(f_off, c_off)
+    np.testing.assert_array_equal(f_stream, c_stream)
+
+
+def test_fused_admission_global_token_count_assumption(pipe):
+    """The fused path sizes the scaffold from config token_num BEFORE the
+    tokenize program runs; that must equal the tokenizer's actual global
+    token width."""
+    g, _s = pipe.tokenize_audio(_wav(260))
+    assert g.shape[1] == pipe.config.bicodec.speaker_encoder.token_num
+
+
+def test_fused_admission_with_prompt_text(pipe):
+    """Prompt-transcript clone (semantic tokens included in the prompt)
+    through the fused path matches the host-assembly path."""
+    # transcript clones carry the prompt's semantic ids in the prompt, so the
+    # tiny default cache (prompt_bucket*4 + budget) is too small — size it up
+    fused = ContinuousTTSServer(
+        pipe, max_slots=2, steps_per_dispatch=8, greedy=True, cache_len=512
+    )
+    plain = ContinuousTTSServer(
+        pipe, max_slots=2, steps_per_dispatch=8, greedy=True, cache_len=512,
+        device_admission=False, spec_first_chunk=False,
+    )
+
+    def run(server):
+        async def go():
+            await server.start()
+            wav = await server.synthesize(
+                "with transcript", prompt_wav=_wav(330), prompt_text="the prompt says this"
+            )
+            await server.stop()
+            return wav
+
+        return asyncio.new_event_loop().run_until_complete(go())
+
+    np.testing.assert_array_equal(run(fused), run(plain))
