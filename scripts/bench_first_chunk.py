@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""First-chunk latency A/B: fused admission (tokenize+assembly+prefill in one
+dispatch) vs the three-program chain, through the continuous server at
+production dims (role of the reference's streaming first-chunk measurement,
+reference `runtime/triton_trtllm/client_grpc.py:332-433`).
+
+    python scripts/bench_first_chunk.py --tasks 8
+"""
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from sparktts_tpu.utils.platform import apply_platform_env  # noqa: E402
+
+apply_platform_env()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tasks", type=int, default=8)
+    ap.add_argument("--concurrency", type=int, default=1)
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--max_new_tokens", type=int, default=500)
+    args = ap.parse_args()
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+
+    from sparktts_tpu.bench.harness import run_continuous_benchmark
+    from sparktts_tpu.pipeline import SparkTTSPipeline
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from run_dataset_bench import make_tasks  # noqa: E402
+
+    if args.tiny:
+        pipe = SparkTTSPipeline(max_new_tokens=32, prompt_bucket=32)
+        tasks = make_tasks(args.tasks, (16, 24, 32), (1,))
+    else:
+        from sparktts_tpu.config import SparkTTSConfig
+        from sparktts_tpu.lm.quant import quantize_qwen_int8
+
+        pipe = SparkTTSPipeline(
+            config=SparkTTSConfig(), max_new_tokens=args.max_new_tokens
+        )
+        pipe.llm_params = jax.tree.map(jnp.asarray, quantize_qwen_int8(pipe.llm_params))
+        tasks = make_tasks(args.tasks, (args.max_new_tokens,), (3, 6))
+    pipe.vocode_bucket = 125
+
+    results = {}
+    for fused in (True, False):
+        # warm (compiles every program the mode needs), then measure
+        run_continuous_benchmark(
+            pipe, tasks[:4], concurrency=2, streaming=True, fused_admission=fused
+        )
+        stats = run_continuous_benchmark(
+            pipe, tasks, concurrency=args.concurrency, streaming=True,
+            fused_admission=fused,
+        )
+        key = "fused" if fused else "chained"
+        results[key] = {
+            k: v for k, v in stats.items()
+            if "first_chunk" in k or k in ("rtf", "p50_latency_ms")
+        }
+        print(json.dumps({key: results[key]}), file=sys.stderr)
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

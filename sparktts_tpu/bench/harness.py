@@ -256,6 +256,7 @@ def run_continuous_benchmark(
     max_slots: int = 8,
     steps_per_dispatch: int = 128,
     max_new_tokens: Optional[int] = None,
+    fused_admission: bool = True,
 ) -> Dict[str, Any]:
     """Dataset benchmark through the continuous (inflight) batching server —
     the closest analogue of the reference's Triton+TRT-LLM serving stack
@@ -268,7 +269,7 @@ def run_continuous_benchmark(
     async def run():
         server = ContinuousTTSServer(
             pipeline, max_slots=max_slots, steps_per_dispatch=steps_per_dispatch,
-            default_max_new_tokens=max_new_tokens,
+            default_max_new_tokens=max_new_tokens, fused_admission=fused_admission,
         )
         await server.start()
         latencies: List[float] = []
