@@ -270,6 +270,9 @@ def run_continuous_benchmark(
         server = ContinuousTTSServer(
             pipeline, max_slots=max_slots, steps_per_dispatch=steps_per_dispatch,
             default_max_new_tokens=max_new_tokens, fused_admission=fused_admission,
+            # bench measures steady state: compile inline during the warm
+            # pass rather than racing a background warm against the run
+            fused_warm="sync",
         )
         await server.start()
         latencies: List[float] = []

@@ -20,6 +20,7 @@ every program compiles exactly once.
 from __future__ import annotations
 
 import functools
+import threading
 from typing import Dict, List, NamedTuple, Optional, Tuple
 
 import jax
@@ -472,11 +473,43 @@ class ContinuousBatchingEngine:
         self.buffers: Dict[int, List[int]] = {}
         self.finished: Dict[int, np.ndarray] = {}
         self._next_req = 0
+        # AOT-compiled fused-admission executables keyed by shape signature
+        # (fused_key).  Compiled off-loop via warm_fused so a first-seen
+        # (wav bucket × prompt bucket) combination never stalls serving.
+        self._fused_exe: Dict[tuple, object] = {}
+        self._fused_lock = threading.Lock()
 
     # ------------------------------------------------------------------
 
     def free_slots(self) -> int:
         return sum(1 for o in self.owner if o is None)
+
+    # -- shared admission bookkeeping (submit / submit_fused) --------------
+
+    def _take_slot(self, t_pad: int, max_new_tokens: int) -> int:
+        """Pick a free slot and validate capacity; raises if none free."""
+        slot = next((i for i, o in enumerate(self.owner) if o is None), None)
+        if slot is None:
+            raise RuntimeError("no free slot")
+        assert t_pad % self.prompt_pad == 0, (t_pad, self.prompt_pad)
+        assert t_pad + max_new_tokens <= self.cache_len, "prompt+budget exceeds cache"
+        return slot
+
+    def _resolve_sampling(self, temperature, top_p):
+        eng_temperature, top_k, eng_top_p = self.sampling
+        return (
+            eng_temperature if temperature is None else temperature,
+            top_k,
+            eng_top_p if top_p is None else top_p,
+        )
+
+    def _register_request(self, slot: int, max_new_tokens: int) -> int:
+        req_id = self._next_req
+        self._next_req += 1
+        self.owner[slot] = req_id
+        self.budget[slot] = max_new_tokens
+        self.buffers[req_id] = []
+        return req_id
 
     def submit(
         self,
@@ -497,24 +530,19 @@ class ContinuousBatchingEngine:
         array (1, t_pad) right-padded to a prompt_pad multiple, with
         `prompt_len` giving the true length — the device-chained admission
         path (`pipeline.assemble_clone_ids`) submits without any host sync."""
-        slot = next((i for i, o in enumerate(self.owner) if o is None), None)
-        if slot is None:
-            raise RuntimeError("no free slot")
         if isinstance(prompt_ids, jax.Array):
             assert prompt_ids.ndim == 2 and prompt_len is not None
             n = int(prompt_len)
             t_pad = prompt_ids.shape[1]
-            assert t_pad % self.prompt_pad == 0 and n <= t_pad, (t_pad, n)
+            assert n <= t_pad, (t_pad, n)
             ids = prompt_ids
         else:
             n = len(prompt_ids)
             t_pad = ((n + self.prompt_pad - 1) // self.prompt_pad) * self.prompt_pad
             ids = np.full((1, t_pad), self.pad_id, np.int32)
             ids[0, :n] = prompt_ids  # right-padded
-        assert t_pad + max_new_tokens <= self.cache_len, "prompt+budget exceeds cache"
-        eng_temperature, top_k, eng_top_p = self.sampling
-        temperature = eng_temperature if temperature is None else temperature
-        top_p = eng_top_p if top_p is None else top_p
+        slot = self._take_slot(t_pad, max_new_tokens)
+        temperature, top_k, top_p = self._resolve_sampling(temperature, top_p)
         self.slots = admit_prefill(
             self.params,
             self.slots,
@@ -534,12 +562,83 @@ class ContinuousBatchingEngine:
             clone_slice=self.clone_slice,
             clone_extras=self.clone_extras,
         )
-        req_id = self._next_req
-        self._next_req += 1
-        self.owner[slot] = req_id
-        self.budget[slot] = max_new_tokens
-        self.buffers[req_id] = []
-        return req_id
+        return self._register_request(slot, max_new_tokens)
+
+    # -- fused admission (AOT-compiled, per shape signature) ---------------
+
+    def fused_key(self, tok_args: tuple, t_pad: int) -> tuple:
+        """Shape signature of a fused-admission program: the wav pad bucket,
+        wav2vec2 frame count, ref-clip length and prompt pad bucket fully
+        determine the compiled executable (tokenize_fn/assemble_fn are
+        derived from the same shapes)."""
+        _, _, wav, feature_mask, ref_wav = tok_args
+        return (wav.shape, feature_mask.shape, ref_wav.shape, t_pad)
+
+    def fused_ready(self, tok_args: tuple, t_pad: int) -> bool:
+        return self.fused_key(tok_args, t_pad) in self._fused_exe
+
+    def _fused_traced(
+        self, slot, tok_args, scaffold_row, g_off, s_off, n_sem, prompt_len,
+        temperature, top_p, limit,
+    ):
+        """(args, kwargs) for `admit_prefill_fused` with every scalar
+        normalized to a fixed-dtype jnp array, so the AOT executable's input
+        signature is identical across calls (and across lower vs call)."""
+        w2v_params, bc_params, wav, feature_mask, ref_wav = tok_args
+        args = (
+            self.params, self.slots, jnp.asarray(slot, jnp.int32),
+            w2v_params, bc_params, wav, feature_mask, ref_wav,
+            scaffold_row,
+            jnp.asarray([g_off], jnp.int32), jnp.asarray([s_off], jnp.int32),
+            jnp.asarray([n_sem], jnp.int32), jnp.asarray(prompt_len, jnp.int32),
+        )
+        kwargs = dict(
+            temperature=jnp.asarray(temperature, jnp.float32),
+            top_p=jnp.asarray(top_p, jnp.float32),
+            limit=jnp.asarray(limit, jnp.int32),
+        )
+        return args, kwargs
+
+    def warm_fused(self, tokenize_fn, assemble_fn, tok_args: tuple, t_pad: int) -> None:
+        """Compile (AOT) the fused-admission executable for this shape
+        signature without executing it.  Thread-safe and idempotent — the
+        server calls this from a background thread so a first-seen shape
+        never stalls the serving loop on an XLA compile; `submit_fused`
+        calls it inline when asked to run a not-yet-warm signature."""
+        key = self.fused_key(tok_args, t_pad)
+        with self._fused_lock:
+            if key in self._fused_exe:
+                return
+
+        def sds(x):
+            if isinstance(x, jax.Array):
+                return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+            x = jnp.asarray(x)
+            return jax.ShapeDtypeStruct(x.shape, x.dtype)
+
+        scaffold_row = jnp.zeros((1, t_pad), jnp.int32)
+        temperature, top_k, top_p = self._resolve_sampling(None, None)
+        args, kwargs = self._fused_traced(
+            0, tok_args, scaffold_row, 0, 0, 0, 0, temperature, top_p, 0
+        )
+        args_sds = jax.tree.map(sds, args)
+        kwargs_sds = jax.tree.map(sds, kwargs)
+        lowered = admit_prefill_fused.lower(
+            args_sds[0], args_sds[1], self.cfg, *args_sds[2:],
+            slot_cache_len=self.cache_len,
+            top_k=top_k,
+            greedy=self.greedy,
+            vocab_slice=self.vocab_slice,
+            extra_ids=self.extra_ids,
+            clone_slice=self.clone_slice,
+            clone_extras=self.clone_extras,
+            tokenize_fn=tokenize_fn,
+            assemble_fn=assemble_fn,
+            **kwargs_sds,
+        )
+        exe = lowered.compile()
+        with self._fused_lock:
+            self._fused_exe.setdefault(key, exe)
 
     def submit_fused(
         self,
@@ -558,46 +657,31 @@ class ContinuousBatchingEngine:
         """Clone-mode admission as ONE device dispatch: audio tokenize +
         prompt assembly + prefill fused (`admit_prefill_fused`) — the
         zero-sync admission chain collapsed from three programs to one.
+        Runs the AOT executable for this shape signature, compiling it first
+        if `warm_fused` hasn't (the server only routes here when warm, so
+        the inline compile is the direct-use path, not the serving path).
         Returns (req_id, global_tokens (1, N) still on device)."""
-        slot = next((i for i, o in enumerate(self.owner) if o is None), None)
-        if slot is None:
-            raise RuntimeError("no free slot")
         t_pad = len(scaffold)
-        assert t_pad % self.prompt_pad == 0 and prompt_len <= t_pad
-        assert t_pad + max_new_tokens <= self.cache_len, "prompt+budget exceeds cache"
-        eng_temperature, top_k, eng_top_p = self.sampling
-        temperature = eng_temperature if temperature is None else temperature
-        top_p = eng_top_p if top_p is None else top_p
-        self.slots, global_t = admit_prefill_fused(
-            self.params,
-            self.slots,
-            self.cfg,
-            jnp.asarray(slot, jnp.int32),
-            *tok_args,
+        assert prompt_len <= t_pad
+        slot = self._take_slot(t_pad, max_new_tokens)
+        temperature, _, top_p = self._resolve_sampling(temperature, top_p)
+        key = self.fused_key(tok_args, t_pad)
+        if key not in self._fused_exe:
+            self.warm_fused(tokenize_fn, assemble_fn, tok_args, t_pad)
+        args, kwargs = self._fused_traced(
+            slot,
+            tok_args,
             jnp.asarray(np.asarray(scaffold, np.int32)[None, :]),
-            jnp.asarray([g_off], jnp.int32),
-            jnp.asarray([s_off], jnp.int32),
-            jnp.asarray([n_sem], jnp.int32),
-            jnp.asarray(prompt_len, jnp.int32),
-            self.cache_len,
+            g_off,
+            s_off,
+            n_sem,
+            prompt_len,
             temperature,
-            top_k,
             top_p,
-            self.greedy,
-            self.vocab_slice,
-            self.extra_ids,
-            limit=jnp.asarray(prompt_len + max_new_tokens, jnp.int32),
-            clone_slice=self.clone_slice,
-            clone_extras=self.clone_extras,
-            tokenize_fn=tokenize_fn,
-            assemble_fn=assemble_fn,
+            prompt_len + max_new_tokens,
         )
-        req_id = self._next_req
-        self._next_req += 1
-        self.owner[slot] = req_id
-        self.budget[slot] = max_new_tokens
-        self.buffers[req_id] = []
-        return req_id, global_t
+        self.slots, global_t = self._fused_exe[key](*args, **kwargs)
+        return self._register_request(slot, max_new_tokens), global_t
 
     def step(self, n_steps: int = 16) -> Dict[int, np.ndarray]:
         """Advance all active slots by (about) n_steps tokens; returns

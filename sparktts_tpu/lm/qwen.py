@@ -314,7 +314,10 @@ def mlp_block(layer, x: jax.Array, decode_fused: bool = False) -> jax.Array:
         decode_fused
         and "w_q" in gu_p
         and "w_q" in down_p
+        # the kernel computes no biases on either projection — fall back to
+        # XLA if a variant carries them rather than silently dropping one
         and "b" not in gu_p
+        and "b" not in down_p
         # matvec regime only: weight streaming dominates to ~16 rows (one
         # VMEM-resident activation tile); larger batches amortize weights
         # and the plain MXU matmuls win

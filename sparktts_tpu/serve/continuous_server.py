@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import asyncio
 import logging
+import threading
 import time
 from collections import deque
 from concurrent.futures import ThreadPoolExecutor
@@ -91,6 +92,7 @@ class ContinuousTTSServer:
         device_admission: bool = True,
         spec_first_chunk: bool = True,
         fused_admission: bool = True,
+        fused_warm: str = "background",
     ):
         self.pipe = pipeline
         # latency features for tunneled/remote TPUs — each host sync costs a
@@ -103,8 +105,15 @@ class ContinuousTTSServer:
         self.spec_first_chunk = spec_first_chunk and pipeline.codec_device is None
         # tokenize+assemble+prefill as ONE program (dense engine only); the
         # three-program chain below remains for the paged engine and as the
-        # fused_admission=False escape hatch
+        # fused_admission=False escape hatch.  fused_warm="background"
+        # compiles each first-seen (wav bucket × prompt bucket) signature on
+        # a daemon thread while the request itself takes the already-compiled
+        # three-program chain — a cold signature never stalls live streams on
+        # an XLA compile; "sync" compiles inline on first use (tests/bench).
         self.fused_admission = fused_admission
+        assert fused_warm in ("background", "sync")
+        self.fused_warm = fused_warm
+        self._fused_warming: set = set()
         # steps_per_dispatch caps the adaptive dispatch size (ladder max)
         self.steps = steps_per_dispatch
         self.default_max_new = default_max_new_tokens or pipeline.max_new_tokens
@@ -391,6 +400,37 @@ class ContinuousTTSServer:
                 self.stats["failures"] = self.stats.get("failures", 0) + 1
                 self._fail_pending(pending, e)
 
+    def _clone_scaffold(self, n_glob: int, use_sem: int, pending: _Pending):
+        """Bucket-padded clone prompt scaffold — the ONE construction both
+        the fused and chained admission paths share, so their prefilled
+        prompts stay byte-identical by design."""
+        tok = self.pipe.tokenizer
+        bucket = getattr(self.engine, "_admit_bucket", self.engine.prompt_pad)
+        scaffold, prompt_len, g_off, s_off = clone_prompt_scaffold(
+            tok, pending.text, n_glob, use_sem, pending.prompt_text
+        )
+        t_pad = -(-prompt_len // bucket) * bucket
+        scaffold = np.pad(scaffold, (0, t_pad - prompt_len), constant_values=tok.pad_id)
+        return scaffold, prompt_len, g_off, s_off, t_pad
+
+    def _start_fused_warm(self, fn, assemble_fn, tok_args, t_pad):
+        """Kick an off-loop compile of the fused-admission executable for a
+        first-seen shape signature; at most one warm thread per signature."""
+        key = self.engine.fused_key(tok_args, t_pad)
+        if key in self._fused_warming:
+            return
+        self._fused_warming.add(key)
+
+        def warm():
+            try:
+                self.engine.warm_fused(fn, assemble_fn, tok_args, t_pad)
+            except Exception:
+                logger.exception("fused admission warm failed for %s", key)
+            finally:
+                self._fused_warming.discard(key)
+
+        threading.Thread(target=warm, name="fused-warm", daemon=True).start()
+
     def _admit(self, pending: _Pending) -> Optional[int]:
         # time spent queued, not including the admission prefill itself
         self.stage_stats.record("queue_wait", time.perf_counter() - pending.enqueue_time)
@@ -399,45 +439,49 @@ class ContinuousTTSServer:
         if pending.gender is not None:
             ids = build_control_prompt(tok, pending.text, pending.gender, pending.pitch, pending.speed)
             mode = "control"
-        elif (
-            self.device_admission
-            and self.fused_admission
-            and hasattr(self.engine, "submit_fused")
-        ):
-            # fully-fused admission: tokenize + assembly + prefill in ONE
-            # device dispatch (admit_prefill_fused) — each dispatch costs a
-            # fixed ~33 ms through the relay, so this is ~66 ms off
-            # first-audio latency vs the three-program chain below
-            fn, tok_args, n_sem_true, s_pad = self.pipe.tokenize_host_prep(
-                pending.prompt_wav
-            )
-            use_sem = n_sem_true if pending.prompt_text is not None else 0
-            n_glob = self.pipe.config.bicodec.speaker_encoder.token_num
-            scaffold, prompt_len, g_off, s_off = clone_prompt_scaffold(
-                tok, pending.text, n_glob, use_sem, pending.prompt_text
-            )
-            bucket = self.engine.prompt_pad
-            t_pad = -(-prompt_len // bucket) * bucket
-            scaffold = np.pad(
-                scaffold, (0, t_pad - prompt_len), constant_values=tok.pad_id
-            )
-            req_id, g_dev = self.engine.submit_fused(
-                fn,
-                self.pipe._assemble_fn_batch(t_pad, s_pad),
-                tok_args,
-                scaffold,
-                g_off,
-                s_off,
-                use_sem,
-                prompt_len,
-                max_new_tokens=pending.max_new_tokens,
-                temperature=pending.temperature,
-                top_p=pending.top_p,
-            )
-            pending.global_tokens = g_dev
-            self.inflight[req_id] = pending
-            return req_id
         elif self.device_admission:
+            use_fused = self.fused_admission and hasattr(self.engine, "submit_fused")
+            if use_fused:
+                # fully-fused admission: tokenize + assembly + prefill in ONE
+                # device dispatch (admit_prefill_fused) — each dispatch costs
+                # a fixed ~33 ms through the relay, so this is ~66 ms off
+                # first-audio latency vs the three-program chain below
+                fn, tok_args, n_sem_true, s_pad = self.pipe.tokenize_host_prep(
+                    pending.prompt_wav
+                )
+                use_sem = n_sem_true if pending.prompt_text is not None else 0
+                n_glob = self.pipe.config.bicodec.speaker_encoder.token_num
+                scaffold, prompt_len, g_off, s_off, t_pad = self._clone_scaffold(
+                    n_glob, use_sem, pending
+                )
+                assemble_fn = self.pipe._assemble_fn_batch(t_pad, s_pad)
+                if not self.engine.fused_ready(tok_args, t_pad):
+                    if self.fused_warm == "sync":
+                        self.engine.warm_fused(fn, assemble_fn, tok_args, t_pad)
+                    else:
+                        # compile off-loop; THIS request takes the chained
+                        # path below so live streams never stall on a compile
+                        self._start_fused_warm(fn, assemble_fn, tok_args, t_pad)
+                if self.engine.fused_ready(tok_args, t_pad):
+                    req_id, g_dev = self.engine.submit_fused(
+                        fn,
+                        assemble_fn,
+                        tok_args,
+                        scaffold,
+                        g_off,
+                        s_off,
+                        use_sem,
+                        prompt_len,
+                        max_new_tokens=pending.max_new_tokens,
+                        temperature=pending.temperature,
+                        top_p=pending.top_p,
+                    )
+                    self.stats["fused_admissions"] = (
+                        self.stats.get("fused_admissions", 0) + 1
+                    )
+                    pending.global_tokens = g_dev
+                    self.inflight[req_id] = pending
+                    return req_id
             # zero-sync admission: codec tokens stay on device, the prompt is
             # assembled there (the audio-token COUNTS are deterministic from
             # the wav length), and prefill chains straight on — the host
@@ -445,12 +489,9 @@ class ContinuousTTSServer:
             g_dev, s_dev, n_sem = self.pipe.tokenize_audio_device(pending.prompt_wav)
             pending.global_tokens = g_dev
             use_sem = n_sem if pending.prompt_text is not None else 0
-            bucket = getattr(self.engine, "_admit_bucket", self.engine.prompt_pad)
-            scaffold, prompt_len, g_off, s_off = clone_prompt_scaffold(
-                tok, pending.text, g_dev.shape[1], use_sem, pending.prompt_text
+            scaffold, prompt_len, g_off, s_off, t_pad = self._clone_scaffold(
+                g_dev.shape[1], use_sem, pending
             )
-            t_pad = -(-prompt_len // bucket) * bucket
-            scaffold = np.pad(scaffold, (0, t_pad - prompt_len), constant_values=tok.pad_id)
             ids = self.pipe.assemble_clone_ids(scaffold, g_dev, s_dev, g_off, s_off, use_sem)
             mode = "clone"
         else:

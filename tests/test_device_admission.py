@@ -266,7 +266,9 @@ def test_fused_admission_matches_three_program_chain(pipe):
     """The ONE-dispatch fused admission (tokenize+assembly+prefill inlined,
     lm/continuous.admit_prefill_fused) must produce exactly the audio of the
     three-program device-admission chain, offline AND streaming."""
-    fused = ContinuousTTSServer(pipe, max_slots=2, steps_per_dispatch=8, greedy=True)
+    fused = ContinuousTTSServer(
+        pipe, max_slots=2, steps_per_dispatch=8, greedy=True, fused_warm="sync"
+    )
     chain = ContinuousTTSServer(
         pipe, max_slots=2, steps_per_dispatch=8, greedy=True, fused_admission=False
     )
@@ -287,8 +289,45 @@ def test_fused_admission_matches_three_program_chain(pipe):
 
     f_off, f_stream = run(fused)
     c_off, c_stream = run(chain)
+    assert fused.stats.get("fused_admissions", 0) == 2, "fused path never ran"
+    assert "fused_admissions" not in chain.stats
     np.testing.assert_array_equal(f_off, c_off)
     np.testing.assert_array_equal(f_stream, c_stream)
+
+
+def test_fused_admission_background_warm(pipe):
+    """Default warm policy: a first-seen shape signature takes the chained
+    path (no on-loop compile stall) while the fused executable compiles on a
+    daemon thread; once warm, the same signature admits fused — and both
+    admissions of the same request produce identical audio."""
+    server = ContinuousTTSServer(pipe, max_slots=2, steps_per_dispatch=8, greedy=True)
+    assert server.fused_warm == "background"
+
+    async def go():
+        await server.start()
+        first = await server.synthesize("warm me up", prompt_wav=_wav(330))
+        # the first admission must have fallen back to the chained path
+        assert server.stats.get("fused_admissions", 0) == 0
+        # wait until the background compile lands (same shapes → same key)
+        fn, tok_args, _n, _s = pipe.tokenize_host_prep(_wav(330))
+        n_glob = pipe.config.bicodec.speaker_encoder.token_num
+        _sc, prompt_len, _g, _o = clone_prompt_scaffold(
+            pipe.tokenizer, "warm me up", n_glob, 0, None
+        )
+        bucket = server.engine.prompt_pad
+        t_pad = -(-prompt_len // bucket) * bucket
+        for _ in range(600):
+            if server.engine.fused_ready(tok_args, t_pad):
+                break
+            await asyncio.sleep(0.05)
+        assert server.engine.fused_ready(tok_args, t_pad), "warm never finished"
+        second = await server.synthesize("warm me up", prompt_wav=_wav(330))
+        assert server.stats.get("fused_admissions", 0) == 1
+        await server.stop()
+        return first, second
+
+    first, second = asyncio.new_event_loop().run_until_complete(go())
+    np.testing.assert_array_equal(first, second)
 
 
 def test_fused_admission_global_token_count_assumption(pipe):
@@ -305,7 +344,8 @@ def test_fused_admission_with_prompt_text(pipe):
     # transcript clones carry the prompt's semantic ids in the prompt, so the
     # tiny default cache (prompt_bucket*4 + budget) is too small — size it up
     fused = ContinuousTTSServer(
-        pipe, max_slots=2, steps_per_dispatch=8, greedy=True, cache_len=512
+        pipe, max_slots=2, steps_per_dispatch=8, greedy=True, cache_len=512,
+        fused_warm="sync",
     )
     plain = ContinuousTTSServer(
         pipe, max_slots=2, steps_per_dispatch=8, greedy=True, cache_len=512,
