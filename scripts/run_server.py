@@ -30,6 +30,9 @@ def main():
                         help="draft-k-then-verify speculative decoding (0 = off)")
     parser.add_argument("--no_guided", action="store_true",
                         help="disable guided decoding (full-vocab sampling)")
+    parser.add_argument("--warmup", action="store_true",
+                        help="compile the hot serving programs before the "
+                             "socket opens (first request then runs warm)")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
@@ -44,7 +47,7 @@ def main():
     )
     serve_http(
         pipe, host=args.host, port=args.port, max_batch=args.max_batch,
-        paged_kv=args.paged_kv,
+        paged_kv=args.paged_kv, warmup=args.warmup,
     )
 
 

@@ -60,6 +60,13 @@ class AdmissionDeferred(RuntimeError):
     not as a failure."""
 
 
+class RequestTooLong(ValueError):
+    """Raised at admission when prompt + generation budget can NEVER fit the
+    engine's per-slot capacity — no amount of waiting helps, so the request
+    is rejected cleanly (role of the reference engine's max_num_tokens bound,
+    reference `run.sh:31`) instead of tripping a capacity assert mid-admit."""
+
+
 class SlotState(NamedTuple):
     """Per-slot device vectors (all (B,) unless noted)."""
 

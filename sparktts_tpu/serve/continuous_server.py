@@ -32,7 +32,11 @@ from typing import AsyncIterator, Dict, Optional
 
 import numpy as np
 
-from sparktts_tpu.lm.continuous import AdmissionDeferred, snap_to_ladder
+from sparktts_tpu.lm.continuous import (
+    AdmissionDeferred,
+    RequestTooLong,
+    snap_to_ladder,
+)
 from sparktts_tpu.prompt import (
     build_clone_prompt,
     build_control_prompt,
@@ -400,6 +404,25 @@ class ContinuousTTSServer:
                 self.stats["failures"] = self.stats.get("failures", 0) + 1
                 self._fail_pending(pending, e)
 
+    def _slot_capacity(self) -> int:
+        """Tokens one slot can hold (prompt + generation), engine-agnostic."""
+        cap = getattr(self.engine, "cache_len", None)
+        if cap is None:  # paged engine: page-table bound per slot
+            cap = self.engine.pages_per_slot * self.engine.page_size
+        return cap
+
+    def _check_fits(self, t_pad: int, pending: _Pending):
+        """Reject never-fitting requests BEFORE any warm/compile/submit with
+        a clean error (waiting cannot help — this is not backpressure)."""
+        cap = self._slot_capacity()
+        if t_pad + pending.max_new_tokens > cap:
+            raise RequestTooLong(
+                f"prompt ({t_pad} padded ids) + max_new_tokens "
+                f"({pending.max_new_tokens}) exceeds the engine's per-slot "
+                f"capacity of {cap} tokens — shorten the prompt/transcript "
+                f"or lower max_new_tokens"
+            )
+
     def _clone_scaffold(self, n_glob: int, use_sem: int, pending: _Pending):
         """Bucket-padded clone prompt scaffold — the ONE construction both
         the fused and chained admission paths share, so their prefilled
@@ -454,6 +477,7 @@ class ContinuousTTSServer:
                 scaffold, prompt_len, g_off, s_off, t_pad = self._clone_scaffold(
                     n_glob, use_sem, pending
                 )
+                self._check_fits(t_pad, pending)
                 assemble_fn = self.pipe._assemble_fn_batch(t_pad, s_pad)
                 if not self.engine.fused_ready(tok_args, t_pad):
                     if self.fused_warm == "sync":
@@ -492,6 +516,7 @@ class ContinuousTTSServer:
             scaffold, prompt_len, g_off, s_off, t_pad = self._clone_scaffold(
                 g_dev.shape[1], use_sem, pending
             )
+            self._check_fits(t_pad, pending)
             ids = self.pipe.assemble_clone_ids(scaffold, g_dev, s_dev, g_off, s_off, use_sem)
             mode = "clone"
         else:
@@ -505,6 +530,9 @@ class ContinuousTTSServer:
                 pending.prompt_text,
             )
             mode = "clone"
+        if prompt_len is None:  # host-built id list (control / plain clone)
+            bucket = getattr(self.engine, "_admit_bucket", self.engine.prompt_pad)
+            self._check_fits(-(-len(ids) // bucket) * bucket, pending)
         req_id = self.engine.submit(
             ids,
             max_new_tokens=pending.max_new_tokens,

@@ -361,6 +361,60 @@ class TTSServer:
 # ---------------------------------------------------------------------------
 
 
+def warmup_servers(pipeline, server, cserver, loop, timeout: float = 900.0):
+    """Compile the hot serving programs BEFORE the HTTP socket opens (role of
+    the reference deploy pipeline's engine prebuild, reference `run.sh`
+    stages 1-2): one offline clone + one controllable batch through the
+    window server, then streaming clone requests through the continuous
+    server until its fused-admission executable is warm.  Stats counters are
+    reset afterwards so production metrics start clean."""
+    sr = pipeline.sample_rate
+    tgrid = np.arange(sr) / sr
+    wav = (0.2 * np.sin(2 * np.pi * 220.0 * tgrid)).astype(np.float32)
+    text = "warmup utterance"
+
+    def run(coro):
+        return asyncio.run_coroutine_threadsafe(coro, loop).result(timeout)
+
+    t0 = time.perf_counter()
+    logger.info("warmup: offline clone batch")
+    run(server.synthesize(TTSRequest(text=text, prompt_wav=wav)))
+    logger.info("warmup: offline controllable batch")
+    run(
+        server.synthesize(
+            TTSRequest(text=text, gender="female", pitch="moderate", speed="moderate")
+        )
+    )
+    if cserver is not None:
+
+        async def stream_once():
+            async for _chunk in cserver.synthesize_streaming(text, prompt_wav=wav):
+                pass
+
+        logger.info("warmup: streaming clone (chained admission)")
+        run(stream_once())
+        # the first streaming admission kicks a background compile of the
+        # fused-admission executable; wait for it, then admit once fused so
+        # the whole ladder is compiled before traffic arrives
+        deadline = time.perf_counter() + timeout
+        while (
+            getattr(cserver.engine, "_fused_exe", None) is not None
+            and not cserver.engine._fused_exe
+            and cserver._fused_warming
+            and time.perf_counter() < deadline
+        ):
+            time.sleep(0.5)
+        if getattr(cserver.engine, "_fused_exe", None):
+            logger.info("warmup: streaming clone (fused admission)")
+            run(stream_once())
+        for k in cserver.stats:
+            cserver.stats[k] = 0
+        cserver.stage_stats = type(cserver.stage_stats)()
+    for k in server.stats:
+        server.stats[k] = 0
+    logger.info("warmup done in %.1f s", time.perf_counter() - t0)
+
+
 def serve_http(
     pipeline,
     host: str = "0.0.0.0",
@@ -370,6 +424,7 @@ def serve_http(
     stream_max_slots: int = 2,
     stream_steps_per_dispatch: int = 128,
     paged_kv: bool = False,
+    warmup: bool = False,
 ):
     """Blocking HTTP JSON server.
 
@@ -409,6 +464,10 @@ def serve_http(
 
     t = threading.Thread(target=loop_thread, daemon=True)
     t.start()
+    if warmup:
+        # pay every compile before the socket opens — a load balancer sees
+        # the port only once the first real request would be fast
+        warmup_servers(pipeline, server, cserver, loop)
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"  # required for chunked transfer encoding

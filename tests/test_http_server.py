@@ -315,3 +315,41 @@ def test_native_ui_page(server_port):
         assert level in page
     # the page drives the same endpoints every other client uses
     assert "/tts_stream" in page and '"/tts"' in page
+
+
+def test_warmup_servers_compiles_and_resets():
+    """serve_http's warmup: pays the offline + streaming + fused-admission
+    compiles up front, then resets stats so production metrics start clean."""
+    import asyncio
+
+    from sparktts_tpu.config import tiny_test_config
+    from sparktts_tpu.serve.continuous_server import ContinuousTTSServer
+    from sparktts_tpu.serve.server import TTSServer, warmup_servers
+
+    pipe = SparkTTSPipeline(
+        config=tiny_test_config(), max_new_tokens=12, prompt_bucket=32
+    )
+    server = TTSServer(pipe, max_batch=2)
+    cserver = ContinuousTTSServer(pipe, max_slots=2, steps_per_dispatch=4)
+    loop = asyncio.new_event_loop()
+
+    def loop_thread():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(server.start())
+        loop.run_until_complete(cserver.start())
+        loop.run_forever()
+
+    t = threading.Thread(target=loop_thread, daemon=True)
+    t.start()
+    try:
+        warmup_servers(pipe, server, cserver, loop, timeout=600)
+        # fused-admission executable compiled for the warm shape signature
+        assert cserver.engine._fused_exe, "fused admission never warmed"
+        # counters reset: a fresh request is counted from zero
+        assert server.stats["requests"] == 0
+        assert cserver.stats["requests"] == 0
+        assert cserver.stage_stats.summary() == {}
+    finally:
+        asyncio.run_coroutine_threadsafe(server.stop(), loop).result(60)
+        asyncio.run_coroutine_threadsafe(cserver.stop(), loop).result(60)
+        loop.call_soon_threadsafe(loop.stop)
