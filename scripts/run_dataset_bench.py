@@ -68,6 +68,11 @@ def main():
     parser.add_argument("--offline_conc", default="1,2,4")
     parser.add_argument("--streaming_conc", default="1,2,4")
     parser.add_argument("--max_slots", type=int, default=8)
+    parser.add_argument(
+        "--grpc_conc", default="1",
+        help="comma-separated concurrencies for the gRPC-transport streaming "
+        "sweep ('' disables)",
+    )
     parser.add_argument("--no_int8_lm", action="store_true")
     parser.add_argument("--no_warmup", action="store_true")
     parser.add_argument(
@@ -298,6 +303,19 @@ def main():
                 pipe, tasks, concurrency=conc, streaming=True, max_slots=args.max_slots
             )
         )
+
+    if args.grpc_conc:
+        # gRPC front-end sweep: the transport analogue of the reference's
+        # decoupled-gRPC benchmark (client_grpc.py:332-433) — first-chunk
+        # latency through a real socket + protobuf framing
+        from sparktts_tpu.bench.harness import run_grpc_streaming_benchmark
+
+        for conc in [int(c) for c in args.grpc_conc.split(",") if c]:
+            record(
+                run_grpc_streaming_benchmark(
+                    pipe, tasks, concurrency=conc, max_slots=args.max_slots
+                )
+            )
 
     # quality metrics (BASELINE.md parity bar): codec round-trip mel distance
     # and speaker similarity on a few prompts — catches codec/quantization

@@ -215,6 +215,27 @@ def run_network_streaming_benchmark(
             totals["audio_s"] += local_audio
             latencies.append(time.perf_counter() - t0)
 
+    wall = _threaded_sweep(tasks, concurrency, one)
+    fc = np.asarray(first_chunk) if first_chunk else np.asarray([0.0])
+    return _summarize(
+        latencies,
+        totals["audio_s"],
+        wall,
+        {
+            "mode": "network_streaming",
+            "concurrency": concurrency,
+            "first_chunk_p50_ms": round(float(np.percentile(fc, 50)) * 1000, 2),
+            "first_chunk_p90_ms": round(float(np.percentile(fc, 90)) * 1000, 2),
+        },
+    )
+
+
+def _threaded_sweep(tasks: List[BenchTask], concurrency: int, one) -> float:
+    """Run `one(task)` over every task with a fixed worker-pool concurrency
+    (the reference bench's task semantics, `client_grpc.py:666-700`); returns
+    wall-clock seconds."""
+    import threading
+
     t_start = time.perf_counter()
     idx = {"next": 0}
     idx_lock = threading.Lock()
@@ -233,14 +254,91 @@ def run_network_streaming_benchmark(
         th.start()
     for th in threads:
         th.join()
-    wall = time.perf_counter() - t_start
+    return time.perf_counter() - t_start
+
+
+def run_grpc_streaming_benchmark(
+    pipeline, tasks: List[BenchTask], concurrency: int = 1,
+    max_new_tokens: Optional[int] = None, transport: str = "auto",
+    **server_kwargs,
+) -> Dict[str, Any]:
+    """Streaming through the gRPC front-end (`serve/grpc_server.py`) — the
+    direct analogue of the reference's decoupled Triton gRPC benchmark
+    (`client_grpc.py:332-433`): per-task first-chunk latency and RTF through
+    a real socket.  transport="grpcio" uses a grpc.server channel,
+    "framed" the dependency-free gRPC-framing TCP transport, "auto" prefers
+    grpcio and falls back when it is absent."""
+    import threading
+
+    from sparktts_tpu.serve import grpc_server as G
+
+    if transport == "auto":
+        try:
+            import grpc  # noqa: F401
+
+            transport = "grpcio"
+        except ImportError:
+            transport = "framed"
+
+    if transport == "grpcio":
+        import socket as _socket
+
+        s = _socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+        server, backend = G.serve_grpc(
+            pipeline, host="127.0.0.1", port=port, **server_kwargs
+        )
+        host = "127.0.0.1"
+        stream_fn = G.grpc_synthesize_stream
+        close = lambda: (server.stop(0), backend.close())  # noqa: E731
+    else:
+        srv = G.FramedSocketServer(pipeline, **server_kwargs)
+        host, port = srv.host, srv.port
+        stream_fn = G.framed_synthesize_stream
+        close = srv.close
+
+    latencies: List[float] = []
+    first_chunk: List[float] = []
+    lock = threading.Lock()
+    totals = {"audio_s": 0.0}
+
+    def one(task: BenchTask):
+        t0 = time.perf_counter()
+        got_first = False
+        local_audio = 0.0
+        for chunk, sr in stream_fn(
+            host,
+            port,
+            task.text,
+            prompt_wav=task.prompt_wav,
+            prompt_text=task.prompt_text,
+            gender=task.gender,
+            pitch=task.pitch if task.gender else None,
+            speed=task.speed if task.gender else None,
+            max_new_tokens=max_new_tokens or task.max_new_tokens,
+        ):
+            if not got_first:
+                first_chunk.append(time.perf_counter() - t0)
+                got_first = True
+            local_audio += len(chunk) / sr
+        with lock:
+            totals["audio_s"] += local_audio
+            latencies.append(time.perf_counter() - t0)
+
+    try:
+        wall = _threaded_sweep(tasks, concurrency, one)
+    finally:
+        close()
     fc = np.asarray(first_chunk) if first_chunk else np.asarray([0.0])
     return _summarize(
         latencies,
         totals["audio_s"],
         wall,
         {
-            "mode": "network_streaming",
+            "mode": "grpc_streaming",
+            "transport": transport,
             "concurrency": concurrency,
             "first_chunk_p50_ms": round(float(np.percentile(fc, 50)) * 1000, 2),
             "first_chunk_p90_ms": round(float(np.percentile(fc, 90)) * 1000, 2),

@@ -83,3 +83,26 @@ def test_load_hf_dataset_tasks(tmp_path):
     # resampled 8 kHz -> 16 kHz doubles the sample counts
     assert abs(len(tasks[0].prompt_wav) - 16000) <= 4
     assert abs(len(tasks[1].prompt_wav) - 32000) <= 4
+
+
+@pytest.mark.parametrize("transport", ["framed", "grpcio"])
+def test_grpc_streaming_benchmark(pipe, transport):
+    """Streaming bench through the gRPC front-end (role of the reference's
+    decoupled-gRPC benchmark, client_grpc.py:332-433), both transports."""
+    if transport == "grpcio":
+        pytest.importorskip("grpc")
+    from sparktts_tpu.bench.harness import run_grpc_streaming_benchmark
+
+    tasks = [
+        BenchTask(text=f"grpc bench {i}", prompt_wav=_wav(), max_new_tokens=8)
+        for i in range(2)
+    ]
+    stats = run_grpc_streaming_benchmark(
+        pipe, tasks, concurrency=2, transport=transport,
+        max_slots=2, steps_per_dispatch=4,
+    )
+    assert stats["mode"] == "grpc_streaming"
+    assert stats["transport"] == transport
+    assert stats["num_tasks"] == 2
+    assert stats["rtf"] > 0 and stats["total_audio_s"] > 0
+    assert stats["first_chunk_p50_ms"] >= 0
