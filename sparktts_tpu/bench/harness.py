@@ -183,20 +183,10 @@ def run_network_streaming_benchmark(
     """Streaming through the HTTP /tts_stream endpoint: first-chunk latency is
     measured through the full network + serving stack (the reference measures
     the same through Triton's decoupled gRPC, `client_grpc.py:332-433`)."""
-    import threading
-
     from sparktts_tpu.serve import client as C
 
-    latencies: List[float] = []
-    first_chunk: List[float] = []
-    audio_s_lock = threading.Lock()
-    totals = {"audio_s": 0.0}
-
-    def one(task: BenchTask):
-        t0 = time.perf_counter()
-        got_first = False
-        local_audio = 0.0
-        for chunk, sr in C.synthesize_stream(
+    def stream_iter(task: BenchTask):
+        return C.synthesize_stream(
             host,
             port,
             task.text,
@@ -206,12 +196,38 @@ def run_network_streaming_benchmark(
             pitch=task.pitch if task.gender else None,
             speed=task.speed if task.gender else None,
             max_new_tokens=max_new_tokens,
-        ):
+        )
+
+    return _streaming_sweep(
+        stream_iter, tasks, concurrency,
+        {"mode": "network_streaming", "concurrency": concurrency},
+    )
+
+
+def _streaming_sweep(
+    stream_iter, tasks: List[BenchTask], concurrency: int, extra: Dict[str, Any]
+) -> Dict[str, Any]:
+    """Timed worker-pool sweep over a chunk-stream factory: per-task
+    first-chunk latency + total latency + audio accounting, one summary.
+    Shared by the HTTP and gRPC streaming benches so their metric
+    definitions cannot drift."""
+    import threading
+
+    latencies: List[float] = []
+    first_chunk: List[float] = []
+    lock = threading.Lock()
+    totals = {"audio_s": 0.0}
+
+    def one(task: BenchTask):
+        t0 = time.perf_counter()
+        got_first = False
+        local_audio = 0.0
+        for chunk, sr in stream_iter(task):
             if not got_first:
                 first_chunk.append(time.perf_counter() - t0)
                 got_first = True
             local_audio += len(chunk) / sr
-        with audio_s_lock:
+        with lock:
             totals["audio_s"] += local_audio
             latencies.append(time.perf_counter() - t0)
 
@@ -222,8 +238,7 @@ def run_network_streaming_benchmark(
         totals["audio_s"],
         wall,
         {
-            "mode": "network_streaming",
-            "concurrency": concurrency,
+            **extra,
             "first_chunk_p50_ms": round(float(np.percentile(fc, 50)) * 1000, 2),
             "first_chunk_p90_ms": round(float(np.percentile(fc, 90)) * 1000, 2),
         },
@@ -260,16 +275,16 @@ def _threaded_sweep(tasks: List[BenchTask], concurrency: int, one) -> float:
 def run_grpc_streaming_benchmark(
     pipeline, tasks: List[BenchTask], concurrency: int = 1,
     max_new_tokens: Optional[int] = None, transport: str = "auto",
-    **server_kwargs,
+    warm: bool = True, **server_kwargs,
 ) -> Dict[str, Any]:
     """Streaming through the gRPC front-end (`serve/grpc_server.py`) — the
     direct analogue of the reference's decoupled Triton gRPC benchmark
     (`client_grpc.py:332-433`): per-task first-chunk latency and RTF through
     a real socket.  transport="grpcio" uses a grpc.server channel,
     "framed" the dependency-free gRPC-framing TCP transport, "auto" prefers
-    grpcio and falls back when it is absent."""
-    import threading
-
+    grpcio and falls back when it is absent.  warm=True streams each distinct
+    task shape once before timing (steady state, same policy as
+    run_continuous_benchmark's fused_warm="sync")."""
     from sparktts_tpu.serve import grpc_server as G
 
     if transport == "auto":
@@ -280,17 +295,16 @@ def run_grpc_streaming_benchmark(
         except ImportError:
             transport = "framed"
 
-    if transport == "grpcio":
-        import socket as _socket
+    # steady-state measurement: admission compiles land in the warm pass,
+    # and any remaining first-seen signature compiles inline (sync), never
+    # racing a background thread against the timed region
+    server_kwargs.setdefault("fused_warm", "sync")
 
-        s = _socket.socket()
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
-        s.close()
+    if transport == "grpcio":
         server, backend = G.serve_grpc(
-            pipeline, host="127.0.0.1", port=port, **server_kwargs
+            pipeline, host="127.0.0.1", port=0, **server_kwargs
         )
-        host = "127.0.0.1"
+        host, port = "127.0.0.1", server.bound_port
         stream_fn = G.grpc_synthesize_stream
         close = lambda: (server.stop(0), backend.close())  # noqa: E731
     else:
@@ -299,16 +313,8 @@ def run_grpc_streaming_benchmark(
         stream_fn = G.framed_synthesize_stream
         close = srv.close
 
-    latencies: List[float] = []
-    first_chunk: List[float] = []
-    lock = threading.Lock()
-    totals = {"audio_s": 0.0}
-
-    def one(task: BenchTask):
-        t0 = time.perf_counter()
-        got_first = False
-        local_audio = 0.0
-        for chunk, sr in stream_fn(
+    def stream_iter(task: BenchTask):
+        return stream_fn(
             host,
             port,
             task.text,
@@ -318,32 +324,50 @@ def run_grpc_streaming_benchmark(
             pitch=task.pitch if task.gender else None,
             speed=task.speed if task.gender else None,
             max_new_tokens=max_new_tokens or task.max_new_tokens,
-        ):
-            if not got_first:
-                first_chunk.append(time.perf_counter() - t0)
-                got_first = True
-            local_audio += len(chunk) / sr
-        with lock:
-            totals["audio_s"] += local_audio
-            latencies.append(time.perf_counter() - t0)
+        )
 
     try:
-        wall = _threaded_sweep(tasks, concurrency, one)
+        if warm:
+            for task in _distinct_shape_tasks(pipeline, tasks):
+                for _ in stream_iter(task):
+                    pass
+        return _streaming_sweep(
+            stream_iter, tasks, concurrency,
+            {
+                "mode": "grpc_streaming",
+                "transport": transport,
+                "concurrency": concurrency,
+            },
+        )
     finally:
         close()
-    fc = np.asarray(first_chunk) if first_chunk else np.asarray([0.0])
-    return _summarize(
-        latencies,
-        totals["audio_s"],
-        wall,
-        {
-            "mode": "grpc_streaming",
-            "transport": transport,
-            "concurrency": concurrency,
-            "first_chunk_p50_ms": round(float(np.percentile(fc, 50)) * 1000, 2),
-            "first_chunk_p90_ms": round(float(np.percentile(fc, 90)) * 1000, 2),
-        },
-    )
+
+
+def _distinct_shape_tasks(pipeline, tasks: List[BenchTask]) -> List[BenchTask]:
+    """One representative task per XLA shape signature (wav pad bucket ×
+    prompt bucket × budget) — the minimal warm set."""
+    from sparktts_tpu.prompt import clone_prompt_scaffold
+
+    seen, out = set(), []
+    n_glob = pipeline.config.bicodec.speaker_encoder.token_num
+    for t in tasks:
+        if t.prompt_wav is None:
+            key = ("control", t.max_new_tokens)
+        else:
+            wav_pad = -(-max(len(t.prompt_wav), pipeline.wav_bucket) // pipeline.wav_bucket)
+            _, plen, _, _ = clone_prompt_scaffold(
+                pipeline.tokenizer, t.text, n_glob, 0, t.prompt_text
+            )
+            t_pad = -(-plen // pipeline.prompt_bucket) * pipeline.prompt_bucket
+            # transcript clones add wav-dependent semantic ids to the prompt;
+            # the wav bucket is in the key, so each (bucket, transcript)
+            # combination still warms once — sync fused_warm backstops any
+            # residual miss
+            key = (wav_pad, t_pad, bool(t.prompt_text), t.max_new_tokens)
+        if key not in seen:
+            seen.add(key)
+            out.append(t)
+    return out
 
 
 def run_continuous_benchmark(

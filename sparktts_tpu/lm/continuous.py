@@ -52,6 +52,13 @@ def snap_to_ladder(requested: int, max_dispatch: int) -> int:
     return min(DISPATCH_LADDER[-1], max_dispatch)
 
 
+# Process-global fused-admission executable cache (see
+# ContinuousBatchingEngine.warm_fused): keyed by the full compile signature,
+# shared across engine instances built over the same pipeline.
+_FUSED_EXE_CACHE: dict = {}
+_FUSED_CACHE_LOCK = threading.Lock()
+
+
 class AdmissionDeferred(RuntimeError):
     """Raised by `submit` when a request cannot be admitted *now* without
     risking resource exhaustion mid-decode (paged engine: the page pool
@@ -482,9 +489,12 @@ class ContinuousBatchingEngine:
         self._next_req = 0
         # AOT-compiled fused-admission executables keyed by shape signature
         # (fused_key).  Compiled off-loop via warm_fused so a first-seen
-        # (wav bucket × prompt bucket) combination never stalls serving.
+        # (wav bucket × prompt bucket) combination never stalls serving;
+        # backed by the process-global _FUSED_EXE_CACHE for cross-engine
+        # reuse (fresh bench servers adopt compiled programs).
         self._fused_exe: Dict[tuple, object] = {}
         self._fused_lock = threading.Lock()
+        self._fused_aval_key = None  # computed lazily from params/slots avals
 
     # ------------------------------------------------------------------
 
@@ -581,6 +591,34 @@ class ContinuousBatchingEngine:
         _, _, wav, feature_mask, ref_wav = tok_args
         return (wav.shape, feature_mask.shape, ref_wav.shape, t_pad)
 
+    def _fused_global_key(self, key: tuple, tokenize_fn, assemble_fn) -> tuple:
+        """Extend the per-engine shape key with everything else that shapes
+        the compiled program, so executables are shared ACROSS engine
+        instances (each timed bench run builds a fresh server; without
+        process-wide reuse every run would recompile inside its timed
+        region).  Param/slot avals are summarized by (shape, dtype) leaves —
+        engines built from the same pipeline share them, and the pipeline's
+        per-shape tokenize/assemble fn identities are stable."""
+        if self._fused_aval_key is None:
+            self._fused_aval_key = tuple(
+                (tuple(x.shape), str(x.dtype), str(getattr(x, "sharding", None)))
+                for x in jax.tree.leaves((self.params, self.slots))
+            )
+        return (
+            key,
+            tokenize_fn,
+            assemble_fn,
+            self.cfg,
+            self.cache_len,
+            self.sampling[1],
+            self.greedy,
+            self.vocab_slice,
+            self.extra_ids,
+            self.clone_slice,
+            self.clone_extras,
+            self._fused_aval_key,
+        )
+
     def fused_ready(self, tok_args: tuple, t_pad: int) -> bool:
         return self.fused_key(tok_args, t_pad) in self._fused_exe
 
@@ -611,11 +649,22 @@ class ContinuousBatchingEngine:
         signature without executing it.  Thread-safe and idempotent — the
         server calls this from a background thread so a first-seen shape
         never stalls the serving loop on an XLA compile; `submit_fused`
-        calls it inline when asked to run a not-yet-warm signature."""
+        calls it inline when asked to run a not-yet-warm signature.
+
+        Consults the PROCESS-GLOBAL executable cache first: a fresh engine
+        over the same pipeline (bench runs build one server per timed run)
+        adopts already-compiled executables instead of recompiling."""
         key = self.fused_key(tok_args, t_pad)
         with self._fused_lock:
             if key in self._fused_exe:
                 return
+        gkey = self._fused_global_key(key, tokenize_fn, assemble_fn)
+        with _FUSED_CACHE_LOCK:
+            cached = _FUSED_EXE_CACHE.get(gkey)
+        if cached is not None:
+            with self._fused_lock:
+                self._fused_exe.setdefault(key, cached)
+            return
 
         def sds(x):
             if isinstance(x, jax.Array):
@@ -646,6 +695,8 @@ class ContinuousBatchingEngine:
         exe = lowered.compile()
         with self._fused_lock:
             self._fused_exe.setdefault(key, exe)
+        with _FUSED_CACHE_LOCK:
+            _FUSED_EXE_CACHE.setdefault(gkey, exe)
 
     def submit_fused(
         self,

@@ -506,17 +506,25 @@ class ContinuousTTSServer:
                     pending.global_tokens = g_dev
                     self.inflight[req_id] = pending
                     return req_id
-            # zero-sync admission: codec tokens stay on device, the prompt is
-            # assembled there (the audio-token COUNTS are deterministic from
-            # the wav length), and prefill chains straight on — the host
-            # never waits on the relay between tokenize and prefill
-            g_dev, s_dev, n_sem = self.pipe.tokenize_audio_device(pending.prompt_wav)
+                # cold signature: take the chained path REUSING the host prep
+                # and scaffold already built (tokenize_fn(*tok_args) is
+                # exactly the device half of tokenize_audio_device)
+                s_dev, g_dev = fn(*tok_args)
+            else:
+                # zero-sync admission: codec tokens stay on device, the
+                # prompt is assembled there (the audio-token COUNTS are
+                # deterministic from the wav length), and prefill chains
+                # straight on — the host never waits on the relay between
+                # tokenize and prefill
+                g_dev, s_dev, n_sem = self.pipe.tokenize_audio_device(
+                    pending.prompt_wav
+                )
+                use_sem = n_sem if pending.prompt_text is not None else 0
+                scaffold, prompt_len, g_off, s_off, t_pad = self._clone_scaffold(
+                    g_dev.shape[1], use_sem, pending
+                )
+                self._check_fits(t_pad, pending)
             pending.global_tokens = g_dev
-            use_sem = n_sem if pending.prompt_text is not None else 0
-            scaffold, prompt_len, g_off, s_off, t_pad = self._clone_scaffold(
-                g_dev.shape[1], use_sem, pending
-            )
-            self._check_fits(t_pad, pending)
             ids = self.pipe.assemble_clone_ids(scaffold, g_dev, s_dev, g_off, s_off, use_sem)
             mode = "clone"
         else:

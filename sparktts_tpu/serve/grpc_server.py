@@ -144,9 +144,11 @@ def serve_grpc(
     max_workers: int = 8,
     **server_kwargs,
 ):
-    """Start a grpcio server; returns (grpc_server, backend).  Raises
-    ImportError when grpcio is not installed — callers can fall back to
-    `FramedSocketServer` (same messages, same semantics)."""
+    """Start a grpcio server; returns (grpc_server, backend).  port=0 binds
+    an ephemeral port — read it back from `grpc_server.bound_port` (avoids
+    the pick-free-port TOCTOU race).  Raises ImportError when grpcio is not
+    installed — callers can fall back to `FramedSocketServer` (same
+    messages, same semantics)."""
     import grpc  # hard dependency of THIS transport only
     from concurrent import futures
 
@@ -175,7 +177,11 @@ def serve_grpc(
     )
     server = grpc.server(futures.ThreadPoolExecutor(max_workers=max_workers))
     server.add_generic_rpc_handlers((handler,))
-    server.add_insecure_port(f"{host}:{port}")
+    bound = server.add_insecure_port(f"{host}:{port}")
+    if bound == 0:
+        backend.close()
+        raise OSError(f"could not bind gRPC server to {host}:{port}")
+    server.bound_port = bound  # actual port (== port unless port was 0)
     server.start()
     return server, backend
 

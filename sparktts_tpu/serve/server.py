@@ -361,24 +361,48 @@ class TTSServer:
 # ---------------------------------------------------------------------------
 
 
-def warmup_servers(pipeline, server, cserver, loop, timeout: float = 900.0):
-    """Compile the hot serving programs BEFORE the HTTP socket opens (role of
-    the reference deploy pipeline's engine prebuild, reference `run.sh`
-    stages 1-2): one offline clone + one controllable batch through the
-    window server, then streaming clone requests through the continuous
-    server until its fused-admission executable is warm.  Stats counters are
-    reset afterwards so production metrics start clean."""
+def warmup_servers(
+    pipeline,
+    server,
+    cserver,
+    loop,
+    timeout: float = 900.0,
+    wav_seconds: tuple = (1.0, 3.0, 6.0),
+):
+    """Compile the hot serving programs for REPRESENTATIVE shapes BEFORE the
+    HTTP socket opens (role of the reference deploy pipeline's engine
+    prebuild, reference `run.sh` stages 1-2): offline clone + controllable
+    batches through the window server, the continuous engine's full decode
+    dispatch ladder, and streaming clones through both admission paths
+    (chained, then fused once its off-loop compile lands) — per prompt-wav
+    duration bucket in `wav_seconds`.  A production request outside these
+    buckets (longer wav, longer text) still compiles on first use; extend
+    wav_seconds to the deployment's expected durations to pre-pay those too.
+    Stats counters are reset afterwards so production metrics start clean."""
     sr = pipeline.sample_rate
-    tgrid = np.arange(sr) / sr
-    wav = (0.2 * np.sin(2 * np.pi * 220.0 * tgrid)).astype(np.float32)
     text = "warmup utterance"
+
+    def mk_wav(seconds):
+        tgrid = np.arange(int(sr * seconds)) / sr
+        return (0.2 * np.sin(2 * np.pi * 220.0 * tgrid)).astype(np.float32)
+
+    # distinct wav-pad buckets only: durations that round to the same bucket
+    # compile the same programs
+    wavs, seen = [], set()
+    for s in wav_seconds:
+        w = mk_wav(s)
+        bucket = -(-max(len(w), pipeline.wav_bucket) // pipeline.wav_bucket)
+        if bucket not in seen:
+            seen.add(bucket)
+            wavs.append(w)
 
     def run(coro):
         return asyncio.run_coroutine_threadsafe(coro, loop).result(timeout)
 
     t0 = time.perf_counter()
-    logger.info("warmup: offline clone batch")
-    run(server.synthesize(TTSRequest(text=text, prompt_wav=wav)))
+    for i, wav in enumerate(wavs):
+        logger.info("warmup: offline clone batch (wav bucket %d/%d)", i + 1, len(wavs))
+        run(server.synthesize(TTSRequest(text=text, prompt_wav=wav)))
     logger.info("warmup: offline controllable batch")
     run(
         server.synthesize(
@@ -386,27 +410,59 @@ def warmup_servers(pipeline, server, cserver, loop, timeout: float = 900.0):
         )
     )
     if cserver is not None:
+        # every dispatch-ladder rung the adaptive scheduler can pick (a cold
+        # rung would compile inside a live stream's chunk cadence)
+        from sparktts_tpu.lm.continuous import DISPATCH_LADDER
 
-        async def stream_once():
+        eng = cserver.engine
+        rungs = [n for n in DISPATCH_LADDER if n <= cserver.steps]
+        if cserver.steps not in rungs:
+            rungs.append(cserver.steps)
+
+        async def walk_ladder():
+            if all(o is None for o in eng.owner):
+                eng.submit(
+                    list(range(10, 10 + pipeline.prompt_bucket // 2)),
+                    max_new_tokens=cserver.default_max_new,
+                    mode="clone",
+                )
+            for n in rungs:
+                if all(o is None for o in eng.owner):
+                    eng.submit(
+                        list(range(10, 10 + pipeline.prompt_bucket // 2)),
+                        max_new_tokens=cserver.default_max_new,
+                        mode="clone",
+                    )
+                eng.step(n)
+            for slot, owner in enumerate(eng.owner):
+                if owner is not None:
+                    eng.release_slot(slot)
+
+        logger.info("warmup: decode dispatch ladder %s", rungs)
+        run(walk_ladder())
+
+        async def stream_once(wav):
             async for _chunk in cserver.synthesize_streaming(text, prompt_wav=wav):
                 pass
 
-        logger.info("warmup: streaming clone (chained admission)")
-        run(stream_once())
-        # the first streaming admission kicks a background compile of the
-        # fused-admission executable; wait for it, then admit once fused so
-        # the whole ladder is compiled before traffic arrives
+        for i, wav in enumerate(wavs):
+            logger.info(
+                "warmup: streaming clone, chained admission (wav bucket %d/%d)",
+                i + 1, len(wavs),
+            )
+            run(stream_once(wav))
+        # chained admissions above kicked background compiles of the fused
+        # executables; wait for them, then admit each signature once fused
         deadline = time.perf_counter() + timeout
-        while (
-            getattr(cserver.engine, "_fused_exe", None) is not None
-            and not cserver.engine._fused_exe
-            and cserver._fused_warming
-            and time.perf_counter() < deadline
-        ):
+        while cserver._fused_warming and time.perf_counter() < deadline:
             time.sleep(0.5)
         if getattr(cserver.engine, "_fused_exe", None):
-            logger.info("warmup: streaming clone (fused admission)")
-            run(stream_once())
+            for i, wav in enumerate(wavs):
+                logger.info(
+                    "warmup: streaming clone, fused admission (wav bucket %d/%d)",
+                    i + 1, len(wavs),
+                )
+                run(stream_once(wav))
         for k in cserver.stats:
             cserver.stats[k] = 0
         cserver.stage_stats = type(cserver.stage_stats)()

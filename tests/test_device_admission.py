@@ -303,13 +303,21 @@ def test_fused_admission_background_warm(pipe):
     server = ContinuousTTSServer(pipe, max_slots=2, steps_per_dispatch=8, greedy=True)
     assert server.fused_warm == "background"
 
+    # a COLD shape signature: 2 s prompt wav lands in a wav bucket no other
+    # test in this module uses, so neither the engine-local nor the
+    # process-global executable cache can satisfy it instantly
+    def wav2s():
+        sr = 16000
+        t = np.arange(2 * sr) / sr
+        return 0.3 * np.sin(2 * np.pi * 330.0 * t)
+
     async def go():
         await server.start()
-        first = await server.synthesize("warm me up", prompt_wav=_wav(330))
+        first = await server.synthesize("warm me up", prompt_wav=wav2s())
         # the first admission must have fallen back to the chained path
         assert server.stats.get("fused_admissions", 0) == 0
         # wait until the background compile lands (same shapes → same key)
-        fn, tok_args, _n, _s = pipe.tokenize_host_prep(_wav(330))
+        fn, tok_args, _n, _s = pipe.tokenize_host_prep(wav2s())
         n_glob = pipe.config.bicodec.speaker_encoder.token_num
         _sc, prompt_len, _g, _o = clone_prompt_scaffold(
             pipe.tokenizer, "warm me up", n_glob, 0, None
@@ -321,7 +329,7 @@ def test_fused_admission_background_warm(pipe):
                 break
             await asyncio.sleep(0.05)
         assert server.engine.fused_ready(tok_args, t_pad), "warm never finished"
-        second = await server.synthesize("warm me up", prompt_wav=_wav(330))
+        second = await server.synthesize("warm me up", prompt_wav=wav2s())
         assert server.stats.get("fused_admissions", 0) == 1
         await server.stop()
         return first, second
@@ -364,3 +372,31 @@ def test_fused_admission_with_prompt_text(pipe):
         return asyncio.new_event_loop().run_until_complete(go())
 
     np.testing.assert_array_equal(run(fused), run(plain))
+
+
+def test_fused_exe_shared_across_engines(pipe):
+    """The fused-admission executable compiles ONCE per process for a given
+    signature: a fresh engine over the same pipeline (bench runs build one
+    server per timed run) adopts the already-compiled executable from the
+    process-global cache instead of recompiling inside its timed region."""
+
+    def run(server):
+        async def go():
+            await server.start()
+            out = await server.synthesize("shared exe", prompt_wav=_wav(300))
+            await server.stop()
+            return out
+
+        return asyncio.new_event_loop().run_until_complete(go())
+
+    kw = dict(max_slots=2, steps_per_dispatch=8, greedy=True, fused_warm="sync")
+    s1 = ContinuousTTSServer(pipe, **kw)
+    w1 = run(s1)
+    assert s1.engine._fused_exe, "first server never compiled a fused exe"
+    key, exe = next(iter(s1.engine._fused_exe.items()))
+
+    s2 = ContinuousTTSServer(pipe, **kw)
+    w2 = run(s2)
+    # same signature → the SAME executable object, adopted not recompiled
+    assert s2.engine._fused_exe.get(key) is exe
+    np.testing.assert_array_equal(w1, w2)

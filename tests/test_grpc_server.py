@@ -124,11 +124,13 @@ def test_grpcio_transport_if_available(pipe):
     grpc = pytest.importorskip("grpc")  # noqa: F841
     from sparktts_tpu.serve.grpc_server import grpc_synthesize_stream, serve_grpc
 
-    server, backend = serve_grpc(pipe, host="127.0.0.1", port=50911, max_slots=2,
+    server, backend = serve_grpc(pipe, host="127.0.0.1", port=0, max_slots=2,
                                  steps_per_dispatch=4)
     try:
         chunks = list(
-            grpc_synthesize_stream("127.0.0.1", 50911, "real grpc", prompt_wav=_wav(3))
+            grpc_synthesize_stream(
+                "127.0.0.1", server.bound_port, "real grpc", prompt_wav=_wav(3)
+            )
         )
         assert chunks and np.concatenate([c for c, _ in chunks]).size > 0
     finally:

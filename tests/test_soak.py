@@ -149,7 +149,15 @@ def test_randomized_soak_paged_engine(pipe):
 
     async def drive(server, kind, kw):
         await asyncio.sleep(rng.random() * 0.5)
-        if kind in ("clone_stream", "ctrl_stream", "abandon"):
+        if kind == "abandon":
+            # mid-stream abandonment over the PAGED engine: reserved pages
+            # must come back to the pool (asserted via reserved==0 below)
+            agen = server.synthesize_streaming(**kw)
+            async for _c in agen:
+                break
+            await agen.aclose()
+            return None
+        if kind in ("clone_stream", "ctrl_stream"):
             chunks = []
             async for c in server.synthesize_streaming(**kw):
                 chunks.append(c)
@@ -182,8 +190,11 @@ def test_randomized_soak_paged_engine(pipe):
     results, state = asyncio.new_event_loop().run_until_complete(run())
     errors = [r for r in results if isinstance(r, Exception)]
     assert not errors, errors
-    for w in results:
-        assert isinstance(w, np.ndarray) and np.isfinite(w).all()
+    n_abandoned = sum(1 for kind, _ in reqs if kind == "abandon")
+    finished = [r for r in results if isinstance(r, np.ndarray)]
+    assert len(finished) == len(reqs) - n_abandoned
+    for w in finished:
+        assert np.isfinite(w).all()
     assert state["free"] == state["max_slots"], state
-    # every reserved page returned to the pool
+    # every reserved page returned to the pool (incl. abandoned streams)
     assert state["reserved"] == 0, state
