@@ -33,6 +33,9 @@ def main():
     parser.add_argument("--warmup", action="store_true",
                         help="compile the hot serving programs before the "
                              "socket opens (first request then runs warm)")
+    parser.add_argument("--grpc_port", type=int, default=None,
+                        help="also serve gRPC on this port, sharing the "
+                             "HTTP streaming engine (one decode batch)")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
@@ -47,7 +50,7 @@ def main():
     )
     serve_http(
         pipe, host=args.host, port=args.port, max_batch=args.max_batch,
-        paged_kv=args.paged_kv, warmup=args.warmup,
+        paged_kv=args.paged_kv, warmup=args.warmup, grpc_port=args.grpc_port,
     )
 
 

@@ -58,14 +58,26 @@ def _request_kwargs(req: "pb.SynthesisRequest") -> dict:
 
 class _Backend:
     """Owns the asyncio ContinuousTTSServer on a private event-loop thread
-    and exposes sync generators the transport handlers consume."""
+    and exposes sync generators the transport handlers consume.
 
-    def __init__(self, pipeline, **server_kwargs):
+    Pass `cserver` + `loop` to ADOPT an already-running continuous server
+    instead (e.g. `serve_http(grpc_port=...)`: HTTP and gRPC requests then
+    join the SAME decode batch and share one KV pool); adopted servers are
+    not stopped by close()."""
+
+    def __init__(self, pipeline, cserver=None, loop=None, **server_kwargs):
+        self.pipe = pipeline
+        if cserver is not None:
+            assert loop is not None, "adopting a cserver requires its loop"
+            self.server, self.loop = cserver, loop
+            self._owns = False
+            self._thread = None
+            return
         from sparktts_tpu.serve.continuous_server import ContinuousTTSServer
 
-        self.pipe = pipeline
         self.server = ContinuousTTSServer(pipeline, **server_kwargs)
         self.loop = asyncio.new_event_loop()
+        self._owns = True
         self._thread = threading.Thread(target=self._run_loop, daemon=True)
         self._thread.start()
         asyncio.run_coroutine_threadsafe(self.server.start(), self.loop).result()
@@ -75,6 +87,8 @@ class _Backend:
         self.loop.run_forever()
 
     def close(self):
+        if not self._owns:
+            return
         asyncio.run_coroutine_threadsafe(self.server.stop(), self.loop).result()
         self.loop.call_soon_threadsafe(self.loop.stop)
         self._thread.join(timeout=5)

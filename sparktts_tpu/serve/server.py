@@ -481,6 +481,7 @@ def serve_http(
     stream_steps_per_dispatch: int = 128,
     paged_kv: bool = False,
     warmup: bool = False,
+    grpc_port: Optional[int] = None,
 ):
     """Blocking HTTP JSON server.
 
@@ -524,6 +525,28 @@ def serve_http(
         # pay every compile before the socket opens — a load balancer sees
         # the port only once the first real request would be fast
         warmup_servers(pipeline, server, cserver, loop)
+    if grpc_port is not None and cserver is not None:
+        # gRPC front door SHARING the streaming engine: requests from both
+        # transports join the same decode batch (one KV pool, like Triton
+        # exposing gRPC+HTTP over one TRT-LLM engine)
+        try:
+            from sparktts_tpu.serve.grpc_server import serve_grpc
+
+            grpc_srv, _grpc_backend = serve_grpc(
+                pipeline, host=host, port=grpc_port, cserver=cserver, loop=loop
+            )
+            logger.info("gRPC front listening on %s:%d", host, grpc_srv.bound_port)
+        except ImportError:
+            # grpcio absent: same messages/semantics over the framed transport
+            from sparktts_tpu.serve.grpc_server import FramedSocketServer
+
+            framed = FramedSocketServer(
+                pipeline, host=host, port=grpc_port, cserver=cserver, loop=loop
+            )
+            logger.info(
+                "grpcio not installed; framed gRPC transport on %s:%d",
+                framed.host, framed.port,
+            )
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"  # required for chunked transfer encoding

@@ -353,3 +353,73 @@ def test_warmup_servers_compiles_and_resets():
         asyncio.run_coroutine_threadsafe(server.stop(), loop).result(60)
         asyncio.run_coroutine_threadsafe(cserver.stop(), loop).result(60)
         loop.call_soon_threadsafe(loop.stop)
+
+
+def test_http_and_grpc_share_one_engine():
+    """serve_http(grpc_port=...) serves gRPC from the SAME continuous engine
+    as /tts_stream: requests from both transports land in one decode batch
+    (checked via the shared /stats streaming counters)."""
+    import dataclasses
+    import json as _json
+    import socket
+    import urllib.request
+
+    from sparktts_tpu.config import StreamingConfig, tiny_test_config
+    from sparktts_tpu.serve.grpc_server import grpc_synthesize_stream
+
+    pytest.importorskip("grpc")
+
+    def free_port():
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        p = s.getsockname()[1]
+        s.close()
+        return p
+
+    http_port, grpc_port = free_port(), free_port()
+    cfg = dataclasses.replace(
+        tiny_test_config(),
+        streaming=StreamingConfig(
+            audio_chunk_duration=0.04,
+            max_audio_chunk_duration=0.2,
+            audio_chunk_size_scale_factor=2.0,
+            audio_chunk_overlap_duration=0.0,
+        ),
+    )
+    pipe = SparkTTSPipeline(config=cfg, max_new_tokens=12, prompt_bucket=32)
+    t = threading.Thread(
+        target=lambda: __import__(
+            "sparktts_tpu.serve.server", fromlist=["serve_http"]
+        ).serve_http(
+            pipe, host="127.0.0.1", port=http_port, max_batch=2,
+            stream_steps_per_dispatch=4, grpc_port=grpc_port,
+        ),
+        daemon=True,
+    )
+    t.start()
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{http_port}/health", timeout=2)
+            break
+        except Exception:
+            time.sleep(0.5)
+
+    wav = np.zeros(4000, np.float32)
+    wav[::50] = 0.2
+    # one stream over gRPC...
+    chunks = list(
+        grpc_synthesize_stream("127.0.0.1", grpc_port, "over grpc", prompt_wav=wav)
+    )
+    total = np.concatenate([c for c, _ in chunks]) if chunks else np.zeros(0)
+    assert np.isfinite(total).all()
+    # ...and one over HTTP, then both must show in the SHARED stats
+    got = list(
+        C.synthesize_stream("127.0.0.1", http_port, "over http", prompt_wav=wav)
+    )
+    assert got and all(np.isfinite(c).all() for c, _ in got)
+    stats = _json.loads(
+        urllib.request.urlopen(f"http://127.0.0.1:{http_port}/stats", timeout=10).read()
+    )
+    assert stats["streaming"]["requests"] == 2
+    assert stats["streaming"]["completed"] == 2
