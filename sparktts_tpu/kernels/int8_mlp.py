@@ -60,7 +60,11 @@ def _mlp_kernel(x_ref, g_ref, u_ref, gs_ref, us_ref, d_ref, acc_ref):
     # then SwiGLU in bf16 exactly like the unfused mlp_block
     g = (g.astype(dt) * gs_ref[:].astype(dt)).astype(dt)
     u = (u.astype(dt) * us_ref[:].astype(dt)).astype(dt)
-    h = (jax.nn.silu(g) * u).astype(dt)
+    # silu evaluated in f32 and rounded back: Mosaic's bf16 `logistic`
+    # lowering miscompiles on v5e (f32 scalar broadcast into a bf16 vector
+    # fails MLIR verification, jax 0.8.x), and XLA's own bf16 silu upcasts
+    # internally anyway, so this matches the unfused path's numerics.
+    h = (jax.nn.silu(g.astype(jnp.float32)).astype(dt) * u).astype(dt)
     part = jnp.dot(h, d_ref[:].astype(dt), preferred_element_type=jnp.float32)
 
     @pl.when(pl.program_id(0) == 0)

@@ -759,12 +759,37 @@ class ContinuousBatchingEngine:
         tunneled TPU this is the difference between one and three relay
         round-trips per streaming chunk.
 
+        Convenience wrapper over the three-phase protocol below
+        (begin → fetch → commit); the serving loop uses the phases directly
+        so admissions overlap the blocking fetch."""
+        handle = self.step_begin(n_steps, chain_fn)
+        if handle is None:
+            return {}, None
+        return self.step_commit(handle, self.step_fetch(handle))
+
+    # -- three-phase step: dispatch / blocking fetch / host bookkeeping ----
+    #
+    # The serving loop splits a decode step so that ADMISSIONS OVERLAP THE
+    # FETCH: step_begin enqueues the decode program (device work; JAX
+    # dispatch is async) and snapshots the slot→request map; step_fetch is
+    # the only blocking part (one host transfer — safe on a worker thread:
+    # it touches no engine state); step_commit does the host bookkeeping on
+    # the snapshot.  An admission dispatched between begin and commit lands
+    # on a slot that was FREE at begin time, so the in-flight program
+    # (traced on the pre-admission state) never touches it, and commit's
+    # snapshot keeps the new request's done=True pre-state from being
+    # misread as a finish.  Only step_fetch may run off the owning thread.
+
+    def step_begin(self, n_steps: int, chain_fn=None):
+        """Enqueue one decode dispatch; returns an opaque handle for
+        step_fetch/step_commit, or None when no slot is live.
+
         n_steps is snapped UP to the fixed DISPATCH_LADDER (capped at
         max_dispatch) so every dispatch size is a pre-compilable program;
         slots stop on device when they hit their budget limit, so a snapped
         dispatch never writes past a slot's reserved cache region."""
         if all(o is None for o in self.owner):
-            return {}, None
+            return None
         n_steps = snap_to_ladder(n_steps, self.max_dispatch)
         _, top_k, _ = self.sampling
         self.slots, packed = decode_steps(
@@ -781,11 +806,22 @@ class ContinuousBatchingEngine:
             self.clone_slice,
             self.clone_extras,
         )
-        toks, valid, done, extra = fetch_step_result(
-            packed, chain_fn, self.max_slots, n_steps
-        )
+        return (packed, chain_fn, n_steps, list(self.owner))
+
+    def step_fetch(self, handle):
+        """Blocking host fetch of a dispatched step's result — the ONLY
+        phase safe to run on a worker thread (no engine state access)."""
+        packed, chain_fn, n_steps, _ = handle
+        return fetch_step_result(packed, chain_fn, self.max_slots, n_steps)
+
+    def step_commit(self, handle, fetched) -> Tuple[Dict[int, np.ndarray], Optional[np.ndarray]]:
+        """Host bookkeeping for a fetched step, against the slot→request
+        snapshot taken at step_begin (slots admitted meanwhile are invisible
+        to the in-flight program and must stay untouched here)."""
+        _, _, _, owner_snapshot = handle
+        toks, valid, done, extra = fetched
         out: Dict[int, np.ndarray] = {}
-        for slot, req in enumerate(self.owner):
+        for slot, req in enumerate(owner_snapshot):
             if req is None:
                 continue
             new = toks[slot][valid[slot]]

@@ -540,9 +540,18 @@ class PagedContinuousEngine:
         """`step` with an optional chained device computation fetched in the
         same single host transfer — see
         `ContinuousBatchingEngine.step_chained`."""
-        if all(o is None for o in self.owner):
+        handle = self.step_begin(n_steps, chain_fn)
+        if handle is None:
             return {}, None
-        from sparktts_tpu.lm.continuous import fetch_step_result, snap_to_ladder
+        return self.step_commit(handle, self.step_fetch(handle))
+
+    # -- three-phase step (same protocol/contract as the dense engine:
+    #    ContinuousBatchingEngine.step_begin/step_fetch/step_commit) --------
+
+    def step_begin(self, n_steps: int, chain_fn=None):
+        if all(o is None for o in self.owner):
+            return None
+        from sparktts_tpu.lm.continuous import snap_to_ladder
 
         n_steps = snap_to_ladder(n_steps, self.max_dispatch)
         self._ensure_pages(n_steps)
@@ -562,11 +571,20 @@ class PagedContinuousEngine:
             self.clone_extras,
             self.interpret,
         )
-        toks, valid, done, extra = fetch_step_result(
-            packed, chain_fn, self.max_slots, n_steps
-        )
+        return (packed, chain_fn, n_steps, list(self.owner))
+
+    def step_fetch(self, handle):
+        """Blocking host fetch — the only phase safe on a worker thread."""
+        from sparktts_tpu.lm.continuous import fetch_step_result
+
+        packed, chain_fn, n_steps, _ = handle
+        return fetch_step_result(packed, chain_fn, self.max_slots, n_steps)
+
+    def step_commit(self, handle, fetched) -> Tuple[Dict[int, np.ndarray], Optional[np.ndarray]]:
+        _, _, _, owner_snapshot = handle
+        toks, valid, done, extra = fetched
         out: Dict[int, np.ndarray] = {}
-        for slot, req in enumerate(self.owner):
+        for slot, req in enumerate(owner_snapshot):
             if req is None:
                 continue
             new = toks[slot][valid[slot]]

@@ -77,6 +77,13 @@ class _Pending:
     # mutate on the vocode worker thread, so an increment still queued in
     # _vocode_q would leave them empty and misidentify the slot as fresh.
     loop_increments: int = 0
+    # tokens handed off by the event-loop thread (same thread-safety rule as
+    # loop_increments): dispatch sizing keys "first chunk covered yet" off
+    # this counter, never off the vocode-thread stream bookkeeping
+    loop_tokens: int = 0
+    # the FIRST chunk's token target, frozen at submit time (stream_target
+    # advances on the vocode worker thread as the schedule progresses)
+    first_target: int = 0
 
 
 class ContinuousTTSServer:
@@ -275,6 +282,7 @@ class ContinuousTTSServer:
         fut = asyncio.get_running_loop().create_future()
         q: asyncio.Queue = asyncio.Queue()
         schedule = chunk_sizes(self.pipe.config.streaming)
+        first = next(schedule)
         pending = _Pending(
             text=text,
             prompt_wav=prompt_wav,
@@ -285,7 +293,8 @@ class ContinuousTTSServer:
             max_new_tokens=max_new_tokens or self.default_max_new,
             future=fut,
             chunk_queue=q,
-            stream_target=next(schedule),
+            stream_target=first,
+            first_target=first,
             stream_schedule=schedule,
             temperature=temperature,
             top_p=top_p,
@@ -573,31 +582,45 @@ class ContinuousTTSServer:
             pending.chunk_queue.put_nowait(None)
 
     def _requested_steps(self) -> int:
-        """Size the next decode dispatch to the nearest upcoming event:
-        a streaming slot's next chunk boundary or any slot's budget end.
-        The engine snaps the result UP to its compiled dispatch ladder."""
+        """Size the next decode dispatch to the nearest FIRST-audio event:
+        a streaming slot that has not yet covered its first chunk caps the
+        dispatch at exactly that distance (first-chunk latency is the one
+        boundary where waiting on extra tokens costs the listener); every
+        other slot asks for its remaining budget — later chunks emit from
+        whatever lands (the vocode worker pushes every completed chunk per
+        increment), so fragmenting dispatches at every chunk boundary only
+        multiplies the fixed per-dispatch cost.  With >1 active stream (or
+        arrivals waiting) the result is additionally capped at half the
+        ladder so a mid-dispatch admission never waits out a full max-size
+        dispatch.  The engine snaps the result UP to its compiled ladder."""
         need = None
+        active = 0
         for slot, req in enumerate(self.engine.owner):
             if req is None:
                 continue
+            active += 1
             remaining = max(int(self.engine.budget[slot]), 1)
             p = self.inflight.get(req)
             if p is not None and p.chunk_queue is not None:
-                buffered = len(p.stream_buf) - p.stream_emitted
-                to_chunk = p.stream_target - buffered
-                if p.gender is not None and p.global_tokens is None:
+                first_need = p.first_target
+                if p.gender is not None:
                     # controllable mode emits its speaker identity first:
-                    # ~token_num globals + start/end markers precede the first
-                    # semantic token, so size the dispatch to cover that
-                    # preamble too (otherwise the first chunk needs extra
-                    # dispatch round-trips)
+                    # ~token_num globals + start/end markers precede the
+                    # first semantic token — the first chunk needs them too
                     token_num = self.pipe.config.bicodec.speaker_encoder.token_num
-                    to_chunk += max(token_num + 2 - len(p.raw_buf), 0)
-                slot_need = max(min(to_chunk, remaining), 1)
+                    first_need += token_num + 2
+                if p.loop_tokens < first_need:
+                    slot_need = max(min(first_need - p.loop_tokens, remaining), 1)
+                else:
+                    slot_need = remaining
             else:
                 slot_need = remaining
             need = slot_need if need is None else min(need, slot_need)
-        return need if need is not None else self.steps
+        if need is None:
+            return self.steps
+        if active > 1 or self._deferred or not self.waiting.empty():
+            need = min(need, max(self.steps // 2, 1))
+        return need
 
     def _plan_spec(self, n_dispatch: int):
         """Pick ONE streaming clone slot whose FIRST chunk this dispatch
@@ -684,7 +707,42 @@ class ContinuousTTSServer:
             self._fail_pending(pending, e)
             return True
 
+    async def _admit_while_fetching(self, fetch_fut):
+        """Admit arrivals WHILE a decode fetch blocks its worker thread.
+        A newly admitted request's tokenize/prefill dispatches enqueue
+        BEHIND the in-flight decode program on device (JAX dispatch is
+        async), so a mid-decode arrival joins the very next dispatch instead
+        of first waiting out the fetch and then serializing its prefill —
+        on the tunneled TPU this takes an average half-dispatch plus one
+        prefill (~100+ ms) off mid-flight first-chunk latency."""
+        while not fetch_fut.done():
+            if self.engine.free_slots() <= 0 or self._deferred:
+                # no capacity, or paged backpressure (deferred admissions
+                # retry only after commit frees pages/slots): just wait
+                await asyncio.wait({fetch_fut})
+                return
+            getter = asyncio.ensure_future(self.waiting.get())
+            try:
+                await asyncio.wait(
+                    {fetch_fut, getter}, return_when=asyncio.FIRST_COMPLETED
+                )
+            except asyncio.CancelledError:
+                # server.stop() cancelled the loop task: don't leak a
+                # pending queue getter into the dying event loop
+                getter.cancel()
+                raise
+            if not getter.done():
+                getter.cancel()
+                try:
+                    pending = await getter  # won the race with the cancel
+                except asyncio.CancelledError:
+                    return
+            else:
+                pending = getter.result()
+            self._try_admit(pending, engine_idle=False)
+
     async def _loop(self):
+        loop = asyncio.get_running_loop()
         while True:
             # admit as many waiting requests as slots (and page reservations)
             # allow; deferred requests retry first to keep arrival order
@@ -700,16 +758,20 @@ class ContinuousTTSServer:
                 self._try_admit(pending, engine_idle=True)
                 continue
 
-            # advance the running batch one adaptively-sized micro-batch (in
-            # a thread so the event loop keeps accepting requests)
+            # advance the running batch one adaptively-sized micro-batch:
+            # enqueue the decode dispatch, fetch its result on a worker
+            # thread, and admit any arrivals while the fetch is in flight
             before = set(self.engine.finished)
             try:
                 t0 = time.perf_counter()
                 req_steps = self._requested_steps()
                 spec = self._plan_spec(snap_to_ladder(req_steps, self.engine.max_dispatch))
-                increments, chained = await asyncio.get_running_loop().run_in_executor(
-                    None, self.engine.step_chained, req_steps, spec[2] if spec else None
+                handle = self.engine.step_begin(req_steps, spec[2] if spec else None)
+                fetch_fut = loop.run_in_executor(
+                    None, self.engine.step_fetch, handle
                 )
+                await self._admit_while_fetching(fetch_fut)
+                increments, chained = self.engine.step_commit(handle, await fetch_fut)
                 self.stage_stats.record("decode_dispatch", time.perf_counter() - t0)
             except Exception as e:
                 # an engine failure must not kill the serving loop: fail every
@@ -722,6 +784,13 @@ class ContinuousTTSServer:
                         self.engine.release_slot(slot)
                 self.stats["failures"] = self.stats.get("failures", 0) + 1
                 continue
+            # loop-thread token accounting for dispatch sizing (see
+            # _Pending.loop_tokens) — for EVERY increment, including one a
+            # speculative chunk will consume below
+            for req_id, new_tokens in increments.items():
+                p = self.inflight.get(req_id)
+                if p is not None:
+                    p.loop_tokens += len(new_tokens)
             # a validated speculative first chunk was already rendered inside
             # the decode dispatch — push it inline; everything else goes to
             # the vocode worker as usual

@@ -253,3 +253,94 @@ def test_control_streaming_uses_emitted_globals(pipe):
     assert str_calls, "streaming produced no vocoder call but offline did"
     for g in str_calls:
         np.testing.assert_array_equal(g, off_calls[0])
+
+
+def test_requested_steps_first_chunk_only(pipe):
+    """Dispatch sizing caps at a stream's FIRST chunk distance only; once the
+    first chunk's tokens are covered the slot asks for its whole remaining
+    budget (later chunks emit from whatever lands), and >1 active stream
+    halves the cap so mid-dispatch arrivals never wait out a max dispatch."""
+    from sparktts_tpu.serve.continuous_server import _Pending
+
+    server = ContinuousTTSServer(pipe, max_slots=4, steps_per_dispatch=64)
+    eng = server.engine
+
+    stream = _Pending(
+        text="x", prompt_wav=None, prompt_text=None, gender=None, pitch=None,
+        speed=None, max_new_tokens=100, future=None,
+        chunk_queue=asyncio.Queue(), stream_target=5, first_target=5,
+    )
+    eng.owner[0] = 1
+    eng.budget[0] = 100
+    server.inflight[1] = stream
+    assert server._requested_steps() == 5      # first chunk pending
+    stream.loop_tokens = 3
+    assert server._requested_steps() == 2      # partial coverage
+    stream.loop_tokens = 5
+    assert server._requested_steps() == 100    # covered: full budget
+
+    offline = _Pending(
+        text="y", prompt_wav=None, prompt_text=None, gender=None, pitch=None,
+        speed=None, max_new_tokens=80, future=None,
+    )
+    eng.owner[1] = 2
+    eng.budget[1] = 80
+    server.inflight[2] = offline
+    assert server._requested_steps() == 32     # two active: cap steps//2
+    stream.loop_tokens = 0
+    assert server._requested_steps() == 5      # fresh first chunk still wins
+
+
+def test_admission_overlaps_inflight_fetch(pipe):
+    """A request arriving while a decode fetch blocks its worker thread is
+    admitted BEFORE the fetch completes (its tokenize/prefill dispatches
+    enqueue behind the in-flight decode program)."""
+    import threading
+
+    async def run():
+        server = ContinuousTTSServer(pipe, max_slots=4, steps_per_dispatch=4)
+        engine = server.engine
+        real_fetch = engine.step_fetch
+        loop = asyncio.get_running_loop()
+        fetch_started = asyncio.Event()
+        release = threading.Event()
+        admitted_during_fetch = []
+
+        def slow_fetch(handle):
+            loop.call_soon_threadsafe(fetch_started.set)
+            release.wait(timeout=600)
+            return real_fetch(handle)
+
+        real_admit = server._admit
+
+        def admit_spy(pending):
+            admitted_during_fetch.append(
+                fetch_started.is_set() and not release.is_set()
+            )
+            return real_admit(pending)
+
+        engine.step_fetch = slow_fetch
+        server._admit = admit_spy
+
+        await server.start()
+        t1 = asyncio.create_task(server.synthesize("first", prompt_wav=_wav()))
+        # generous bounds: first admission + dispatch cold-compile on a
+        # 1-CPU box can take minutes before the fetch thread even starts
+        await asyncio.wait_for(fetch_started.wait(), timeout=600)
+        t2 = asyncio.create_task(server.synthesize("second", prompt_wav=_wav(440)))
+        deadline = asyncio.get_running_loop().time() + 300
+        while (
+            len(admitted_during_fetch) < 2
+            and asyncio.get_running_loop().time() < deadline
+        ):
+            await asyncio.sleep(0.05)
+        release.set()
+        w1, w2 = await asyncio.gather(t1, t2)
+        await server.stop()
+        return admitted_during_fetch, w1, w2
+
+    admitted, w1, w2 = asyncio.new_event_loop().run_until_complete(run())
+    assert np.isfinite(w1).all() and np.isfinite(w2).all()
+    assert len(admitted) >= 2 and admitted[1], (
+        "second request was not admitted while the fetch was in flight"
+    )
