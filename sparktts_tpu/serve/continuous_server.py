@@ -104,8 +104,13 @@ class ContinuousTTSServer:
         spec_first_chunk: bool = True,
         fused_admission: bool = True,
         fused_warm: str = "background",
+        arrival_window_s: float = 4.0,
     ):
         self.pipe = pipeline
+        # arrival anticipation: how long after the last concurrent activity a
+        # lone stream keeps its dispatches short (see _requested_steps)
+        self.arrival_window_s = arrival_window_s
+        self._last_concurrent = float("-inf")
         # latency features for tunneled/remote TPUs — each host sync costs a
         # relay round-trip, so admission chains tokenize→assemble→prefill as
         # pure device dispatches (device_admission) and a streaming request's
@@ -592,7 +597,14 @@ class ContinuousTTSServer:
         multiplies the fixed per-dispatch cost.  With >1 active stream (or
         arrivals waiting) the result is additionally capped at half the
         ladder so a mid-dispatch admission never waits out a full max-size
-        dispatch.  The engine snaps the result UP to its compiled ladder."""
+        dispatch; a LONE stream that had concurrent company within the last
+        `arrival_window_s` keeps a quarter-ladder cap — under closed-loop
+        concurrency the next arrival lands moments after the previous
+        request finishes, and an uncapped budget-length dispatch in that gap
+        is exactly what a mid-flight admission then waits out.  Single-stream
+        workloads never pay this: with no concurrent activity ever observed,
+        the window never opens.  The engine snaps the result UP to its
+        compiled ladder."""
         need = None
         active = 0
         for slot, req in enumerate(self.engine.owner):
@@ -619,7 +631,10 @@ class ContinuousTTSServer:
         if need is None:
             return self.steps
         if active > 1 or self._deferred or not self.waiting.empty():
+            self._last_concurrent = time.perf_counter()
             need = min(need, max(self.steps // 2, 1))
+        elif time.perf_counter() - self._last_concurrent < self.arrival_window_s:
+            need = min(need, max(self.steps // 4, 1))
         return need
 
     def _plan_spec(self, n_dispatch: int):
@@ -693,6 +708,7 @@ class ContinuousTTSServer:
             self.stage_stats.record("admit_prefill", time.perf_counter() - t0)
             if busy:
                 self.stats["admitted_midflight"] += 1
+                self._last_concurrent = time.perf_counter()
             return True
         except AdmissionDeferred as e:
             if engine_idle:

@@ -290,6 +290,16 @@ def test_requested_steps_first_chunk_only(pipe):
     stream.loop_tokens = 0
     assert server._requested_steps() == 5      # fresh first chunk still wins
 
+    # arrival anticipation: a lone stream that had concurrent company within
+    # arrival_window_s keeps a quarter-ladder cap so the NEXT closed-loop
+    # arrival never waits out a budget-length dispatch
+    eng.owner[1] = None
+    server.inflight.pop(2)
+    stream.loop_tokens = 5                     # first chunk covered
+    assert server._requested_steps() == 16     # recent concurrency: steps//4
+    server._last_concurrent = float("-inf")    # window expired
+    assert server._requested_steps() == 100    # single-stream: full budget
+
 
 def test_admission_overlaps_inflight_fetch(pipe):
     """A request arriving while a decode fetch blocks its worker thread is
