@@ -348,6 +348,52 @@ def fetch_step_result(packed, chain_fn, max_slots: int, n_steps: int):
     return toks, valid, done, None
 
 
+class StepProtocolMixin:
+    """The engine-independent half of the three-phase step protocol, shared
+    by the dense and paged engines (the handle layout, the single-transfer
+    fetch, and the convenience wrappers live in exactly ONE place — the
+    engines supply only `step_begin` and `step_commit`).
+
+    Contract: `step_begin(n_steps, chain_fn)` enqueues one decode dispatch
+    and returns an opaque handle `(packed, chain_fn, n_steps, owner_snapshot)`
+    or None when no slot is live; `step_fetch(handle)` is the only blocking
+    phase (one host transfer, touches no engine state — safe on a worker
+    thread); `step_commit(handle, fetched)` does the host bookkeeping against
+    the begin-time slot snapshot on the engine's owning thread."""
+
+    def step(self, n_steps: int = 16) -> Dict[int, np.ndarray]:
+        """Advance all active slots by (about) n_steps tokens — snapped to
+        the DISPATCH_LADDER; slots stop on device at their budget limit.
+        Returns {req_id: np.ndarray(new tokens)} for requests that produced
+        tokens this call; finished requests move to `self.finished`."""
+        return self.step_chained(n_steps, None)[0]
+
+    def step_chained(self, n_steps: int = 16, chain_fn=None) -> Tuple[Dict[int, np.ndarray], Optional[np.ndarray]]:
+        """`step`, optionally with a caller-supplied device computation
+        CHAINED onto the decode dispatch before the single host fetch.
+
+        `chain_fn(packed_device) -> int32 (L,)` runs extra device work on the
+        step result (e.g. speculatively vocode a slot's streaming chunk —
+        `pipeline.spec_vocode_chain`); its output is concatenated with the
+        packed step result on device and the host fetches BOTH in one
+        transfer.  Returns (increments, chain_output_or_None).  On a
+        tunneled TPU this is the difference between one and three relay
+        round-trips per streaming chunk.
+
+        Convenience wrapper over the three-phase protocol; the serving loop
+        uses the phases directly so admissions overlap the blocking fetch."""
+        handle = self.step_begin(n_steps, chain_fn)
+        if handle is None:
+            return {}, None
+        return self.step_commit(handle, self.step_fetch(handle))
+
+    def step_fetch(self, handle):
+        """Blocking host fetch of a dispatched step's result — the ONLY
+        phase safe to run on a worker thread (no engine state access)."""
+        packed, chain_fn, n_steps, _ = handle
+        return fetch_step_result(packed, chain_fn, self.max_slots, n_steps)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -443,7 +489,7 @@ def decode_steps(
     return slots, pack_step_result(toks.T, valid.T, slots.done)
 
 
-class ContinuousBatchingEngine:
+class ContinuousBatchingEngine(StepProtocolMixin):
     """Host-side slot manager around the jitted admit/decode programs."""
 
     def __init__(
@@ -741,32 +787,6 @@ class ContinuousBatchingEngine:
         self.slots, global_t = self._fused_exe[key](*args, **kwargs)
         return self._register_request(slot, max_new_tokens), global_t
 
-    def step(self, n_steps: int = 16) -> Dict[int, np.ndarray]:
-        """Advance all active slots by (about) n_steps tokens; returns
-        {req_id: np.ndarray(new tokens)} for requests that produced tokens
-        this call.  Finished requests move to `self.finished`."""
-        return self.step_chained(n_steps, None)[0]
-
-    def step_chained(self, n_steps: int = 16, chain_fn=None) -> Tuple[Dict[int, np.ndarray], Optional[np.ndarray]]:
-        """`step`, optionally with a caller-supplied device computation
-        CHAINED onto the decode dispatch before the single host fetch.
-
-        `chain_fn(packed_device) -> int32 (L,)` runs extra device work on the
-        step result (e.g. speculatively vocode a slot's streaming chunk —
-        `pipeline.spec_vocode_chain`); its output is concatenated with the
-        packed step result on device and the host fetches BOTH in one
-        transfer.  Returns (increments, chain_output_or_None).  On a
-        tunneled TPU this is the difference between one and three relay
-        round-trips per streaming chunk.
-
-        Convenience wrapper over the three-phase protocol below
-        (begin → fetch → commit); the serving loop uses the phases directly
-        so admissions overlap the blocking fetch."""
-        handle = self.step_begin(n_steps, chain_fn)
-        if handle is None:
-            return {}, None
-        return self.step_commit(handle, self.step_fetch(handle))
-
     # -- three-phase step: dispatch / blocking fetch / host bookkeeping ----
     #
     # The serving loop splits a decode step so that ADMISSIONS OVERLAP THE
@@ -807,12 +827,6 @@ class ContinuousBatchingEngine:
             self.clone_extras,
         )
         return (packed, chain_fn, n_steps, list(self.owner))
-
-    def step_fetch(self, handle):
-        """Blocking host fetch of a dispatched step's result — the ONLY
-        phase safe to run on a worker thread (no engine state access)."""
-        packed, chain_fn, n_steps, _ = handle
-        return fetch_step_result(packed, chain_fn, self.max_slots, n_steps)
 
     def step_commit(self, handle, fetched) -> Tuple[Dict[int, np.ndarray], Optional[np.ndarray]]:
         """Host bookkeeping for a fetched step, against the slot→request

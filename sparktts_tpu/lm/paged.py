@@ -31,7 +31,11 @@ import numpy as np
 
 from sparktts_tpu.config import QwenConfig
 from sparktts_tpu.kernels.paged_attention import paged_decode_attention
-from sparktts_tpu.lm.continuous import DISPATCH_LADDER, AdmissionDeferred
+from sparktts_tpu.lm.continuous import (
+    DISPATCH_LADDER,
+    AdmissionDeferred,
+    StepProtocolMixin,
+)
 from sparktts_tpu.lm.generate import _expand_constrained
 from sparktts_tpu.lm.qwen import (
     embed_lookup,
@@ -303,7 +307,7 @@ def paged_admit_prefill(
     )
 
 
-class PagedContinuousEngine:
+class PagedContinuousEngine(StepProtocolMixin):
     """Host-side page allocator + slot manager (same public API as
     `ContinuousBatchingEngine`: submit / step / run_until_done / finished)."""
 
@@ -531,22 +535,8 @@ class PagedContinuousEngine:
             done=self.slots.done.at[slot].set(True),
         )
 
-    def step(self, n_steps: int = 16) -> Dict[int, np.ndarray]:
-        """Advance all active slots by (about) n_steps tokens — snapped to
-        the DISPATCH_LADDER; slots stop on device at their token limit."""
-        return self.step_chained(n_steps, None)[0]
-
-    def step_chained(self, n_steps: int = 16, chain_fn=None) -> Tuple[Dict[int, np.ndarray], Optional[np.ndarray]]:
-        """`step` with an optional chained device computation fetched in the
-        same single host transfer — see
-        `ContinuousBatchingEngine.step_chained`."""
-        handle = self.step_begin(n_steps, chain_fn)
-        if handle is None:
-            return {}, None
-        return self.step_commit(handle, self.step_fetch(handle))
-
-    # -- three-phase step (same protocol/contract as the dense engine:
-    #    ContinuousBatchingEngine.step_begin/step_fetch/step_commit) --------
+    # -- three-phase step: step/step_chained/step_fetch come from
+    #    StepProtocolMixin (shared contract with the dense engine) ---------
 
     def step_begin(self, n_steps: int, chain_fn=None):
         if all(o is None for o in self.owner):
@@ -572,13 +562,6 @@ class PagedContinuousEngine:
             self.interpret,
         )
         return (packed, chain_fn, n_steps, list(self.owner))
-
-    def step_fetch(self, handle):
-        """Blocking host fetch — the only phase safe on a worker thread."""
-        from sparktts_tpu.lm.continuous import fetch_step_result
-
-        packed, chain_fn, n_steps, _ = handle
-        return fetch_step_result(packed, chain_fn, self.max_slots, n_steps)
 
     def step_commit(self, handle, fetched) -> Tuple[Dict[int, np.ndarray], Optional[np.ndarray]]:
         _, _, _, owner_snapshot = handle

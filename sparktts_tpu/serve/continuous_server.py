@@ -203,6 +203,10 @@ class ContinuousTTSServer:
         self._vocode_q: asyncio.Queue = asyncio.Queue()
         # dedicated thread so vocoding overlaps the next decode dispatch
         self._vocode_pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="vocode")
+        # dedicated thread for the blocking decode fetch — a concurrent
+        # future we can still .result() synchronously when the loop task is
+        # cancelled mid-step (commit-on-cancel below)
+        self._fetch_pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="fetch")
         self.stage_stats = StageStats()
         self.stats = {"requests": 0, "completed": 0, "admitted_midflight": 0, "deferrals": 0}
         if paged:
@@ -214,6 +218,10 @@ class ContinuousTTSServer:
         if self._vocode_pool._shutdown:  # restarted after stop()
             self._vocode_pool = ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="vocode"
+            )
+        if self._fetch_pool._shutdown:
+            self._fetch_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="fetch"
             )
         if self._task is None:
             self._task = asyncio.create_task(self._loop())
@@ -230,9 +238,10 @@ class ContinuousTTSServer:
                 except asyncio.CancelledError:
                     pass
                 setattr(self, attr, None)
-        # release the vocode worker thread (servers are constructed per bench
+        # release the worker threads (servers are constructed per bench
         # run — leaked threads would pin their pipelines for the process life)
         self._vocode_pool.shutdown(wait=False)
+        self._fetch_pool.shutdown(wait=False)
 
     async def synthesize(
         self,
@@ -752,13 +761,19 @@ class ContinuousTTSServer:
                 try:
                     pending = await getter  # won the race with the cancel
                 except asyncio.CancelledError:
+                    # distinguish the getter's own cancellation (fetch done:
+                    # normal exit) from server.stop() cancelling THIS task at
+                    # this await — swallowing the latter would resume the
+                    # loop and hang stop() forever on `await task`
+                    task = asyncio.current_task()
+                    if task is not None and task.cancelling():
+                        raise
                     return
             else:
                 pending = getter.result()
             self._try_admit(pending, engine_idle=False)
 
     async def _loop(self):
-        loop = asyncio.get_running_loop()
         while True:
             # admit as many waiting requests as slots (and page reservations)
             # allow; deferred requests retry first to keep arrival order
@@ -767,6 +782,13 @@ class ContinuousTTSServer:
                 idle = all(o is None for o in self.engine.owner)
                 if not self._try_admit(pending, engine_idle=idle):
                     break  # backpressured: stop admitting until slots free
+
+            # deliver any finishes a cancelled mid-step commit left behind
+            # (stop() during a step still commits engine bookkeeping but
+            # skips delivery; after start() these would otherwise strand
+            # their consumers forever)
+            for req_id in [r for r in self.engine.finished if r in self.inflight]:
+                self._finish(req_id, self.engine.finished.pop(req_id))
 
             if all(o is None for o in self.engine.owner):
                 # idle: wait for the next request without burning CPU
@@ -783,11 +805,26 @@ class ContinuousTTSServer:
                 req_steps = self._requested_steps()
                 spec = self._plan_spec(snap_to_ladder(req_steps, self.engine.max_dispatch))
                 handle = self.engine.step_begin(req_steps, spec[2] if spec else None)
-                fetch_fut = loop.run_in_executor(
-                    None, self.engine.step_fetch, handle
-                )
-                await self._admit_while_fetching(fetch_fut)
-                increments, chained = self.engine.step_commit(handle, await fetch_fut)
+                cfut = self._fetch_pool.submit(self.engine.step_fetch, handle)
+                try:
+                    fetch_fut = asyncio.wrap_future(cfut)
+                    await self._admit_while_fetching(fetch_fut)
+                    fetched = await fetch_fut
+                except asyncio.CancelledError:
+                    # stop() cancelled the loop mid-step.  The decode
+                    # dispatch has already advanced the device cache, so the
+                    # host bookkeeping MUST still commit (blocking fetch on
+                    # this thread; it completes as soon as the device
+                    # program does) — otherwise a stop()/start() restart
+                    # resumes with this dispatch's tokens missing from the
+                    # buffers and, on the paged engine, tokens_seen
+                    # undercounting page needs (silent KV corruption).
+                    try:
+                        self.engine.step_commit(handle, cfut.result(timeout=120))
+                    except Exception:
+                        logger.exception("step commit during shutdown failed")
+                    raise
+                increments, chained = self.engine.step_commit(handle, fetched)
                 self.stage_stats.record("decode_dispatch", time.perf_counter() - t0)
             except Exception as e:
                 # an engine failure must not kill the serving loop: fail every

@@ -482,6 +482,7 @@ def serve_http(
     paged_kv: bool = False,
     warmup: bool = False,
     grpc_port: Optional[int] = None,
+    control: Optional[dict] = None,
 ):
     """Blocking HTTP JSON server.
 
@@ -496,8 +497,19 @@ def serve_http(
                            Backed by the continuous-batching engine so
                            concurrent streams share the decode batch.
       * GET /stats, GET /health
+
+    `control`, when given, is filled with a `"stop"` callable (graceful
+    shutdown: HTTP socket, gRPC front, serving loops, event loop) and the
+    bound servers — for embedding/tests; production deployments just let the
+    process own the socket.
     """
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    if grpc_port is not None and not streaming:
+        # the gRPC front shares the continuous streaming engine; accepting
+        # the flag and silently not listening would strand clients with a
+        # connection-refused and no server-side hint
+        raise ValueError("grpc_port requires streaming=True (the gRPC front shares the continuous decode engine)")
 
     server = TTSServer(pipeline, max_batch=max_batch)
     cserver = None
@@ -525,6 +537,7 @@ def serve_http(
         # pay every compile before the socket opens — a load balancer sees
         # the port only once the first real request would be fast
         warmup_servers(pipeline, server, cserver, loop)
+    stop_grpc = None
     if grpc_port is not None and cserver is not None:
         # gRPC front door SHARING the streaming engine: requests from both
         # transports join the same decode batch (one KV pool, like Triton
@@ -535,6 +548,7 @@ def serve_http(
             grpc_srv, _grpc_backend = serve_grpc(
                 pipeline, host=host, port=grpc_port, cserver=cserver, loop=loop
             )
+            stop_grpc = lambda: grpc_srv.stop(grace=0)  # noqa: E731
             logger.info("gRPC front listening on %s:%d", host, grpc_srv.bound_port)
         except ImportError:
             # grpcio absent: same messages/semantics over the framed transport
@@ -543,6 +557,7 @@ def serve_http(
             framed = FramedSocketServer(
                 pipeline, host=host, port=grpc_port, cserver=cserver, loop=loop
             )
+            stop_grpc = framed.close
             logger.info(
                 "grpcio not installed; framed gRPC transport on %s:%d",
                 framed.host, framed.port,
@@ -816,5 +831,29 @@ def serve_http(
             logger.debug(fmt, *args)
 
     httpd = ThreadingHTTPServer((host, port), Handler)
+
+    def stop(timeout: float = 10.0):
+        """Graceful shutdown (tests/embedding): HTTP socket, gRPC front,
+        serving loops, event loop — in dependency order, so no daemon
+        thread keeps pinning the pipeline after the caller returns."""
+        httpd.shutdown()
+        if stop_grpc is not None:
+            try:
+                stop_grpc()
+            except Exception:
+                logger.exception("gRPC front shutdown failed")
+
+        async def _stop_servers():
+            if cserver is not None:
+                await cserver.stop()
+            await server.stop()
+
+        asyncio.run_coroutine_threadsafe(_stop_servers(), loop).result(timeout)
+        loop.call_soon_threadsafe(loop.stop)
+        t.join(timeout)
+
+    if control is not None:
+        control.update(httpd=httpd, loop=loop, server=server,
+                       cserver=cserver, stop=stop)
     logger.info("TTS server listening on %s:%d", host, port)
     httpd.serve_forever()

@@ -387,39 +387,50 @@ def test_http_and_grpc_share_one_engine():
         ),
     )
     pipe = SparkTTSPipeline(config=cfg, max_new_tokens=12, prompt_bucket=32)
+    control = {}
     t = threading.Thread(
         target=lambda: __import__(
             "sparktts_tpu.serve.server", fromlist=["serve_http"]
         ).serve_http(
             pipe, host="127.0.0.1", port=http_port, max_batch=2,
-            stream_steps_per_dispatch=4, grpc_port=grpc_port,
+            stream_steps_per_dispatch=4, grpc_port=grpc_port, control=control,
         ),
         daemon=True,
     )
     t.start()
     deadline = time.time() + 60
+    healthy = False
     while time.time() < deadline:
         try:
             urllib.request.urlopen(f"http://127.0.0.1:{http_port}/health", timeout=2)
+            healthy = True
             break
         except Exception:
             time.sleep(0.5)
+    assert healthy, "server failed to come up within 60 s"
 
-    wav = np.zeros(4000, np.float32)
-    wav[::50] = 0.2
-    # one stream over gRPC...
-    chunks = list(
-        grpc_synthesize_stream("127.0.0.1", grpc_port, "over grpc", prompt_wav=wav)
-    )
-    total = np.concatenate([c for c, _ in chunks]) if chunks else np.zeros(0)
-    assert np.isfinite(total).all()
-    # ...and one over HTTP, then both must show in the SHARED stats
-    got = list(
-        C.synthesize_stream("127.0.0.1", http_port, "over http", prompt_wav=wav)
-    )
-    assert got and all(np.isfinite(c).all() for c, _ in got)
-    stats = _json.loads(
-        urllib.request.urlopen(f"http://127.0.0.1:{http_port}/stats", timeout=10).read()
-    )
-    assert stats["streaming"]["requests"] == 2
-    assert stats["streaming"]["completed"] == 2
+    try:
+        wav = np.zeros(4000, np.float32)
+        wav[::50] = 0.2
+        # one stream over gRPC...
+        chunks = list(
+            grpc_synthesize_stream("127.0.0.1", grpc_port, "over grpc", prompt_wav=wav)
+        )
+        total = np.concatenate([c for c, _ in chunks]) if chunks else np.zeros(0)
+        assert np.isfinite(total).all()
+        # ...and one over HTTP, then both must show in the SHARED stats
+        got = list(
+            C.synthesize_stream("127.0.0.1", http_port, "over http", prompt_wav=wav)
+        )
+        assert got and all(np.isfinite(c).all() for c, _ in got)
+        stats = _json.loads(
+            urllib.request.urlopen(f"http://127.0.0.1:{http_port}/stats", timeout=10).read()
+        )
+        assert stats["streaming"]["requests"] == 2
+        assert stats["streaming"]["completed"] == 2
+    finally:
+        # serve_http's graceful-shutdown handle: without it the daemon
+        # thread, gRPC server and loop would pin the pipeline (and ports)
+        # for the rest of the pytest session
+        control["stop"]()
+    assert not t.is_alive()
