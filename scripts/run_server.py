@@ -36,6 +36,10 @@ def main():
     parser.add_argument("--grpc_port", type=int, default=None,
                         help="also serve gRPC on this port, sharing the "
                              "HTTP streaming engine (one decode batch)")
+    parser.add_argument("--voice_cache", type=int, default=0,
+                        help="LRU size of the speaker-prompt token cache "
+                             "(0 = off): repeat requests with the same "
+                             "prompt voice skip the audio-tokenize stack")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
@@ -47,6 +51,7 @@ def main():
         max_new_tokens=args.max_new_tokens,
         guided=not args.no_guided,
         speculative_k=args.speculative_k,
+        voice_cache_size=args.voice_cache,
     )
     serve_http(
         pipe, host=args.host, port=args.port, max_batch=args.max_batch,

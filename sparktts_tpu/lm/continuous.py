@@ -292,8 +292,8 @@ def admit_prefill_fused(
     (flash kernel) but NO decode-shaped fused kernels — the v5e
     prefill+decode-kernel miscompile class doesn't apply.
 
-    Returns (new slots, global_tokens (1, N) — still on device, for the
-    vocoder)."""
+    Returns (new slots, global_tokens (1, N), semantic_tokens (1, S_pad)) —
+    token arrays still on device, for the vocoder and the voice cache."""
     semantic, global_t = tokenize_fn(w2v_params, bc_params, wav, feature_mask, ref_wav)
     ids = assemble_fn(
         scaffold,
@@ -309,7 +309,60 @@ def admit_prefill_fused(
         limit=limit, control=False,
         clone_slice=clone_slice, clone_extras=clone_extras,
     )
-    return new_slots, global_t
+    return new_slots, global_t, semantic
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "slot_cache_len", "top_k", "greedy", "vocab_slice", "extra_ids",
+        "clone_slice", "clone_extras", "assemble_fn",
+    ),
+    donate_argnums=(1,),
+)
+def admit_prefill_assembled(
+    params,
+    slots: SlotState,
+    cfg: QwenConfig,
+    slot: jax.Array,
+    global_t: jax.Array,       # (1, N) int32 cached global tokens (device)
+    semantic: jax.Array,       # (1, S_pad) int32 cached semantic tokens
+    scaffold: jax.Array,       # (1, t_pad) int32 host-built prompt scaffold
+    g_off: jax.Array,          # (1,)
+    s_off: jax.Array,          # (1,)
+    n_sem: jax.Array,          # (1,) semantic ids to include (0 = none)
+    prompt_len: jax.Array,     # scalar true prompt length
+    slot_cache_len: int,
+    temperature: float = 0.8,
+    top_k: int = 50,
+    top_p: float = 0.95,
+    greedy: bool = False,
+    vocab_slice: Tuple[int, int] | None = None,
+    extra_ids: Tuple[int, ...] = (),
+    limit: jax.Array | int | None = None,
+    clone_slice: Tuple[int, int] | None = None,
+    clone_extras: Tuple[int, ...] = (),
+    assemble_fn=None,          # static: pipeline._assemble_fn_batch(t_pad, s_pad)
+) -> SlotState:
+    """`admit_prefill_fused` for a VOICE-CACHE hit: the codec tokens are
+    already on device, so the admission is prompt assembly + prefill in ONE
+    dispatch and the whole audio-tokenize stack (wav2vec2 forward + BiCodec
+    encode + speaker path) is skipped.  Clone mode only (the cache stores
+    clone-prompt voices)."""
+    ids = assemble_fn(
+        scaffold,
+        jnp.asarray(global_t, jnp.int32),
+        jnp.asarray(semantic, jnp.int32),
+        g_off,
+        s_off,
+        n_sem,
+    )
+    return admit_prefill(
+        params, slots, cfg, slot, ids, prompt_len, slot_cache_len,
+        temperature, top_k, top_p, greedy, vocab_slice, extra_ids,
+        limit=limit, control=False,
+        clone_slice=clone_slice, clone_extras=clone_extras,
+    )
 
 
 def pack_step_result(toks: jax.Array, valid: jax.Array, done: jax.Array) -> jax.Array:
@@ -392,6 +445,39 @@ class StepProtocolMixin:
         phase safe to run on a worker thread (no engine state access)."""
         packed, chain_fn, n_steps, _ = handle
         return fetch_step_result(packed, chain_fn, self.max_slots, n_steps)
+
+    def step_commit(self, handle, fetched) -> Tuple[Dict[int, np.ndarray], Optional[np.ndarray]]:
+        """Host bookkeeping for a fetched step, against the slot→request
+        snapshot taken at step_begin (slots admitted meanwhile are invisible
+        to the in-flight program and must stay untouched here).  Engine
+        specifics go through the `_commit_slot_tokens`/`_commit_slot_done`
+        hooks so the commit semantics cannot drift between engines."""
+        _, _, _, owner_snapshot = handle
+        toks, valid, done, extra = fetched
+        out: Dict[int, np.ndarray] = {}
+        for slot, req in enumerate(owner_snapshot):
+            if req is None:
+                continue
+            new = toks[slot][valid[slot]]
+            if new.size:
+                self.buffers[req].extend(new.tolist())
+                out[req] = new
+            n_valid = int(valid[slot].sum())
+            self.budget[slot] -= n_valid
+            self._commit_slot_tokens(slot, n_valid)
+            if done[slot]:
+                self.finished[req] = np.asarray(self.buffers.pop(req), np.int32)
+                self.owner[slot] = None
+                self._commit_slot_done(slot)
+        return out, extra
+
+    def _commit_slot_tokens(self, slot: int, n_valid: int) -> None:
+        """Engine hook: per-slot accounting beyond the shared budget
+        decrement (the paged engine tracks tokens_seen for page growth)."""
+
+    def _commit_slot_done(self, slot: int) -> None:
+        """Engine hook: release device/memory state for a finished slot."""
+        raise NotImplementedError
 
 
 @functools.partial(
@@ -764,7 +850,8 @@ class ContinuousBatchingEngine(StepProtocolMixin):
         Runs the AOT executable for this shape signature, compiling it first
         if `warm_fused` hasn't (the server only routes here when warm, so
         the inline compile is the direct-use path, not the serving path).
-        Returns (req_id, global_tokens (1, N) still on device)."""
+        Returns (req_id, global_tokens (1, N), semantic_tokens (1, S_pad)) —
+        token arrays still on device (vocoder / voice cache)."""
         t_pad = len(scaffold)
         assert prompt_len <= t_pad
         slot = self._take_slot(t_pad, max_new_tokens)
@@ -784,8 +871,123 @@ class ContinuousBatchingEngine(StepProtocolMixin):
             top_p,
             prompt_len + max_new_tokens,
         )
-        self.slots, global_t = self._fused_exe[key](*args, **kwargs)
-        return self._register_request(slot, max_new_tokens), global_t
+        self.slots, global_t, semantic = self._fused_exe[key](*args, **kwargs)
+        return self._register_request(slot, max_new_tokens), global_t, semantic
+
+    # -- assembled admission (voice-cache hit: tokens already on device) ---
+
+    def assembled_key(self, global_t, semantic, t_pad: int) -> tuple:
+        """Shape signature of an assembled-admission program (voice-cache
+        hit).  Namespaced so it shares the fused executable dict/locks."""
+        return ("asm", tuple(global_t.shape), tuple(semantic.shape), t_pad)
+
+    def assembled_ready(self, global_t, semantic, t_pad: int) -> bool:
+        return self.assembled_key(global_t, semantic, t_pad) in self._fused_exe
+
+    def _assembled_traced(
+        self, slot, global_t, semantic, scaffold_row, g_off, s_off, n_sem,
+        prompt_len, temperature, top_p, limit,
+    ):
+        args = (
+            self.params, self.slots, jnp.asarray(slot, jnp.int32),
+            jnp.asarray(global_t, jnp.int32), jnp.asarray(semantic, jnp.int32),
+            scaffold_row,
+            jnp.asarray([g_off], jnp.int32), jnp.asarray([s_off], jnp.int32),
+            jnp.asarray([n_sem], jnp.int32), jnp.asarray(prompt_len, jnp.int32),
+        )
+        kwargs = dict(
+            temperature=jnp.asarray(temperature, jnp.float32),
+            top_p=jnp.asarray(top_p, jnp.float32),
+            limit=jnp.asarray(limit, jnp.int32),
+        )
+        return args, kwargs
+
+    def warm_assembled(self, assemble_fn, global_t, semantic, t_pad: int) -> None:
+        """AOT-compile the assembled-admission executable for this shape
+        signature (same thread-safety/idempotence/process-global-cache
+        policy as `warm_fused`)."""
+        key = self.assembled_key(global_t, semantic, t_pad)
+        with self._fused_lock:
+            if key in self._fused_exe:
+                return
+        gkey = self._fused_global_key(key, None, assemble_fn)
+        with _FUSED_CACHE_LOCK:
+            cached = _FUSED_EXE_CACHE.get(gkey)
+        if cached is not None:
+            with self._fused_lock:
+                self._fused_exe.setdefault(key, cached)
+            return
+
+        def sds(x):
+            if isinstance(x, jax.Array):
+                return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+            x = jnp.asarray(x)
+            return jax.ShapeDtypeStruct(x.shape, x.dtype)
+
+        scaffold_row = jnp.zeros((1, t_pad), jnp.int32)
+        temperature, top_k, top_p = self._resolve_sampling(None, None)
+        args, kwargs = self._assembled_traced(
+            0, global_t, semantic, scaffold_row, 0, 0, 0, 0, temperature, top_p, 0
+        )
+        args_sds = jax.tree.map(sds, args)
+        kwargs_sds = jax.tree.map(sds, kwargs)
+        lowered = admit_prefill_assembled.lower(
+            args_sds[0], args_sds[1], self.cfg, *args_sds[2:],
+            slot_cache_len=self.cache_len,
+            top_k=top_k,
+            greedy=self.greedy,
+            vocab_slice=self.vocab_slice,
+            extra_ids=self.extra_ids,
+            clone_slice=self.clone_slice,
+            clone_extras=self.clone_extras,
+            assemble_fn=assemble_fn,
+            **kwargs_sds,
+        )
+        exe = lowered.compile()
+        with self._fused_lock:
+            self._fused_exe.setdefault(key, exe)
+        with _FUSED_CACHE_LOCK:
+            _FUSED_EXE_CACHE.setdefault(gkey, exe)
+
+    def submit_assembled(
+        self,
+        assemble_fn,
+        global_t,               # (1, N) int32 device — cached voice tokens
+        semantic,               # (1, S_pad) int32 device
+        scaffold: np.ndarray,   # (t_pad,) int32, t_pad % prompt_pad == 0
+        g_off: int,
+        s_off: int,
+        n_sem: int,
+        prompt_len: int,
+        max_new_tokens: int = 512,
+        temperature: float | None = None,
+        top_p: float | None = None,
+    ) -> int:
+        """Clone-mode admission from CACHED voice tokens as ONE device
+        dispatch (prompt assembly + prefill; no audio tokenization).
+        Returns the request id."""
+        t_pad = len(scaffold)
+        assert prompt_len <= t_pad
+        slot = self._take_slot(t_pad, max_new_tokens)
+        temperature, _, top_p = self._resolve_sampling(temperature, top_p)
+        key = self.assembled_key(global_t, semantic, t_pad)
+        if key not in self._fused_exe:
+            self.warm_assembled(assemble_fn, global_t, semantic, t_pad)
+        args, kwargs = self._assembled_traced(
+            slot,
+            global_t,
+            semantic,
+            jnp.asarray(np.asarray(scaffold, np.int32)[None, :]),
+            g_off,
+            s_off,
+            n_sem,
+            prompt_len,
+            temperature,
+            top_p,
+            prompt_len + max_new_tokens,
+        )
+        self.slots = self._fused_exe[key](*args, **kwargs)
+        return self._register_request(slot, max_new_tokens)
 
     # -- three-phase step: dispatch / blocking fetch / host bookkeeping ----
     #
@@ -828,29 +1030,13 @@ class ContinuousBatchingEngine(StepProtocolMixin):
         )
         return (packed, chain_fn, n_steps, list(self.owner))
 
-    def step_commit(self, handle, fetched) -> Tuple[Dict[int, np.ndarray], Optional[np.ndarray]]:
-        """Host bookkeeping for a fetched step, against the slot→request
-        snapshot taken at step_begin (slots admitted meanwhile are invisible
-        to the in-flight program and must stay untouched here)."""
-        _, _, _, owner_snapshot = handle
-        toks, valid, done, extra = fetched
-        out: Dict[int, np.ndarray] = {}
-        for slot, req in enumerate(owner_snapshot):
-            if req is None:
-                continue
-            new = toks[slot][valid[slot]]
-            if new.size:
-                self.buffers[req].extend(new.tolist())
-                out[req] = new
-            self.budget[slot] -= int(valid[slot].sum())
-            if done[slot]:
-                self.finished[req] = np.asarray(self.buffers.pop(req), np.int32)
-                self.owner[slot] = None
-                # deactivate the slot on device
-                self.slots = self.slots._replace(
-                    active=self.slots.active.at[slot].set(False),
-                )
-        return out, extra
+    # step_commit comes from StepProtocolMixin; only the finished-slot
+    # release is engine-specific here
+    def _commit_slot_done(self, slot: int) -> None:
+        # deactivate the slot on device
+        self.slots = self.slots._replace(
+            active=self.slots.active.at[slot].set(False),
+        )
 
     def release_slot(self, slot: int) -> None:
         """Forcibly free a slot (failure containment): drops the request's

@@ -563,24 +563,13 @@ class PagedContinuousEngine(StepProtocolMixin):
         )
         return (packed, chain_fn, n_steps, list(self.owner))
 
-    def step_commit(self, handle, fetched) -> Tuple[Dict[int, np.ndarray], Optional[np.ndarray]]:
-        _, _, _, owner_snapshot = handle
-        toks, valid, done, extra = fetched
-        out: Dict[int, np.ndarray] = {}
-        for slot, req in enumerate(owner_snapshot):
-            if req is None:
-                continue
-            new = toks[slot][valid[slot]]
-            if new.size:
-                self.buffers[req].extend(new.tolist())
-                out[req] = new
-            self.tokens_seen[slot] += int(valid[slot].sum())
-            self.budget[slot] -= int(valid[slot].sum())
-            if done[slot]:
-                self.finished[req] = np.asarray(self.buffers.pop(req), np.int32)
-                self.owner[slot] = None
-                self._release(slot)
-        return out, extra
+    # step_commit comes from StepProtocolMixin; the paged engine's extra
+    # bookkeeping is tokens_seen (drives page growth) and page release
+    def _commit_slot_tokens(self, slot: int, n_valid: int) -> None:
+        self.tokens_seen[slot] += n_valid
+
+    def _commit_slot_done(self, slot: int) -> None:
+        self._release(slot)
 
     def release_slot(self, slot: int) -> None:
         """Forcibly free a slot (failure containment): drops buffered tokens,

@@ -17,7 +17,11 @@ TPU-shaped differences from the reference (behavior-preserving):
 
 from __future__ import annotations
 
+import hashlib
 import logging
+import os
+import threading
+from collections import OrderedDict
 from pathlib import Path
 from typing import Dict, Optional, Tuple
 
@@ -96,6 +100,7 @@ class SparkTTSPipeline:
         speculative_k: int = 0,
         draft_layers: int = 6,
         codec_device=None,
+        voice_cache_size: int = 0,
     ):
         if model_dir is not None:
             self.config = load_spark_config(model_dir)
@@ -155,6 +160,61 @@ class SparkTTSPipeline:
         )
 
         self._jit_cache: Dict[tuple, object] = {}
+
+        # voice cache: (global, semantic) token LRU keyed by prompt-wav
+        # content.  Production TTS typically serves ONE voice across many
+        # texts — a hit skips the whole audio-tokenize stack (wav2vec2
+        # forward + BiCodec encode + speaker path) per request.  Tokenize is
+        # a pure function of the wav, so the cache is output-transparent.
+        # The reference re-tokenizes every request (its Triton
+        # audio_tokenizer model has no cache) — this is beyond-parity.
+        # Off by default (0): recorded benchmarks compare against the
+        # reference without it.
+        self.voice_cache_size = voice_cache_size
+        self._voice_cache: "OrderedDict[bytes, tuple]" = OrderedDict()
+        self._voice_lock = threading.Lock()
+        self.voice_cache_stats = {"hits": 0, "misses": 0}
+
+    # ------------------------------------------------------------------
+    # voice cache
+    # ------------------------------------------------------------------
+
+    def voice_cache_key(self, audio) -> Optional[bytes]:
+        """Cache key for a prompt voice, or None when the cache is off.
+        Array input is keyed by content hash; path input by
+        (realpath, size, mtime) — the standard stat signature, so an
+        edited file re-tokenizes."""
+        if self.voice_cache_size <= 0 or audio is None:
+            return None
+        if isinstance(audio, (str, Path)):
+            st = os.stat(audio)
+            basis = f"p:{os.path.realpath(audio)}:{st.st_size}:{st.st_mtime_ns}".encode()
+        else:
+            a = np.ascontiguousarray(audio)
+            basis = b"a:" + str((a.shape, a.dtype)).encode() + a.tobytes()
+        return hashlib.blake2b(basis, digest_size=16).digest()
+
+    def voice_cache_get(self, key: Optional[bytes]):
+        """(global_t, semantic, true_sem) for a cached voice, else None."""
+        if key is None:
+            return None
+        with self._voice_lock:
+            hit = self._voice_cache.get(key)
+            if hit is not None:
+                self._voice_cache.move_to_end(key)
+                self.voice_cache_stats["hits"] += 1
+            else:
+                self.voice_cache_stats["misses"] += 1
+            return hit
+
+    def voice_cache_put(self, key: Optional[bytes], value: tuple) -> None:
+        if key is None:
+            return
+        with self._voice_lock:
+            self._voice_cache[key] = value
+            self._voice_cache.move_to_end(key)
+            while len(self._voice_cache) > self.voice_cache_size:
+                self._voice_cache.popitem(last=False)
 
     # ------------------------------------------------------------------
     # weights
@@ -293,17 +353,28 @@ class SparkTTSPipeline:
         )
         return fn, tok_args, true_frames_w2v // self._enc_ratio, total_frames // self._enc_ratio
 
-    def tokenize_audio_device(self, audio) -> Tuple[jax.Array, jax.Array, int]:
+    _KEY_UNSET = object()
+
+    def tokenize_audio_device(self, audio, cache_key=_KEY_UNSET) -> Tuple[jax.Array, jax.Array, int]:
         """Audio path or float array → (global_tokens (1, N), semantic_tokens
         (1, S_pad), true_semantic_len) with the token arrays LEFT ON DEVICE —
         no host transfer.  The true semantic count is a deterministic
         function of the wav length, so callers (device-side prompt assembly,
         `serve/continuous_server.py`) never need to read the device arrays to
         know the shapes; on a tunneled TPU that saves a full relay round-trip
-        per admission."""
+        per admission.
+
+        `cache_key`: voice-cache key when the caller already looked it up
+        (and missed) — skips the redundant get, still populates."""
+        if cache_key is SparkTTSPipeline._KEY_UNSET:
+            cache_key = self.voice_cache_key(audio)
+            hit = self.voice_cache_get(cache_key)
+            if hit is not None:
+                return hit
         fn, tok_args, true_sem, _ = self.tokenize_host_prep(audio)
         with stage("tokenize_audio"):
             semantic, global_t = fn(*tok_args)
+        self.voice_cache_put(cache_key, (global_t, semantic, true_sem))
         return global_t, semantic, true_sem
 
     def tokenize_audio(self, audio) -> Tuple[np.ndarray, np.ndarray]:

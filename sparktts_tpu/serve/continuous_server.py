@@ -459,23 +459,28 @@ class ContinuousTTSServer:
         scaffold = np.pad(scaffold, (0, t_pad - prompt_len), constant_values=tok.pad_id)
         return scaffold, prompt_len, g_off, s_off, t_pad
 
-    def _start_fused_warm(self, fn, assemble_fn, tok_args, t_pad):
-        """Kick an off-loop compile of the fused-admission executable for a
+    def _start_warm(self, key, thunk):
+        """Kick an off-loop compile of an admission executable for a
         first-seen shape signature; at most one warm thread per signature."""
-        key = self.engine.fused_key(tok_args, t_pad)
         if key in self._fused_warming:
             return
         self._fused_warming.add(key)
 
         def warm():
             try:
-                self.engine.warm_fused(fn, assemble_fn, tok_args, t_pad)
+                thunk()
             except Exception:
-                logger.exception("fused admission warm failed for %s", key)
+                logger.exception("admission warm failed for %s", key)
             finally:
                 self._fused_warming.discard(key)
 
         threading.Thread(target=warm, name="fused-warm", daemon=True).start()
+
+    def _start_fused_warm(self, fn, assemble_fn, tok_args, t_pad):
+        self._start_warm(
+            self.engine.fused_key(tok_args, t_pad),
+            lambda: self.engine.warm_fused(fn, assemble_fn, tok_args, t_pad),
+        )
 
     def _admit(self, pending: _Pending) -> Optional[int]:
         # time spent queued, not including the admission prefill itself
@@ -486,8 +491,61 @@ class ContinuousTTSServer:
             ids = build_control_prompt(tok, pending.text, pending.gender, pending.pitch, pending.speed)
             mode = "control"
         elif self.device_admission:
+            vkey = self.pipe.voice_cache_key(pending.prompt_wav)
+            cached = self.pipe.voice_cache_get(vkey)
             use_fused = self.fused_admission and hasattr(self.engine, "submit_fused")
-            if use_fused:
+            if cached is not None:
+                # voice-cache hit: the codec tokens are already on device —
+                # the whole audio-tokenize stack is skipped.  On the dense
+                # engine the admission is ONE dispatch (assembly + prefill,
+                # admit_prefill_assembled); engines without it (paged) take
+                # the zero-sync chained path below with the cached tokens.
+                g_dev, s_dev, n_sem_true = cached
+                use_sem = n_sem_true if pending.prompt_text is not None else 0
+                scaffold, prompt_len, g_off, s_off, t_pad = self._clone_scaffold(
+                    g_dev.shape[1], use_sem, pending
+                )
+                self._check_fits(t_pad, pending)
+                if hasattr(self.engine, "submit_assembled"):
+                    assemble_fn = self.pipe._assemble_fn_batch(t_pad, s_dev.shape[1])
+                    if not self.engine.assembled_ready(g_dev, s_dev, t_pad):
+                        if self.fused_warm == "sync":
+                            self.engine.warm_assembled(assemble_fn, g_dev, s_dev, t_pad)
+                        else:
+                            self._start_warm(
+                                self.engine.assembled_key(g_dev, s_dev, t_pad),
+                                lambda: self.engine.warm_assembled(
+                                    assemble_fn, g_dev, s_dev, t_pad
+                                ),
+                            )
+                    if self.engine.assembled_ready(g_dev, s_dev, t_pad):
+                        req_id = self.engine.submit_assembled(
+                            assemble_fn,
+                            g_dev,
+                            s_dev,
+                            scaffold,
+                            g_off,
+                            s_off,
+                            use_sem,
+                            prompt_len,
+                            max_new_tokens=pending.max_new_tokens,
+                            temperature=pending.temperature,
+                            top_p=pending.top_p,
+                        )
+                        self.stats["voice_cache_admissions"] = (
+                            self.stats.get("voice_cache_admissions", 0) + 1
+                        )
+                        pending.global_tokens = g_dev
+                        self.inflight[req_id] = pending
+                        return req_id
+                # cold assembled signature (or paged engine): chained
+                # admission reusing the cached device tokens
+                pending.global_tokens = g_dev
+                ids = self.pipe.assemble_clone_ids(
+                    scaffold, g_dev, s_dev, g_off, s_off, use_sem
+                )
+                mode = "clone"
+            elif use_fused:
                 # fully-fused admission: tokenize + assembly + prefill in ONE
                 # device dispatch (admit_prefill_fused) — each dispatch costs
                 # a fixed ~33 ms through the relay, so this is ~66 ms off
@@ -510,7 +568,7 @@ class ContinuousTTSServer:
                         # path below so live streams never stall on a compile
                         self._start_fused_warm(fn, assemble_fn, tok_args, t_pad)
                 if self.engine.fused_ready(tok_args, t_pad):
-                    req_id, g_dev = self.engine.submit_fused(
+                    req_id, g_dev, s_dev = self.engine.submit_fused(
                         fn,
                         assemble_fn,
                         tok_args,
@@ -526,6 +584,7 @@ class ContinuousTTSServer:
                     self.stats["fused_admissions"] = (
                         self.stats.get("fused_admissions", 0) + 1
                     )
+                    self.pipe.voice_cache_put(vkey, (g_dev, s_dev, n_sem_true))
                     pending.global_tokens = g_dev
                     self.inflight[req_id] = pending
                     return req_id
@@ -533,6 +592,7 @@ class ContinuousTTSServer:
                 # and scaffold already built (tokenize_fn(*tok_args) is
                 # exactly the device half of tokenize_audio_device)
                 s_dev, g_dev = fn(*tok_args)
+                self.pipe.voice_cache_put(vkey, (g_dev, s_dev, n_sem_true))
             else:
                 # zero-sync admission: codec tokens stay on device, the
                 # prompt is assembled there (the audio-token COUNTS are
@@ -540,7 +600,7 @@ class ContinuousTTSServer:
                 # straight on — the host never waits on the relay between
                 # tokenize and prefill
                 g_dev, s_dev, n_sem = self.pipe.tokenize_audio_device(
-                    pending.prompt_wav
+                    pending.prompt_wav, cache_key=vkey
                 )
                 use_sem = n_sem if pending.prompt_text is not None else 0
                 scaffold, prompt_len, g_off, s_off, t_pad = self._clone_scaffold(
@@ -773,6 +833,38 @@ class ContinuousTTSServer:
                 pending = getter.result()
             self._try_admit(pending, engine_idle=False)
 
+    def _deliver_step(self, increments, chained, spec, before):
+        """Host-side delivery of a COMMITTED step: dispatch-sizing token
+        accounting, the speculative inline first chunk, vocode handoff for
+        streaming consumers, and finishes.  Pure host bookkeeping — also
+        safe from the loop task's cancellation handler."""
+        # loop-thread token accounting for dispatch sizing (see
+        # _Pending.loop_tokens) — for EVERY increment, including one a
+        # speculative chunk will consume below
+        for req_id, new_tokens in increments.items():
+            p = self.inflight.get(req_id)
+            if p is not None:
+                p.loop_tokens += len(new_tokens)
+        # a validated speculative first chunk was already rendered inside
+        # the decode dispatch — push it inline; everything else goes to
+        # the vocode worker as usual
+        spec_req = (
+            self._apply_spec(spec, chained, increments)
+            if spec is not None and chained is not None
+            else None
+        )
+        # streaming consumers get chunks as soon as their schedule fills
+        # (vocoded on the worker thread, overlapping the next dispatch)
+        for req_id, new_tokens in increments.items():
+            if req_id == spec_req:
+                continue
+            pending = self.inflight.get(req_id)
+            if pending is not None and pending.chunk_queue is not None:
+                pending.loop_increments += 1
+                self._vocode_q.put_nowait((pending, new_tokens, False, False))
+        for req_id in set(self.engine.finished) - before:
+            self._finish(req_id, self.engine.finished.pop(req_id))
+
     async def _loop(self):
         while True:
             # admit as many waiting requests as slots (and page reservations)
@@ -784,9 +876,9 @@ class ContinuousTTSServer:
                     break  # backpressured: stop admitting until slots free
 
             # deliver any finishes a cancelled mid-step commit left behind
-            # (stop() during a step still commits engine bookkeeping but
-            # skips delivery; after start() these would otherwise strand
-            # their consumers forever)
+            # (the commit-on-cancel path below delivers too, but if ITS
+            # delivery failed these would otherwise strand their consumers
+            # forever after a stop()/start() restart)
             for req_id in [r for r in self.engine.finished if r in self.inflight]:
                 self._finish(req_id, self.engine.finished.pop(req_id))
 
@@ -818,9 +910,17 @@ class ContinuousTTSServer:
                     # program does) — otherwise a stop()/start() restart
                     # resumes with this dispatch's tokens missing from the
                     # buffers and, on the paged engine, tokens_seen
-                    # undercounting page needs (silent KV corruption).
+                    # undercounting page needs (silent KV corruption).  The
+                    # step is also DELIVERED, not just committed: a stream
+                    # surviving the restart must not have this dispatch's
+                    # tokens missing from its chunk schedule (silent audio
+                    # gap) — queued vocode work and finishes are picked up
+                    # when start() relaunches the workers.
                     try:
-                        self.engine.step_commit(handle, cfut.result(timeout=120))
+                        inc, ch = self.engine.step_commit(
+                            handle, cfut.result(timeout=120)
+                        )
+                        self._deliver_step(inc, ch, spec, before)
                     except Exception:
                         logger.exception("step commit during shutdown failed")
                     raise
@@ -837,32 +937,7 @@ class ContinuousTTSServer:
                         self.engine.release_slot(slot)
                 self.stats["failures"] = self.stats.get("failures", 0) + 1
                 continue
-            # loop-thread token accounting for dispatch sizing (see
-            # _Pending.loop_tokens) — for EVERY increment, including one a
-            # speculative chunk will consume below
-            for req_id, new_tokens in increments.items():
-                p = self.inflight.get(req_id)
-                if p is not None:
-                    p.loop_tokens += len(new_tokens)
-            # a validated speculative first chunk was already rendered inside
-            # the decode dispatch — push it inline; everything else goes to
-            # the vocode worker as usual
-            spec_req = (
-                self._apply_spec(spec, chained, increments)
-                if spec is not None and chained is not None
-                else None
-            )
-            # streaming consumers get chunks as soon as their schedule fills
-            # (vocoded on the worker thread, overlapping the next dispatch)
-            for req_id, new_tokens in increments.items():
-                if req_id == spec_req:
-                    continue
-                pending = self.inflight.get(req_id)
-                if pending is not None and pending.chunk_queue is not None:
-                    pending.loop_increments += 1
-                    self._vocode_q.put_nowait((pending, new_tokens, False, False))
-            for req_id in set(self.engine.finished) - before:
-                self._finish(req_id, self.engine.finished.pop(req_id))
+            self._deliver_step(increments, chained, spec, before)
             # reap requests whose streaming consumer went away: free the
             # decode slot instead of synthesizing for nobody
             for req_id, p in list(self.inflight.items()):

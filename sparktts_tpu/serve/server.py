@@ -463,6 +463,23 @@ def warmup_servers(
                     i + 1, len(wavs),
                 )
                 run(stream_once(wav))
+        if pipeline.voice_cache_size > 0 and hasattr(
+            cserver.engine, "submit_assembled"
+        ):
+            # the passes above populated the voice cache, so repeats take the
+            # cache-hit (assembled) admission: one pass kicks its background
+            # compiles, then each signature is admitted once through the
+            # warmed executable
+            for wav in wavs:
+                run(stream_once(wav))
+            while cserver._fused_warming and time.perf_counter() < deadline:
+                time.sleep(0.5)
+            for i, wav in enumerate(wavs):
+                logger.info(
+                    "warmup: streaming clone, voice-cache admission (wav bucket %d/%d)",
+                    i + 1, len(wavs),
+                )
+                run(stream_once(wav))
         for k in cserver.stats:
             cserver.stats[k] = 0
         cserver.stage_stats = type(cserver.stage_stats)()
@@ -591,6 +608,8 @@ def serve_http(
                 if cserver is not None:
                     stats["streaming"] = dict(cserver.stats)
                     stats["streaming_stages"] = cserver.stage_stats.summary()
+                if pipeline.voice_cache_size > 0:
+                    stats["voice_cache"] = dict(pipeline.voice_cache_stats)
                 self._send_json(stats)
             elif self.path == "/health":
                 ok = server.healthy
@@ -848,9 +867,14 @@ def serve_http(
                 await cserver.stop()
             await server.stop()
 
-        asyncio.run_coroutine_threadsafe(_stop_servers(), loop).result(timeout)
-        loop.call_soon_threadsafe(loop.stop)
-        t.join(timeout)
+        try:
+            asyncio.run_coroutine_threadsafe(_stop_servers(), loop).result(timeout)
+        finally:
+            # even if the graceful drain times out (e.g. a cold-compile
+            # decode dispatch still in flight), the loop thread must not
+            # outlive stop() and keep pinning the pipeline
+            loop.call_soon_threadsafe(loop.stop)
+            t.join(timeout)
 
     if control is not None:
         control.update(httpd=httpd, loop=loop, server=server,

@@ -301,6 +301,66 @@ def test_requested_steps_first_chunk_only(pipe):
     assert server._requested_steps() == 100    # single-stream: full budget
 
 
+def test_stop_midstep_commits_and_delivers(pipe):
+    """stop() racing a decode dispatch must both COMMIT the step (device
+    cache already advanced) and DELIVER its tokens: a stream surviving a
+    stop()/start() restart produces exactly the audio an uninterrupted run
+    produces.  Regression: commit-on-cancel used to drop the committed
+    increments, leaving a silent gap in (or truncating) surviving streams."""
+    import threading
+
+    text, wav_freq, budget = "restart survivor", 260, 14
+
+    async def run(interrupt):
+        server = ContinuousTTSServer(
+            pipe, max_slots=2, steps_per_dispatch=4, greedy=True
+        )
+        engine = server.engine
+        real_fetch = engine.step_fetch
+        loop = asyncio.get_running_loop()
+        fetch_started = asyncio.Event()
+        release = threading.Event()
+
+        def slow_fetch(handle):
+            loop.call_soon_threadsafe(fetch_started.set)
+            release.wait(timeout=600)
+            return real_fetch(handle)
+
+        if interrupt:
+            engine.step_fetch = slow_fetch
+        await server.start()
+        chunks = []
+
+        async def consume():
+            async for chunk in server.synthesize_streaming(
+                text, prompt_wav=_wav(wav_freq), max_new_tokens=budget
+            ):
+                chunks.append(chunk)
+
+        task = asyncio.create_task(consume())
+        if interrupt:
+            # guarantee stop() lands MID-STEP: the decode fetch is gated on
+            # `release`, so the loop task is parked awaiting it when the
+            # cancel arrives.  stop() blocks the event loop inside the
+            # commit-on-cancel fetch, so the gate opens from a plain thread.
+            await asyncio.wait_for(fetch_started.wait(), timeout=600)
+            threading.Timer(1.0, release.set).start()
+            await server.stop()
+            engine.step_fetch = real_fetch  # restart decodes normally
+            await server.start()
+        await asyncio.wait_for(task, timeout=600)
+        await server.stop()
+        return np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
+
+    loop_ = asyncio.new_event_loop()
+    base = loop_.run_until_complete(run(False))
+    survived = loop_.run_until_complete(run(True))
+    assert survived.shape == base.shape, (
+        f"restart lost audio: {survived.shape} vs uninterrupted {base.shape}"
+    )
+    np.testing.assert_allclose(survived, base, atol=1e-5)
+
+
 def test_admission_overlaps_inflight_fetch(pipe):
     """A request arriving while a decode fetch blocks its worker thread is
     admitted BEFORE the fetch completes (its tokenize/prefill dispatches

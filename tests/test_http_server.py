@@ -431,6 +431,9 @@ def test_http_and_grpc_share_one_engine():
     finally:
         # serve_http's graceful-shutdown handle: without it the daemon
         # thread, gRPC server and loop would pin the pipeline (and ports)
-        # for the rest of the pytest session
-        control["stop"]()
-    assert not t.is_alive()
+        # for the rest of the pytest session.  Guarded: if the server died
+        # before populating `control`, the real startup failure must not be
+        # masked by a KeyError from this cleanup.
+        if "stop" in control:
+            control["stop"]()
+            assert not t.is_alive()
