@@ -36,15 +36,22 @@ def server_port():
     )
     pipe = SparkTTSPipeline(config=cfg, max_new_tokens=12, prompt_bucket=32)
 
+    control = {}
     t = threading.Thread(
         target=lambda: __import__("sparktts_tpu.serve.server", fromlist=["serve_http"]).serve_http(
-            pipe, host="127.0.0.1", port=port, max_batch=2, stream_steps_per_dispatch=4
+            pipe, host="127.0.0.1", port=port, max_batch=2,
+            stream_steps_per_dispatch=4, control=control,
         ),
         daemon=True,
     )
     t.start()
     time.sleep(1.0)
-    return port
+    yield port
+    # shut the server down so its loop/worker threads don't stay live for
+    # the rest of the pytest session (leaked serving stacks accumulate
+    # threads against later tests' XLA compiles)
+    if "stop" in control:
+        control["stop"]()
 
 
 def test_http_roundtrip(server_port):
