@@ -75,10 +75,13 @@ def main():
         pipe.voice_cache_size = 8 if key == "voice_cache" else 0
         pipe._voice_cache.clear()
         mode_tasks = vc_tasks if key == "voice_cache" else tasks
-        # warm (compiles every program the mode needs — for voice_cache this
-        # also populates the cache, so the timed run is all hits), then measure
+        # warm with the FULL task list (compiles every shape signature the
+        # mode needs — the voice_cache mode's assembled programs are keyed by
+        # (S_pad, t_pad), so a subset warm would leave first-seen signatures
+        # compiling inside the timed run; it also populates the cache, so the
+        # timed run is all hits), then measure
         run_continuous_benchmark(
-            pipe, mode_tasks[:4], concurrency=2, streaming=True, fused_admission=fused
+            pipe, mode_tasks, concurrency=2, streaming=True, fused_admission=fused
         )
         pipe.voice_cache_stats.update(hits=0, misses=0)
         stats = run_continuous_benchmark(
