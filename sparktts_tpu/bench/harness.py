@@ -376,7 +376,7 @@ def run_continuous_benchmark(
     concurrency: int = 1,
     streaming: bool = False,
     max_slots: int = 8,
-    steps_per_dispatch: int = 128,
+    steps_per_dispatch: int = 512,
     max_new_tokens: Optional[int] = None,
     fused_admission: bool = True,
 ) -> Dict[str, Any]:

@@ -40,15 +40,43 @@ from sparktts_tpu.lm.sample import greedy_token, sample_token
 #: once the (ladder ∪ {cap}) set is warm.  Budget enforcement lives ON DEVICE
 #: (SlotState.limit), so a dispatch larger than a slot's remaining budget is
 #: safe: the slot just stops early inside the scan.
-DISPATCH_LADDER = (4, 8, 16, 32, 64, 128)
+#:
+#: The top rungs (256/512) exist for deadline-free slots: a lone offline
+#: request's whole 500-token budget rides ONE dispatch instead of four, which
+#: on a tunneled TPU saves ~3 relay round-trips (~33 ms each — see
+#: BENCH_NOTES "decode-step ablation").  Latency-sensitive situations never
+#: pick them: streaming slots cap at their first-chunk distance and
+#: concurrent batches cap at the server's absolute co-dispatch limit.
+DISPATCH_LADDER = (4, 8, 16, 32, 64, 128, 256, 512)
 
 
-def snap_to_ladder(requested: int, max_dispatch: int) -> int:
-    """Smallest ladder value >= requested, capped at max_dispatch.  The
-    result is always in DISPATCH_LADDER ∪ {max_dispatch} — warm both."""
+#: How many steps of scan overshoot cost about one dispatch round-trip.
+#: The scan body runs ALL n_steps iterations even after every slot hits its
+#: on-device budget stop (done slots still stream weights), so rounding a
+#: request UP to a distant rung trades real compute for the saved dispatch:
+#: at ~1.1 ms/step and ~33 ms/dispatch on the tunneled relay, overshoot past
+#: ~30 steps costs more than the dispatch it saves.
+LADDER_OVERSHOOT_TOLERANCE = 32
+
+
+def snap_to_ladder(
+    requested: int,
+    max_dispatch: int,
+    overshoot: int = LADDER_OVERSHOOT_TOLERANCE,
+) -> int:
+    """Ladder rung for a `requested` step count, capped at max_dispatch.
+    Rounds UP to the next rung only when the overshoot stays within
+    `overshoot` steps (the scan executes every overshot step — see
+    LADDER_OVERSHOOT_TOLERANCE); otherwise takes the largest rung BELOW so
+    the tail rides a later, tighter dispatch.  The result is always in
+    DISPATCH_LADDER ∪ {max_dispatch} — warm both."""
+    below = DISPATCH_LADDER[0]
     for v in DISPATCH_LADDER:
         if v >= requested:
-            return min(v, max_dispatch)
+            if v - requested <= overshoot:
+                return min(v, max_dispatch)
+            return min(max(below, DISPATCH_LADDER[0]), max_dispatch)
+        below = v
     return min(DISPATCH_LADDER[-1], max_dispatch)
 
 

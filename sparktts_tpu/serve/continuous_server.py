@@ -94,7 +94,7 @@ class ContinuousTTSServer:
         pipeline,
         max_slots: int = 8,
         cache_len: Optional[int] = None,
-        steps_per_dispatch: int = 128,
+        steps_per_dispatch: int = 512,
         default_max_new_tokens: Optional[int] = None,
         paged: bool = False,
         page_size: int = 256,
@@ -130,8 +130,15 @@ class ContinuousTTSServer:
         assert fused_warm in ("background", "sync")
         self.fused_warm = fused_warm
         self._fused_warming: set = set()
-        # steps_per_dispatch caps the adaptive dispatch size (ladder max)
+        # steps_per_dispatch caps the adaptive dispatch size (ladder max).
+        # The co-dispatch caps below are ABSOLUTE (not fractions of the max):
+        # raising the ladder top to 512 must not raise how long a mid-flight
+        # admission waits out an in-flight dispatch, so a batch with company
+        # (or expected company) keeps dispatching at the same 64/32-step
+        # granularity the 128-cap configuration recorded.
         self.steps = steps_per_dispatch
+        self.co_dispatch_cap = max(min(steps_per_dispatch // 2, 64), 1)
+        self.anticipation_cap = max(min(steps_per_dispatch // 4, 32), 1)
         self.default_max_new = default_max_new_tokens or pipeline.max_new_tokens
         from sparktts_tpu.lm.qwen import aligned_cache_len
 
@@ -664,10 +671,11 @@ class ContinuousTTSServer:
         whatever lands (the vocode worker pushes every completed chunk per
         increment), so fragmenting dispatches at every chunk boundary only
         multiplies the fixed per-dispatch cost.  With >1 active stream (or
-        arrivals waiting) the result is additionally capped at half the
-        ladder so a mid-dispatch admission never waits out a full max-size
-        dispatch; a LONE stream that had concurrent company within the last
-        `arrival_window_s` keeps a quarter-ladder cap — under closed-loop
+        arrivals waiting) the result is additionally capped at the absolute
+        `co_dispatch_cap` (64 steps) so a mid-dispatch admission never waits
+        out a max-size dispatch; a LONE stream that had concurrent company
+        within the last `arrival_window_s` keeps `anticipation_cap` — under
+        closed-loop
         concurrency the next arrival lands moments after the previous
         request finishes, and an uncapped budget-length dispatch in that gap
         is exactly what a mid-flight admission then waits out.  Single-stream
@@ -701,9 +709,9 @@ class ContinuousTTSServer:
             return self.steps
         if active > 1 or self._deferred or not self.waiting.empty():
             self._last_concurrent = time.perf_counter()
-            need = min(need, max(self.steps // 2, 1))
+            need = min(need, self.co_dispatch_cap)
         elif time.perf_counter() - self._last_concurrent < self.arrival_window_s:
-            need = min(need, max(self.steps // 4, 1))
+            need = min(need, self.anticipation_cap)
         return need
 
     def _plan_spec(self, n_dispatch: int):

@@ -495,7 +495,7 @@ def serve_http(
     max_batch: int = 16,
     streaming: bool = True,
     stream_max_slots: int = 2,
-    stream_steps_per_dispatch: int = 128,
+    stream_steps_per_dispatch: int = 512,
     paged_kv: bool = False,
     warmup: bool = False,
     grpc_port: Optional[int] = None,

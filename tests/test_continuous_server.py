@@ -301,6 +301,52 @@ def test_requested_steps_first_chunk_only(pipe):
     assert server._requested_steps() == 100    # single-stream: full budget
 
 
+def test_co_dispatch_caps_are_absolute(pipe):
+    """Raising the dispatch ceiling to the 512 ladder top must NOT raise how
+    long a mid-flight admission waits: with company (or expected company) the
+    dispatch caps stay at the absolute 64/32 steps the 128-cap configuration
+    recorded, while a lone deadline-free slot gets its whole budget in one
+    dispatch (the relay round-trip amortization the top rungs exist for)."""
+    from sparktts_tpu.lm.continuous import DISPATCH_LADDER, snap_to_ladder
+    from sparktts_tpu.serve.continuous_server import _Pending
+
+    assert DISPATCH_LADDER[-1] == 512
+    # overshoot-aware snapping: round up only when the overshot steps cost
+    # less than the dispatch they save (the scan EXECUTES overshot steps)
+    assert snap_to_ladder(129, 512) == 128   # 256 would waste 127 steps
+    assert snap_to_ladder(500, 512) == 512   # 12-step overshoot is fine
+    assert snap_to_ladder(350, 512) == 256   # tail rides a later dispatch
+    assert snap_to_ladder(500, 128) == 128   # explicit caps still bind
+
+    server = ContinuousTTSServer(pipe, max_slots=4, steps_per_dispatch=512)
+    assert server.co_dispatch_cap == 64
+    assert server.anticipation_cap == 32
+    eng = server.engine
+
+    a = _Pending(
+        text="x", prompt_wav=None, prompt_text=None, gender=None, pitch=None,
+        speed=None, max_new_tokens=500, future=None,
+    )
+    eng.owner[0] = 1
+    eng.budget[0] = 500
+    server.inflight[1] = a
+    # lone offline slot: full budget -> one 512-step dispatch
+    assert server._requested_steps() == 500
+    assert snap_to_ladder(server._requested_steps(), server.steps) == 512
+
+    b = _Pending(
+        text="y", prompt_wav=None, prompt_text=None, gender=None, pitch=None,
+        speed=None, max_new_tokens=500, future=None,
+    )
+    eng.owner[1] = 2
+    eng.budget[1] = 500
+    server.inflight[2] = b
+    assert server._requested_steps() == 64     # company: absolute cap
+    eng.owner[1] = None
+    server.inflight.pop(2)
+    assert server._requested_steps() == 32     # anticipation: absolute cap
+
+
 def test_stop_midstep_commits_and_delivers(pipe):
     """stop() racing a decode dispatch must both COMMIT the step (device
     cache already advanced) and DELIVER its tokens: a stream surviving a

@@ -101,6 +101,36 @@ def test_paged_engine_matches_dense_greedy(lm):
         np.testing.assert_array_equal(dense.finished[req], paged.finished[req])
 
 
+@pytest.mark.parametrize("greedy", [True, False])
+def test_dispatch_partition_invariance(lm, greedy):
+    """Token streams must be invariant to how decode work is split into
+    dispatches (many small rungs vs one big one): the sampling rng, the
+    on-device budget stop, and the KV writes all live in the carried
+    SlotState, so the server's adaptive ladder sizing (including the 256/512
+    top rungs) can never change outputs — only when they land.  Holds for
+    SAMPLED decode too: the rng advances exactly once per step regardless of
+    dispatch boundaries."""
+    cfg, params = lm
+    rng = np.random.default_rng(4)
+    prompts = [rng.integers(10, VOCAB, size=n).tolist() for n in (9, 5)]
+    outs = []
+    for plan in ([3, 5, 7, 11, 64], [64]):
+        eng = ContinuousBatchingEngine(
+            params, cfg, max_slots=4, cache_len=160, prompt_pad=16,
+            eos_ids=(EOS,), pad_id=PAD, greedy=greedy, seed=0,
+            cache_dtype=jnp.float32, max_dispatch=512,
+        )
+        for p in prompts:
+            eng.submit(p, max_new_tokens=40)
+        for n in plan:
+            eng.step(n_steps=n)
+        eng.run_until_done(n_steps=8)
+        outs.append(dict(eng.finished))
+    assert set(outs[0]) == set(outs[1])
+    for req in outs[0]:
+        np.testing.assert_array_equal(outs[0][req], outs[1][req])
+
+
 def test_paged_engine_midflight_admission(lm):
     """A request admitted while others decode must not disturb them, and
     pages must be recycled after completion."""
