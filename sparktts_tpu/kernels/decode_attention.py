@@ -18,11 +18,22 @@ its scores (left-padded prompts + current write position).
 GQA handling mirrors `kernels/paged_attention.py`: q is reshaped to
 (B, n_kv, group, hd), group rows padded to the fp32 sublane multiple, one
 score tile per kv head in a static in-kernel loop, KV read exactly once.
+
+HBM traffic follows the VALID window, not the cache capacity: the K/V
+BlockSpec index_map clamps the S-block index into [start//block_s,
+pos//block_s], so grid steps outside a slot's window resolve to the same
+block index as their neighbor and Mosaic's pipeline skips the unchanged-block
+DMA.  A serving engine sized for max_slots×cache_len therefore streams only
+each slot's live context per step — an idle slot costs one block, not
+cache_len.  Measured on v5e (best-of-5×200, b=8, cache 2048, 24-layer bf16
+pool): 14.5 vs 17.1 us/layer-step with short live windows, 17.0 vs 19.0 even
+at full windows; SPARKTTS_DECODE_KERNEL_CLAMP=0 restores the unclamped map.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -142,6 +153,19 @@ def dense_decode_attention(
     )
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
 
+    def _kv_index(bi, j, st, po, li):
+        # clamp outside-window grid steps onto the window edge: consecutive
+        # identical block indices make Mosaic skip the DMA, so dead cache
+        # (beyond pos, before start, idle slots) is never streamed from HBM.
+        # po < st (empty window) resolves to po's block; compute is skipped
+        # by the in-kernel pl.when either way.
+        # SPARKTTS_DECODE_KERNEL_CLAMP=0 disables (A/B lever, read at trace
+        # time — set it before the first decode dispatch of the process).
+        if os.environ.get("SPARKTTS_DECODE_KERNEL_CLAMP", "1") == "0":
+            return (li[0], bi, j, 0, 0)
+        jj = jnp.clip(j, st[bi] // block_s, po[bi] // block_s)
+        return (li[0], bi, jj, 0, 0)
+
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -151,14 +175,8 @@ def dense_decode_attention(
                 pl.BlockSpec(
                     (1, hkv, group_pad, d), lambda b, j, *_: (b, 0, 0, 0)
                 ),
-                pl.BlockSpec(
-                    (1, 1, block_s, hkv, d),
-                    lambda b, j, st, po, li: (li[0], b, j, 0, 0),
-                ),
-                pl.BlockSpec(
-                    (1, 1, block_s, hkv, d),
-                    lambda b, j, st, po, li: (li[0], b, j, 0, 0),
-                ),
+                pl.BlockSpec((1, 1, block_s, hkv, d), _kv_index),
+                pl.BlockSpec((1, 1, block_s, hkv, d), _kv_index),
             ],
             out_specs=pl.BlockSpec(
                 (1, hkv, group_pad, d), lambda b, j, *_: (b, 0, 0, 0)

@@ -151,6 +151,10 @@ def paged_decode_attention(
 
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
 
+    def _page_index(bi, j, pt, lens, li):
+        last = jnp.maximum(lens[bi] - 1, 0) // page_size
+        return (li[0], 0, pt[bi, jnp.minimum(j, last)], 0, 0)
+
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -161,15 +165,14 @@ def paged_decode_attention(
                     (1, hkv, group_pad, d), lambda b, j, *_: (b, 0, 0, 0)
                 ),
                 # the page table drives the DMA: grid step (b, j) streams
-                # page page_table[b, j] (every kv head) of layer li into VMEM
-                pl.BlockSpec(
-                    (1, hkv, 1, page_size, d),
-                    lambda b, j, pt, lens, li: (li[0], 0, pt[b, j], 0, 0),
-                ),
-                pl.BlockSpec(
-                    (1, hkv, 1, page_size, d),
-                    lambda b, j, pt, lens, li: (li[0], 0, pt[b, j], 0, 0),
-                ),
+                # page page_table[b, j] (every kv head) of layer li into VMEM.
+                # j is clamped to the slot's LAST valid page so the
+                # unallocated tail repeats that page's index and Mosaic skips
+                # the unchanged-block DMA (the tail's trash-page id 0 would
+                # otherwise cost one extra page stream per slot; compute for
+                # tail steps is already skipped by the in-kernel pl.when).
+                pl.BlockSpec((1, hkv, 1, page_size, d), _page_index),
+                pl.BlockSpec((1, hkv, 1, page_size, d), _page_index),
             ],
             out_specs=pl.BlockSpec(
                 (1, hkv, group_pad, d), lambda b, j, *_: (b, 0, 0, 0)
