@@ -85,6 +85,9 @@ def main(argv=None):
     logging.basicConfig(
         level=logging.INFO, format="%(asctime)s - %(levelname)s - %(message)s"
     )
+    from sparktts_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # honors SPARKTTS_PLATFORM + persistent compile cache
     run_tts(parse_args(argv))
 
 

@@ -19,6 +19,7 @@ logger = logging.getLogger(__name__)
 def apply_platform_env() -> str | None:
     """Pin jax to $SPARKTTS_PLATFORM / $JAX_PLATFORMS if set.  Returns the
     platform applied (None = leave the default)."""
+    enable_compile_cache()
     plat = os.environ.get("SPARKTTS_PLATFORM") or os.environ.get("JAX_PLATFORMS")
     if not plat:
         return None
@@ -31,3 +32,23 @@ def apply_platform_env() -> str | None:
     except Exception as e:  # backends already initialized
         logger.warning("could not pin platform %s: %s", plat, e)
         return None
+
+
+def enable_compile_cache(default_dir: str = "/tmp/jax_comp_cache") -> None:
+    """Turn on JAX's persistent compilation cache for this process.
+
+    Cold-starting the full LLM program costs minutes of XLA compile; the
+    persistent cache cuts repeat process launches (server restarts, CLI
+    invocations) to a disk read.  Directory override: $SPARKTTS_COMPILE_CACHE
+    (empty string disables).  Idempotent; safe before or after backend init.
+    """
+    cache_dir = os.environ.get("SPARKTTS_COMPILE_CACHE", default_dir)
+    if not cache_dir:
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:
+        logger.warning("could not enable compile cache at %s: %s", cache_dir, e)

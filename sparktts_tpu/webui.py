@@ -111,6 +111,9 @@ def build_ui(model_dir=None, max_new_tokens: int = 3000):
 
 
 def main():
+    from sparktts_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # honors SPARKTTS_PLATFORM + persistent compile cache
     parser = argparse.ArgumentParser()
     parser.add_argument("--model_dir", type=str, default=None)
     parser.add_argument("--server_name", type=str, default="0.0.0.0")
