@@ -37,6 +37,11 @@ def main():
     ap.add_argument("--t_in", type=int, default=500, help="latent frames (tokens)")
     ap.add_argument("--iters", type=int, default=16, help="scan length per program")
     ap.add_argument("--reps", type=int, default=5, help="timed reps (min taken)")
+    ap.add_argument(
+        "--modes", default="xla",
+        help="comma list of ResidualUnit impls to sweep: xla,kernel "
+        "(kernel = fused Pallas unit, kernels/vocoder_fusion.py)",
+    )
     ap.add_argument("--tiny", action="store_true")
     args = ap.parse_args()
 
@@ -123,8 +128,11 @@ def main():
         res = 3 * (2 * b * t_in_s * s * co * co * (7 + 1))
         return up + res
 
-    @functools.partial(jax.jit, static_argnames=("idx",))
-    def run(params, x, idx):
+    # `mode` is part of the jit key: _residual_unit_apply reads
+    # SPARKTTS_VOCODER_KERNEL at TRACE time, so a fresh static arg forces
+    # a retrace after the env flips between sweep passes
+    @functools.partial(jax.jit, static_argnames=("idx", "mode"))
+    def run(params, x, idx, mode):
         fn = stages[idx][1]
 
         def body(acc, _):
@@ -136,24 +144,32 @@ def main():
         )
         return acc
 
+    import os
+
     results = {}
-    for idx, (name, _, shape) in enumerate(stages):
-        x = jnp.zeros(shape, jnp.bfloat16) + 0.01
-        acc = run(params, x, idx)
-        jax.device_get(acc)  # warm + force completion (relay block is advisory)
-        times = []
-        for _ in range(args.reps):
-            t0 = time.perf_counter()
-            jax.device_get(run(params, x, idx))
-            times.append(time.perf_counter() - t0)
-        ms = min(times) / args.iters * 1e3
-        gf = flops(name, shape) / 1e9
-        results[name] = {
-            "ms": round(ms, 3),
-            "gflop": round(gf, 1),
-            "tflops": round(gf / ms, 2) if ms > 0 else None,
-        }
-        print(name, results[name], flush=True)
+    for mode in args.modes.split(","):
+        os.environ["SPARKTTS_VOCODER_KERNEL"] = (
+            "1" if mode == "kernel" else "0"
+        )
+        res = {}
+        for idx, (name, _, shape) in enumerate(stages):
+            x = jnp.zeros(shape, jnp.bfloat16) + 0.01
+            acc = run(params, x, idx, mode)
+            jax.device_get(acc)  # warm + force completion (relay block advisory)
+            times = []
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                jax.device_get(run(params, x, idx, mode))
+                times.append(time.perf_counter() - t0)
+            ms = min(times) / args.iters * 1e3
+            gf = flops(name, shape) / 1e9
+            res[name] = {
+                "ms": round(ms, 3),
+                "gflop": round(gf, 1),
+                "tflops": round(gf / ms, 2) if ms > 0 else None,
+            }
+            print(mode, name, res[name], flush=True)
+        results[mode] = res
 
     print(json.dumps(results, indent=2))
 
