@@ -56,6 +56,38 @@ def test_parity_ragged_t_and_single_tile():
         )
 
 
+def test_env_gate_routes_residual_units(monkeypatch):
+    """SPARKTTS_VOCODER_KERNEL=1 routes every ResidualUnit in the full
+    WaveGenerator through the fused kernel (interpret mode on CPU) with
+    unchanged output."""
+    from sparktts_tpu.codec import wave_generator as wg
+    from sparktts_tpu.config import WaveGeneratorConfig
+
+    cfg = WaveGeneratorConfig(
+        input_channel=8, channels=16, rates=(2, 2), kernel_sizes=(4, 4)
+    )
+    p = wg.init_wave_generator(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 24, 8))
+    ref = wg.wave_generator_apply(p, x, cfg)
+
+    calls = []
+    import sparktts_tpu.kernels.vocoder_fusion as vf
+
+    real = vf.fused_residual_unit
+    monkeypatch.setattr(
+        vf,
+        "fused_residual_unit",
+        lambda p_, x_, d, **kw: (
+            calls.append(d),
+            real(p_, x_, d, interpret=True),
+        )[1],
+    )
+    monkeypatch.setenv("SPARKTTS_VOCODER_KERNEL", "1")
+    out = wg.wave_generator_apply(p, x, cfg)
+    assert calls == list(DILATIONS) * len(cfg.rates)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
 def test_parity_bf16():
     """bf16 params/activations (the production codec dtype): the kernel's
     fp32-accumulating dots vs XLA's bf16-output einsum chain agree to bf16
