@@ -39,8 +39,9 @@ def main():
     ap.add_argument("--reps", type=int, default=5, help="timed reps (min taken)")
     ap.add_argument(
         "--modes", default="xla",
-        help="comma list of ResidualUnit impls to sweep: xla,kernel "
-        "(kernel = fused Pallas unit, kernels/vocoder_fusion.py)",
+        help="comma list of ResidualUnit impls to sweep: xla,carry,tiles "
+        "(carry/tiles = fused Pallas unit variants, "
+        "kernels/vocoder_fusion.py)",
     )
     ap.add_argument("--tiny", action="store_true")
     args = ap.parse_args()
@@ -148,9 +149,7 @@ def main():
 
     results = {}
     for mode in args.modes.split(","):
-        os.environ["SPARKTTS_VOCODER_KERNEL"] = (
-            "1" if mode == "kernel" else "0"
-        )
+        os.environ["SPARKTTS_VOCODER_KERNEL"] = mode
         res = {}
         for idx, (name, _, shape) in enumerate(stages):
             x = jnp.zeros(shape, jnp.bfloat16) + 0.01

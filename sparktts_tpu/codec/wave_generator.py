@@ -39,26 +39,32 @@ def _init_residual_unit(key, dim: int):
 
 
 def _vocoder_kernel_mode() -> str:
-    """ResidualUnit implementation: 'xla' (snake + shifted-matmul convs) or
-    'kernel' (fused Pallas unit, kernels/vocoder_fusion.py — one HBM pass
-    instead of one per op/tap, for the bandwidth-bound late decoder blocks).
+    """ResidualUnit implementation: 'xla' (snake + shifted-matmul convs),
+    'carry' (fused Pallas unit reading x from HBM exactly once — the halo
+    strip rides VMEM scratch across grid steps), or 'tiles' (fused unit,
+    prev/cur/next tile reads).  Both kernels collapse the XLA path's one HBM
+    round-trip per op/tap into a single pass — the bandwidth fix for the
+    late decoder blocks (kernels/vocoder_fusion.py).
 
-    SPARKTTS_VOCODER_KERNEL=1/0 forces; 'auto' (default) currently selects
-    XLA everywhere pending an on-TPU A/B measurement (parity is pinned by
-    tests/test_vocoder_kernel.py)."""
+    SPARKTTS_VOCODER_KERNEL=1/carry/tiles/0 forces; 'auto' (default)
+    currently selects XLA everywhere pending an on-TPU A/B measurement
+    (parity is pinned by tests/test_vocoder_kernel.py)."""
     v = os.environ.get("SPARKTTS_VOCODER_KERNEL", "auto").lower()
-    if v in ("1", "true", "kernel"):
-        return "kernel"
+    if v in ("1", "true", "kernel", "carry"):
+        return "carry"
+    if v == "tiles":
+        return "tiles"
     return "xla"
 
 
 def _residual_unit_apply(p, x, dilation: int):
     """Snake → dilated conv k7 → Snake → conv k1, residual
     (reference `layers.py:51-67`; padding preserves length so no crop)."""
-    if _vocoder_kernel_mode() == "kernel" and "w" in p["conv1"]:
+    mode = _vocoder_kernel_mode()
+    if mode != "xla" and "w" in p["conv1"]:
         from sparktts_tpu.kernels.vocoder_fusion import fused_residual_unit
 
-        return fused_residual_unit(p, x, dilation)
+        return fused_residual_unit(p, x, dilation, variant=mode)
     y = snake_apply(p["snake1"], x)
     y = conv1d_apply(p["conv1"], y, padding=3 * dilation, dilation=dilation)
     y = snake_apply(p["snake2"], y)

@@ -97,8 +97,65 @@ def _residual_unit_kernel(
     o_ref[0] = (x_cur[0].astype(jnp.float32) + out).astype(o_ref.dtype)
 
 
+def _residual_unit_carry_kernel(
+    x_cur,   # (1, block_t, C) — tile min(i, n_t-1)
+    a1_ref,  # (1, C)
+    w1_ref,  # (7, C, C)
+    b1_ref,  # (1, C)
+    a2_ref,  # (1, C)
+    w2_ref,  # (C, C)
+    b2_ref,  # (1, C)
+    o_ref,   # (1, block_t, C) — OUTPUT tile max(i-1, 0)
+    strip,   # (2*halo + block_t, C) scratch: post-snake1 strip, carried
+    y_scr,   # (block_t, C) scratch: snake1 of the current tile
+    xp_scr,  # (block_t, C) scratch: RAW previous tile (residual add)
+    *,
+    block_t: int,
+    halo: int,
+    dilation: int,
+    n_t: int,
+):
+    """Single-read variant: the grid runs n_t+1 sequential steps per batch
+    row; each step snakes tile i and completes OUTPUT tile i-1, whose strip
+    head/body were carried in VMEM scratch from the previous steps — x is
+    read from HBM exactly once (the i=n_t step re-addresses tile n_t-1,
+    which Mosaic's unchanged-block-index check skips)."""
+    i = pl.program_id(1)
+    dt = strip.dtype
+
+    y_scr[...] = _snake_f32(x_cur[0], a1_ref[0]).astype(dt)
+
+    @pl.when(i == 0)
+    def _init_row():
+        strip[:halo] = jnp.zeros((halo, strip.shape[1]), dt)
+        o_ref[0] = jnp.zeros(o_ref.shape[1:], o_ref.dtype)  # overwritten at i=1
+
+    @pl.when(i >= 1)
+    def _emit_prev_tile():
+        strip[halo + block_t :] = jnp.where(
+            i == n_t, jnp.zeros((halo, strip.shape[1]), dt), y_scr[:halo]
+        )
+        acc = jnp.broadcast_to(
+            b1_ref[0].astype(jnp.float32), (block_t, strip.shape[1])
+        )
+        for k in range(7):
+            acc = acc + jax.lax.dot(
+                strip[k * dilation : k * dilation + block_t],
+                w1_ref[k],
+                preferred_element_type=jnp.float32,
+            )
+        z = _snake_f32(acc, a2_ref[0]).astype(dt)
+        out = jax.lax.dot(z, w2_ref[...], preferred_element_type=jnp.float32)
+        out = out + b2_ref[0].astype(jnp.float32)
+        o_ref[0] = (xp_scr[...].astype(jnp.float32) + out).astype(o_ref.dtype)
+        strip[:halo] = strip[block_t : block_t + halo]  # tail h of y_{i-1}
+
+    strip[halo : halo + block_t] = y_scr[...]
+    xp_scr[...] = x_cur[0]
+
+
 @functools.partial(
-    jax.jit, static_argnames=("dilation", "block_t", "interpret")
+    jax.jit, static_argnames=("dilation", "block_t", "interpret", "variant")
 )
 def fused_residual_unit(
     p,
@@ -106,10 +163,15 @@ def fused_residual_unit(
     dilation: int,
     block_t: int = 0,
     interpret: bool = False,
+    variant: str = "carry",
 ) -> jax.Array:
     """Fused snake→conv(k7,dil)→snake→conv(k1)→+x; same params pytree and
     semantics as `codec/wave_generator._residual_unit_apply`.  Unquantized
-    params only (int8 codec trees take the XLA path)."""
+    params only (int8 codec trees take the XLA path).
+
+    variant='carry' (default) reads x from HBM once, carrying the halo strip
+    in VMEM across sequential grid steps; variant='tiles' passes prev/cur/
+    next tiles per step (3x read traffic, no carried state)."""
     b, t, c = x.shape
     w1 = p["conv1"]["w"]
     dtype = w1.dtype  # conv compute dtype follows the weights (layers.py)
@@ -126,6 +188,60 @@ def fused_residual_unit(
         x = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
     n_t = t_pad // block_t
 
+    row = lambda v: v.reshape(1, -1).astype(dtype)  # noqa: E731
+    param_specs = [
+        pl.BlockSpec((1, c), lambda bi, i: (0, 0)),
+        pl.BlockSpec((7, c, c), lambda bi, i: (0, 0, 0)),
+        pl.BlockSpec((1, c), lambda bi, i: (0, 0)),
+        pl.BlockSpec((1, c), lambda bi, i: (0, 0)),
+        pl.BlockSpec((c, c), lambda bi, i: (0, 0)),
+        pl.BlockSpec((1, c), lambda bi, i: (0, 0)),
+    ]
+    param_args = (
+        row(p["snake1"]["alpha"]),
+        w1.astype(dtype),
+        row(p["conv1"]["b"]),
+        row(p["snake2"]["alpha"]),
+        p["conv2"]["w"][0].astype(dtype),
+        row(p["conv2"]["b"]),
+    )
+
+    if variant == "carry":
+        kernel = functools.partial(
+            _residual_unit_carry_kernel,
+            block_t=block_t,
+            halo=halo,
+            dilation=dilation,
+            n_t=n_t,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(b, n_t + 1),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, block_t, c), lambda bi, i: (bi, jnp.minimum(i, n_t - 1), 0)
+                ),
+                *param_specs,
+            ],
+            out_specs=pl.BlockSpec(
+                (1, block_t, c), lambda bi, i: (bi, jnp.maximum(i - 1, 0), 0)
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, t_pad, c), dtype),
+            scratch_shapes=[
+                pltpu.VMEM((2 * halo + block_t, c), dtype),  # strip (carried)
+                pltpu.VMEM((block_t, c), dtype),             # snake1(cur)
+                pltpu.VMEM((block_t, c), dtype),             # raw prev tile
+            ],
+            compiler_params=pltpu.CompilerParams(
+                # the strip scratch carries state across t-steps AND relies on
+                # batch rows running in order (i==0 reinitializes per row)
+                dimension_semantics=("arbitrary", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(x, *param_args)
+        return out[:, :t]
+
+    assert variant == "tiles", variant
     kernel = functools.partial(
         _residual_unit_kernel,
         block_t=block_t,
@@ -133,8 +249,6 @@ def fused_residual_unit(
         dilation=dilation,
         n_t=n_t,
     )
-
-    row = lambda v: v.reshape(1, -1).astype(dtype)  # noqa: E731
     out = pl.pallas_call(
         kernel,
         grid=(b, n_t),
@@ -144,12 +258,7 @@ def fused_residual_unit(
             pl.BlockSpec(
                 (1, block_t, c), lambda bi, i: (bi, jnp.minimum(i + 1, n_t - 1), 0)
             ),
-            pl.BlockSpec((1, c), lambda bi, i: (0, 0)),
-            pl.BlockSpec((7, c, c), lambda bi, i: (0, 0, 0)),
-            pl.BlockSpec((1, c), lambda bi, i: (0, 0)),
-            pl.BlockSpec((1, c), lambda bi, i: (0, 0)),
-            pl.BlockSpec((c, c), lambda bi, i: (0, 0)),
-            pl.BlockSpec((1, c), lambda bi, i: (0, 0)),
+            *param_specs,
         ],
         out_specs=pl.BlockSpec((1, block_t, c), lambda bi, i: (bi, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b, t_pad, c), dtype),
@@ -158,17 +267,7 @@ def fused_residual_unit(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(
-        x,
-        x,
-        x,
-        row(p["snake1"]["alpha"]),
-        w1.astype(dtype),
-        row(p["conv1"]["b"]),
-        row(p["snake2"]["alpha"]),
-        p["conv2"]["w"][0].astype(dtype),
-        row(p["conv2"]["b"]),
-    )
+    )(x, x, x, *param_args)
     return out[:, :t]
 
 

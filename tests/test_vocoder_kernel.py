@@ -31,18 +31,21 @@ def _unit(c, key=0, dtype=jnp.float32):
     return jax.tree.map(lambda v: v.astype(dtype), p)
 
 
+@pytest.mark.parametrize("variant", ("tiles", "carry"))
 @pytest.mark.parametrize("dilation", DILATIONS)
-def test_parity_f32(dilation):
+def test_parity_f32(dilation, variant):
     c, t = 16, 96
     p = _unit(c)
     x = jax.random.normal(jax.random.PRNGKey(9), (2, t, c))
     ref = _residual_unit_apply(p, x, dilation)
     # block_t 32 → multiple interior tiles plus both edges exercise the halo
-    out = fused_residual_unit(p, x, dilation, block_t=32, interpret=True)
+    # (and, for 'carry', the cross-step strip shifts + per-batch-row reinit)
+    out = fused_residual_unit(p, x, dilation, block_t=32, interpret=True, variant=variant)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
-def test_parity_ragged_t_and_single_tile():
+@pytest.mark.parametrize("variant", ("tiles", "carry"))
+def test_parity_ragged_t_and_single_tile(variant):
     """T not a multiple of block_t (padded tail sliced off) and T smaller
     than one tile (n_t == 1: both edges in the same grid step)."""
     c = 8
@@ -50,7 +53,7 @@ def test_parity_ragged_t_and_single_tile():
     for t, bt in ((50, 32), (20, 64)):
         x = jax.random.normal(jax.random.PRNGKey(t), (1, t, c))
         ref = _residual_unit_apply(p, x, 3)
-        out = fused_residual_unit(p, x, 3, block_t=bt, interpret=True)
+        out = fused_residual_unit(p, x, 3, block_t=bt, interpret=True, variant=variant)
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
         )
