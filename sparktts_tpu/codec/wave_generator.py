@@ -47,8 +47,11 @@ def _vocoder_kernel_mode() -> str:
     late decoder blocks (kernels/vocoder_fusion.py).
 
     SPARKTTS_VOCODER_KERNEL=1/carry/tiles/0 forces; 'auto' (default)
-    currently selects XLA everywhere pending an on-TPU A/B measurement
-    (parity is pinned by tests/test_vocoder_kernel.py)."""
+    selects XLA everywhere: the 2026-08-19 v5e A/B measured both fused
+    variants ~20% SLOWER than the shifted-matmul XLA path on the late
+    decoder blocks (full vocoder 13.5 ms XLA vs 16.2/16.5 ms carry/tiles —
+    BENCH_NOTES "Fused vocoder ResidualUnit kernel").  Parity is pinned by
+    tests/test_vocoder_kernel.py; kept for future hardware generations."""
     v = os.environ.get("SPARKTTS_VOCODER_KERNEL", "auto").lower()
     if v in ("1", "true", "kernel", "carry"):
         return "carry"
