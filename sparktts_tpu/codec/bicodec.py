@@ -71,6 +71,50 @@ def bicodec_detokenize(
     return wav[..., 0]  # (B, T, 1) → (B, T)
 
 
+def detokenize_receptive_field(cfg: BiCodecConfig) -> int:
+    """One-sided receptive field of `bicodec_detokenize`, in input latent
+    frames (rounded up).
+
+    The detokenize path is purely convolutional — FVQ/FSQ lookups and the
+    d-vector conditioning are per-frame or global constants — so an output
+    sample at time t depends on input frames [t - RF, t + RF] only.  A
+    streaming server can therefore vocode a token window with RF frames of
+    left context and emit a tail that is sample-identical to a full-prefix
+    recompute (serve/continuous_server.py), turning per-chunk vocode cost
+    from O(stream length) into O(chunk + RF).
+
+    Accounting (upper bound; `up` is the cumulative upsampling factor of the
+    domain a conv runs in, relative to the detokenize input frame rate):
+    a conv with one-sided reach of r samples in a ×up domain reaches r/up
+    input frames.  VocosBackbone = embed conv k7 + num_layers dwconv k7
+    (nn/vocos.py); SamplingBlock upsamplers reach ≲1 frame of their own
+    input; WaveGenerator blocks = transposed conv (k, s) + 3 residual units
+    k7 with dilations 1/3/9 (codec/wave_generator.py).
+    """
+    import math
+
+    def vocos_rf(num_layers: int) -> float:
+        return 3.0 + 3.0 * num_layers
+
+    rf = 0.0
+    up = 1.0
+    pre = cfg.prenet
+    for ratio in pre.sample_ratios:
+        if ratio > 1:
+            rf += 1.0 / up  # sampler deconv: (k - s)/s ≤ 1 frame at its input
+            up *= ratio
+        rf += vocos_rf(2) / up  # per-stage 2-layer backbone
+    rf += vocos_rf(pre.vocos_num_layers) / up
+    dec = cfg.decoder
+    rf += 3.0 / up  # conv_in k7
+    for k, s in zip(dec.kernel_sizes, dec.rates):
+        rf += (k / s) / up  # transposed conv, one-sided bound
+        up *= s
+        rf += (3.0 * (1 + 3 + 9)) / up  # residual units k7, d = 1/3/9
+    rf += 3.0 / up  # conv_out k7
+    return int(math.ceil(rf))
+
+
 def bicodec_forward(
     p, cfg: BiCodecConfig, feat: jax.Array, ref_wav: jax.Array
 ) -> Dict[str, jax.Array]:

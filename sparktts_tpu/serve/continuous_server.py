@@ -105,8 +105,24 @@ class ContinuousTTSServer:
         fused_admission: bool = True,
         fused_warm: str = "background",
         arrival_window_s: float = 4.0,
+        stream_context_frames: Optional[int] = None,
     ):
         self.pipe = pipeline
+        # streaming vocode left-context window: each chunk re-renders only
+        # [emitted - ctx, upto) and emits the tail.  ctx defaults to the
+        # codec's one-sided receptive field (detokenize is purely
+        # convolutional), rounded up to the vocode bucket — the emitted
+        # samples are identical to a full-prefix recompute, but per-chunk
+        # cost is O(chunk + ctx) instead of O(stream length) (the reference
+        # re-vocodes full prefixes per chunk too, `spark_tts/1/model.py:283`,
+        # and its own streaming caps chunks at 30 s to bound that cost).
+        if stream_context_frames is None:
+            from sparktts_tpu.codec.bicodec import detokenize_receptive_field
+
+            rf = detokenize_receptive_field(pipeline.config.bicodec)
+            bucket = pipeline.vocode_bucket
+            stream_context_frames = -(-rf // bucket) * bucket
+        self.stream_ctx = int(stream_context_frames)
         # arrival anticipation: how long after the last concurrent activity a
         # lone stream keeps its dispatches short (see _requested_steps)
         self.arrival_window_s = arrival_window_s
@@ -343,9 +359,10 @@ class ContinuousTTSServer:
 
     def _emit_stream_chunks(self, pending: _Pending, new_tokens: np.ndarray, final: bool):
         """Vocode buffered semantic tokens per the chunk schedule.  The wave
-        for [0, emitted+n) is recomputed with full left context and only the
-        new tail is emitted — keeps chunk boundaries continuous without
-        client-side cross-fade.
+        for [emitted - stream_ctx, emitted+n) is recomputed — stream_ctx
+        covers the codec's receptive field, so the emitted tail is identical
+        to a full-prefix recompute and chunk boundaries stay continuous
+        without client-side cross-fade, at O(chunk + ctx) cost per chunk.
 
         Runs on the vocode worker thread.  Returns the list of chunks to push
         (None sentinel last when final) — the asyncio chunk queue is NOT
@@ -357,7 +374,14 @@ class ContinuousTTSServer:
         chunks = []
 
         def push(upto: int):
-            sem_ids = np.asarray(pending.stream_buf[:upto], np.int32)
+            start = max(pending.stream_emitted - self.stream_ctx, 0)
+            # round DOWN to a vocode bucket: the extra frames only add left
+            # context, and keeping (upto - start) ≡ upto (mod bucket) makes
+            # detokenize's edge-replicate right pad identical to the
+            # full-prefix call's — the emitted tail is then bit-equal, not
+            # merely within the receptive-field bound.
+            start -= start % self.pipe.vocode_bucket
+            sem_ids = np.asarray(pending.stream_buf[start:upto], np.int32)
             if pending.global_tokens is None:
                 # controllable mode: the LLM emits the speaker identity
                 # itself.  Extract from the FULL raw stream — the globals may
@@ -367,8 +391,8 @@ class ContinuousTTSServer:
                     np.asarray(pending.raw_buf, np.int32)
                 )
             wav = self.pipe.detokenize(pending.global_tokens, sem_ids[None, :])
-            start = pending.stream_emitted * self.pipe._wave_upsample
-            chunks.append(wav[start:])
+            off = (pending.stream_emitted - start) * self.pipe._wave_upsample
+            chunks.append(wav[off:])
             pending.stream_emitted = upto
 
         while len(pending.stream_buf) >= pending.stream_emitted + pending.stream_target:
@@ -399,6 +423,48 @@ class ContinuousTTSServer:
             return np.zeros(0, np.float32)
         return self.pipe.detokenize(pending.global_tokens, sem[None, :])
 
+    def _drain_vocode_jobs(self, first_item) -> list:
+        """Turn everything currently queued into an ordered job list:
+
+        * consecutive increments of the SAME stream coalesce into one job
+          (one detokenize instead of one per decode dispatch — when the
+          vocode worker falls behind the decode loop, the backlog collapses
+          instead of compounding);
+        * jobs whose stream has emitted NOTHING yet sort first — under load
+          the first chunk of a new stream must not queue behind steady-state
+          chunks of established streams (those listeners already hold
+          buffered audio; the new one is still waiting for first audio).
+
+        Per-stream order is preserved: a stream gets at most one job per
+        drain, and the sort is stable.  Offline jobs are never merged."""
+        items = [first_item]
+        while True:
+            try:
+                items.append(self._vocode_q.get_nowait())
+            except asyncio.QueueEmpty:
+                break
+        jobs: list = []  # [pending, tokens, final, offline]
+        stream_job: Dict[int, int] = {}  # id(pending) → index in jobs
+        for pending, tokens, final, offline in items:
+            if pending.cancelled:
+                continue
+            j = stream_job.get(id(pending))
+            if offline or pending.chunk_queue is None or j is None:
+                if not offline and pending.chunk_queue is not None:
+                    stream_job[id(pending)] = len(jobs)
+                jobs.append([pending, np.asarray(tokens, np.int32), final, offline])
+                continue
+            merged = jobs[j]
+            merged[1] = np.concatenate([merged[1], np.asarray(tokens, np.int32)])
+            merged[2] = merged[2] or final
+            self.stats["vocode_merged"] = self.stats.get("vocode_merged", 0) + 1
+        jobs.sort(
+            key=lambda job: 0
+            if (not job[3] and job[0].chunk_queue is not None and job[0].stream_emitted == 0)
+            else 1
+        )
+        return jobs
+
     async def _vocode_loop(self):
         """Drains vocode work on a dedicated thread so the codec renders the
         previous chunk WHILE the LM engine decodes the next micro-batch (the
@@ -406,33 +472,32 @@ class ContinuousTTSServer:
         SURVEY.md §3.5)."""
         loop = asyncio.get_running_loop()
         while True:
-            pending, tokens, final, offline = await self._vocode_q.get()
-            if pending.cancelled:
-                continue
-            try:
-                t0 = time.perf_counter()
-                if offline:
-                    wav = await loop.run_in_executor(
-                        self._vocode_pool, self._finish_offline, pending, tokens
-                    )
-                    self.stats["completed"] += 1
-                    if not pending.future.done():
-                        pending.future.set_result(wav)
-                else:
-                    chunks = await loop.run_in_executor(
-                        self._vocode_pool, self._emit_stream_chunks, pending, tokens, final
-                    )
-                    for c in chunks:  # pushed on the loop thread (queue is not thread-safe)
-                        pending.chunk_queue.put_nowait(c)
-                    if final:
+            first = await self._vocode_q.get()
+            for pending, tokens, final, offline in self._drain_vocode_jobs(first):
+                try:
+                    t0 = time.perf_counter()
+                    if offline:
+                        wav = await loop.run_in_executor(
+                            self._vocode_pool, self._finish_offline, pending, tokens
+                        )
                         self.stats["completed"] += 1
                         if not pending.future.done():
-                            pending.future.set_result(np.zeros(0, np.float32))
-                self.stage_stats.record("vocode", time.perf_counter() - t0)
-            except Exception as e:
-                logger.exception("vocode failed")
-                self.stats["failures"] = self.stats.get("failures", 0) + 1
-                self._fail_pending(pending, e)
+                            pending.future.set_result(wav)
+                    else:
+                        chunks = await loop.run_in_executor(
+                            self._vocode_pool, self._emit_stream_chunks, pending, tokens, final
+                        )
+                        for c in chunks:  # pushed on the loop thread (queue is not thread-safe)
+                            pending.chunk_queue.put_nowait(c)
+                        if final:
+                            self.stats["completed"] += 1
+                            if not pending.future.done():
+                                pending.future.set_result(np.zeros(0, np.float32))
+                    self.stage_stats.record("vocode", time.perf_counter() - t0)
+                except Exception as e:
+                    logger.exception("vocode failed")
+                    self.stats["failures"] = self.stats.get("failures", 0) + 1
+                    self._fail_pending(pending, e)
 
     def _slot_capacity(self) -> int:
         """Tokens one slot can hold (prompt + generation), engine-agnostic."""

@@ -460,3 +460,118 @@ def test_admission_overlaps_inflight_fetch(pipe):
     assert len(admitted) >= 2 and admitted[1], (
         "second request was not admitted while the fetch was in flight"
     )
+
+
+def test_detokenize_receptive_field_bound(pipe):
+    """The RF helper returns a finite, plausible bound: big enough to cover
+    the deepest conv stack, far smaller than a long stream (otherwise the
+    windowed vocode would never save anything)."""
+    from sparktts_tpu.codec.bicodec import detokenize_receptive_field
+    from sparktts_tpu.config import BiCodecConfig
+
+    rf_full = detokenize_receptive_field(BiCodecConfig())
+    assert 40 <= rf_full <= 200, rf_full
+    rf_tiny = detokenize_receptive_field(pipe.config.bicodec)
+    assert 0 < rf_tiny <= rf_full
+
+
+def test_stream_context_window_matches_full_prefix(pipe):
+    """Windowed streaming vocode (left context >= codec receptive field)
+    must emit samples matching the full-prefix recompute.  Drives
+    _emit_stream_chunks directly with a fixed token stream so the window
+    start is provably > 0 for later chunks."""
+    import itertools
+
+    from sparktts_tpu.serve.continuous_server import _Pending
+
+    server = ContinuousTTSServer(pipe, max_slots=2, steps_per_dispatch=4)
+    tok = pipe.tokenizer
+    n_glob = pipe.config.bicodec.speaker_encoder.token_num
+    rng = np.random.default_rng(0)
+    raw = (tok.semantic_base + rng.integers(0, tok.n_semantic, 160)).astype(np.int32)
+
+    def run(ctx: int):
+        server.stream_ctx = ctx
+        p = _Pending(
+            text="", prompt_wav=None, prompt_text=None, gender=None,
+            pitch=None, speed=None, max_new_tokens=0, future=None,
+        )
+        p.chunk_queue = object()  # marks it as a streaming request
+        p.global_tokens = np.zeros((1, n_glob), np.int32)
+        p.stream_target = 20
+        p.stream_schedule = itertools.repeat(20)
+        chunks = []
+        for start in range(0, len(raw), 40):
+            final = start + 40 >= len(raw)
+            chunks += server._emit_stream_chunks(p, raw[start : start + 40], final)
+        assert chunks[-1] is None
+        # windowing must actually have engaged for the later chunks
+        assert p.stream_emitted > ctx or ctx >= len(raw)
+        return np.concatenate(chunks[:-1])
+
+    full = run(10**6)  # full-prefix recompute (window never truncates)
+    windowed = run(server_ctx_default(pipe))
+    assert full.shape == windowed.shape
+    # bit-equal: bucket-aligned window start keeps the right pad identical,
+    # and the left context covers the receptive field
+    np.testing.assert_array_equal(windowed, full)
+
+
+def server_ctx_default(pipe) -> int:
+    """The auto context the server derives: RF rounded up to the bucket."""
+    from sparktts_tpu.codec.bicodec import detokenize_receptive_field
+
+    rf = detokenize_receptive_field(pipe.config.bicodec)
+    return -(-rf // pipe.vocode_bucket) * pipe.vocode_bucket
+
+
+def test_vocode_drain_merges_and_prioritizes():
+    """The vocode queue drain (a) coalesces queued increments of the same
+    stream into one job, (b) orders streams still waiting for FIRST audio
+    ahead of steady-state chunks, (c) preserves per-stream order and drops
+    cancelled work.  Pure host logic — no pipeline needed."""
+    import asyncio as aio
+
+    from sparktts_tpu.serve.continuous_server import _Pending
+
+    server = object.__new__(ContinuousTTSServer)
+    server._vocode_q = aio.Queue()
+    server.stats = {}
+
+    def mk(streaming: bool, emitted: int = 0):
+        p = _Pending(
+            text="", prompt_wav=None, prompt_text=None, gender=None,
+            pitch=None, speed=None, max_new_tokens=0, future=None,
+        )
+        if streaming:
+            p.chunk_queue = object()
+            p.stream_emitted = emitted
+        return p
+
+    established = mk(True, emitted=20)   # already emitted its first chunk
+    fresh = mk(True, emitted=0)          # still waiting for first audio
+    offline = mk(False)
+    gone = mk(True)
+    gone.cancelled = True
+
+    t = lambda *ids: np.asarray(ids, np.int32)
+    items = [
+        (established, t(1, 2), False, False),
+        (offline, t(9), True, True),
+        (gone, t(7), False, False),
+        (established, t(3), False, False),   # merges into the first job
+        (fresh, t(4), False, False),
+        (fresh, t(5), True, False),          # merges, carries final
+    ]
+    for it in items[1:]:
+        server._vocode_q.put_nowait(it)
+    jobs = server._drain_vocode_jobs(items[0])
+
+    assert len(jobs) == 3  # cancelled dropped, two merges applied
+    assert server.stats["vocode_merged"] == 2
+    assert jobs[0][0] is fresh  # first-audio work jumps the queue
+    np.testing.assert_array_equal(jobs[0][1], [4, 5])
+    assert jobs[0][2] is True  # merged job keeps the final flag
+    by_pending = {id(j[0]): j for j in jobs}
+    np.testing.assert_array_equal(by_pending[id(established)][1], [1, 2, 3])
+    assert by_pending[id(offline)][3] is True
