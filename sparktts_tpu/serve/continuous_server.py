@@ -48,6 +48,30 @@ from sparktts_tpu.utils.profiling import StageStats
 
 logger = logging.getLogger(__name__)
 
+# (id(pipeline), batch, t_pad) signatures whose batched vocoder program is
+# already compiled in this process.  PROCESS-global like the fused-admission
+# executable cache: jit executables are process-wide, so a fresh server over
+# the same pipeline adopts warm batch shapes instead of re-discovering them.
+_VOC_BATCH_WARM: set = set()
+_VOC_BATCH_WARMING: set = set()
+
+
+def warm_vocode_batch(pipe, batch: int, t_pad: int) -> None:
+    """Synchronously compile the (batch, t_pad) batched-vocoder signature and
+    register it warm, so servers over `pipe` batch that shape from the first
+    drain (benches/deployments call this up front; live servers otherwise
+    background-warm shapes on first sight)."""
+    t_pad = -(-t_pad // pipe.vocode_bucket) * pipe.vocode_bucket
+    key = (id(pipe), batch, t_pad)
+    if key in _VOC_BATCH_WARM:
+        return
+    n_glob = pipe.config.bicodec.speaker_encoder.token_num
+    pipe.detokenize_batch(
+        np.zeros((batch, n_glob), np.int32),
+        [np.zeros(t_pad, np.int32)] * batch,
+    )
+    _VOC_BATCH_WARM.add(key)
+
 
 @dataclass
 class _Pending:
@@ -106,6 +130,7 @@ class ContinuousTTSServer:
         fused_warm: str = "background",
         arrival_window_s: float = 4.0,
         stream_context_frames: Optional[int] = None,
+        vocode_batch: bool = True,
     ):
         self.pipe = pipeline
         # streaming vocode left-context window: each chunk re-renders only
@@ -224,6 +249,18 @@ class ContinuousTTSServer:
         self._task: Optional[asyncio.Task] = None
         self._vocode_task: Optional[asyncio.Task] = None
         self._vocode_q: asyncio.Queue = asyncio.Queue()
+        # cross-stream vocode batching: when one drain holds several windows
+        # whose padded length matches, they run as ONE batched vocoder
+        # program instead of per-stream calls — at high concurrency the
+        # vocode worker is the first thing to saturate its decode-overlap
+        # window, and batching trades b serial dispatches for one b-row MXU
+        # pass.  Only ALREADY-COMPILED (b, t_pad) signatures are used (a cold
+        # batch shape background-compiles while the drain falls back to the
+        # scalar path), so live streams never stall on an XLA compile.
+        self.vocode_batch = vocode_batch
+        self._voc_batch_sizes = [
+            b for b in (2, 4, 8, 16) if b <= max(max_slots, 2)
+        ]
         # dedicated thread so vocoding overlaps the next decode dispatch
         self._vocode_pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="vocode")
         # dedicated thread for the blocking decode fetch — a concurrent
@@ -357,52 +394,41 @@ class ContinuousTTSServer:
 
     # ------------------------------------------------------------------
 
-    def _emit_stream_chunks(self, pending: _Pending, new_tokens: np.ndarray, final: bool):
-        """Vocode buffered semantic tokens per the chunk schedule.  The wave
-        for [emitted - stream_ctx, emitted+n) is recomputed — stream_ctx
-        covers the codec's receptive field, so the emitted tail is identical
-        to a full-prefix recompute and chunk boundaries stay continuous
-        without client-side cross-fade, at O(chunk + ctx) cost per chunk.
-
-        Runs on the vocode worker thread.  Returns the list of chunks to push
-        (None sentinel last when final) — the asyncio chunk queue is NOT
-        thread-safe, so the event-loop side does the actual pushes."""
+    def _plan_stream_chunks(self, pending: _Pending, new_tokens: np.ndarray, final: bool):
+        """Advance a stream's chunk-schedule bookkeeping and return the vocode
+        windows it is now due, WITHOUT vocoding (worker thread).  Each window
+        is (start, emitted, upto): vocode stream_buf[start:upto] and emit the
+        samples from `emitted` on.  start = emitted - stream_ctx rounded DOWN
+        to a vocode bucket — stream_ctx covers the codec's receptive field
+        and keeping (upto - start) ≡ upto (mod bucket) makes detokenize's
+        edge-replicate right pad identical to the full-prefix call's, so the
+        emitted tail is bit-equal to a full-prefix recompute at
+        O(chunk + ctx) cost."""
         tok = self.pipe.tokenizer
         pending.raw_buf.extend(np.asarray(new_tokens).tolist())
         sem = extract_semantic_ids(tok, new_tokens)
         pending.stream_buf.extend(sem.tolist())
-        chunks = []
+        windows = []
 
-        def push(upto: int):
+        def plan(upto: int):
             start = max(pending.stream_emitted - self.stream_ctx, 0)
-            # round DOWN to a vocode bucket: the extra frames only add left
-            # context, and keeping (upto - start) ≡ upto (mod bucket) makes
-            # detokenize's edge-replicate right pad identical to the
-            # full-prefix call's — the emitted tail is then bit-equal, not
-            # merely within the receptive-field bound.
             start -= start % self.pipe.vocode_bucket
-            sem_ids = np.asarray(pending.stream_buf[start:upto], np.int32)
-            if pending.global_tokens is None:
-                # controllable mode: the LLM emits the speaker identity
-                # itself.  Extract from the FULL raw stream — the globals may
-                # have arrived in an earlier increment than the one that
-                # triggered this chunk.
-                pending.global_tokens = self._speaker_tokens(
-                    np.asarray(pending.raw_buf, np.int32)
-                )
-            wav = self.pipe.detokenize(pending.global_tokens, sem_ids[None, :])
-            off = (pending.stream_emitted - start) * self.pipe._wave_upsample
-            chunks.append(wav[off:])
+            windows.append((start, pending.stream_emitted, upto))
             pending.stream_emitted = upto
 
         while len(pending.stream_buf) >= pending.stream_emitted + pending.stream_target:
-            push(pending.stream_emitted + pending.stream_target)
+            plan(pending.stream_emitted + pending.stream_target)
             pending.stream_target = next(pending.stream_schedule)
-        if final:
-            if len(pending.stream_buf) > pending.stream_emitted:
-                push(len(pending.stream_buf))
-            chunks.append(None)
-        return chunks
+        if final and len(pending.stream_buf) > pending.stream_emitted:
+            plan(len(pending.stream_buf))
+        if windows and pending.global_tokens is None:
+            # controllable mode: the LLM emits the speaker identity itself.
+            # Extract from the FULL raw stream — the globals may have arrived
+            # in an earlier increment than the one that triggered this chunk.
+            pending.global_tokens = self._speaker_tokens(
+                np.asarray(pending.raw_buf, np.int32)
+            )
+        return windows
 
     def _speaker_tokens(self, tokens: np.ndarray) -> np.ndarray:
         """(1, token_num) global speaker ids extracted from an emitted token
@@ -414,14 +440,153 @@ class ContinuousTTSServer:
             self.pipe.config.bicodec.speaker_encoder.token_num,
         )
 
-    def _finish_offline(self, pending: _Pending, tokens: np.ndarray):
-        """Vocode a completed non-streaming request (vocode worker thread)."""
-        sem = extract_semantic_ids(self.pipe.tokenizer, tokens)
-        if pending.gender is not None:
-            pending.global_tokens = self._speaker_tokens(tokens)
-        if sem.size == 0:
-            return np.zeros(0, np.float32)
-        return self.pipe.detokenize(pending.global_tokens, sem[None, :])
+    def _glob_np(self, pending: _Pending) -> np.ndarray:
+        """Pending's global tokens as a host (1, N) int32 array (fetched once
+        — device-chained admission leaves them device-resident)."""
+        g = np.asarray(pending.global_tokens, np.int32).reshape(1, -1)
+        pending.global_tokens = g
+        return g
+
+    def _run_vocode_jobs(self, jobs: list) -> list:
+        """Execute one drain's vocode work (worker thread): plan every job's
+        windows, then batch same-padded-length windows ACROSS streams into
+        single vocoder programs.  Returns per-job result dicts aligned with
+        `jobs`; errors are contained per job (a failed batch falls back to
+        per-window scalar calls so one poisoned request cannot fail its
+        batch neighbors)."""
+        up = self.pipe._wave_upsample
+        bucket = self.pipe.vocode_bucket
+        results, work = [], []
+        for i, (pending, tokens, final, offline) in enumerate(jobs):
+            res = {
+                "pending": pending, "offline": offline, "final": final,
+                "chunks": [], "wav": None, "error": None, "n_windows": 0,
+            }
+            results.append(res)
+            try:
+                if offline:
+                    sem = extract_semantic_ids(self.pipe.tokenizer, tokens)
+                    if pending.gender is not None:
+                        pending.global_tokens = self._speaker_tokens(tokens)
+                    if sem.size == 0:
+                        res["wav"] = np.zeros(0, np.float32)
+                        continue
+                    res["n_windows"] = 1
+                    work.append(
+                        (i, 0, sem.astype(np.int32), self._glob_np(pending),
+                         0, sem.size * up)
+                    )
+                else:
+                    windows = self._plan_stream_chunks(pending, tokens, final)
+                    res["n_windows"] = len(windows)
+                    for k, (start, emitted, upto) in enumerate(windows):
+                        sem = np.asarray(pending.stream_buf[start:upto], np.int32)
+                        work.append(
+                            (i, k, sem, self._glob_np(pending),
+                             (emitted - start) * up, (upto - start) * up)
+                        )
+            except Exception as e:
+                res["error"] = e
+
+        # group windows by padded length; each group runs in batched slices
+        # of an already-warm (b, t_pad) signature, scalar otherwise
+        groups: Dict[int, list] = {}
+        for w in work:
+            t_pad = -(-max(w[2].size, 1) // bucket) * bucket
+            groups.setdefault(t_pad, []).append(w)
+        out: Dict[tuple, np.ndarray] = {}
+        for t_pad, ws in sorted(groups.items()):
+            idx = 0
+            while idx < len(ws):
+                n = len(ws) - idx
+                b = self._pick_vocode_batch(n, t_pad) if self.vocode_batch else None
+                take = ws[idx : idx + (min(b, n) if b else 1)]
+                idx += len(take)
+                try:
+                    if b and len(take) >= 2:
+                        self._vocode_group(take, b, out)
+                    else:
+                        self._vocode_scalar(take[0], out)
+                except Exception:
+                    logger.exception("batched vocode failed; scalar fallback")
+                    for w in take:
+                        if (w[0], w[1]) in out:
+                            continue
+                        try:
+                            self._vocode_scalar(w, out)
+                        except Exception as e2:
+                            if results[w[0]]["error"] is None:
+                                results[w[0]]["error"] = e2
+
+        for i, res in enumerate(results):
+            if res["error"] is not None or res["n_windows"] == 0:
+                continue
+            try:
+                parts = [out[(i, k)] for k in range(res["n_windows"])]
+            except KeyError as e:  # a scalar fallback also failed
+                res["error"] = res["error"] or e
+                continue
+            if res["offline"]:
+                res["wav"] = parts[0]
+            else:
+                res["chunks"] = parts
+        return results
+
+    def _vocode_scalar(self, w, out: Dict[tuple, np.ndarray]):
+        job, order, sem, glob, lo, hi = w
+        t0 = time.perf_counter()
+        wav = self.pipe.detokenize(glob, sem[None, :])
+        self.stage_stats.record("vocode", time.perf_counter() - t0)
+        out[(job, order)] = wav[lo:hi]
+
+    def _vocode_group(self, take: list, b: int, out: Dict[tuple, np.ndarray]):
+        """One batched vocoder call for `take` (same padded length), padded
+        with duplicate rows up to the warm batch size `b`."""
+        pad = b - len(take)
+        sems = [w[2] for w in take] + [take[-1][2]] * pad
+        globs = np.concatenate([w[3] for w in take] + [take[-1][3]] * pad, axis=0)
+        t0 = time.perf_counter()
+        wavs = self.pipe.detokenize_batch(globs, sems)
+        self.stage_stats.record("vocode", time.perf_counter() - t0)
+        for w, wav in zip(take, wavs):
+            out[(w[0], w[1])] = wav[w[4] : w[5]]
+        self.stats["vocode_batched_calls"] = self.stats.get("vocode_batched_calls", 0) + 1
+        self.stats["vocode_batched_rows"] = (
+            self.stats.get("vocode_batched_rows", 0) + len(take)
+        )
+
+    def _pick_vocode_batch(self, n: int, t_pad: int) -> Optional[int]:
+        """Largest useful ALREADY-WARM batch size for `n` same-shape windows.
+        Prefers the smallest warm size covering all n (≤ n-1 duplicate pad
+        rows); else the largest warm size below n (the remainder loops).  A
+        cold but wanted signature starts compiling on a daemon thread — this
+        drain stays scalar, a later one batches."""
+        if n < 2 or not self._voc_batch_sizes:
+            return None
+        pid = id(self.pipe)
+        warm = [b for b in self._voc_batch_sizes if (pid, b, t_pad) in _VOC_BATCH_WARM]
+        cover = [b for b in warm if b >= n]
+        if cover:
+            return cover[0]
+        want = next((b for b in self._voc_batch_sizes if b >= n), self._voc_batch_sizes[-1])
+        self._warm_vocode_batch_bg(want, t_pad)
+        return warm[-1] if warm else None
+
+    def _warm_vocode_batch_bg(self, b: int, t_pad: int):
+        key = (id(self.pipe), b, t_pad)
+        if key in _VOC_BATCH_WARM or key in _VOC_BATCH_WARMING:
+            return
+        _VOC_BATCH_WARMING.add(key)
+
+        def go():
+            try:
+                warm_vocode_batch(self.pipe, b, t_pad)
+            except Exception:
+                logger.exception("vocode batch warm (%d, %d) failed", b, t_pad)
+            finally:
+                _VOC_BATCH_WARMING.discard(key)
+
+        threading.Thread(target=go, daemon=True, name=f"voc-warm-{b}x{t_pad}").start()
 
     def _drain_vocode_jobs(self, first_item) -> list:
         """Turn everything currently queued into an ordered job list:
@@ -473,31 +638,31 @@ class ContinuousTTSServer:
         loop = asyncio.get_running_loop()
         while True:
             first = await self._vocode_q.get()
-            for pending, tokens, final, offline in self._drain_vocode_jobs(first):
-                try:
-                    t0 = time.perf_counter()
-                    if offline:
-                        wav = await loop.run_in_executor(
-                            self._vocode_pool, self._finish_offline, pending, tokens
-                        )
+            jobs = self._drain_vocode_jobs(first)
+            if not jobs:
+                continue
+            results = await loop.run_in_executor(
+                self._vocode_pool, self._run_vocode_jobs, jobs
+            )
+            for res in results:  # pushes happen on the loop thread (chunk
+                pending = res["pending"]  # queues are not thread-safe)
+                if res["error"] is not None:
+                    logger.error("vocode failed: %r", res["error"])
+                    self.stats["failures"] = self.stats.get("failures", 0) + 1
+                    self._fail_pending(pending, res["error"])
+                    continue
+                if res["offline"]:
+                    self.stats["completed"] += 1
+                    if not pending.future.done():
+                        pending.future.set_result(res["wav"])
+                else:
+                    for c in res["chunks"]:
+                        pending.chunk_queue.put_nowait(c)
+                    if res["final"]:
+                        pending.chunk_queue.put_nowait(None)
                         self.stats["completed"] += 1
                         if not pending.future.done():
-                            pending.future.set_result(wav)
-                    else:
-                        chunks = await loop.run_in_executor(
-                            self._vocode_pool, self._emit_stream_chunks, pending, tokens, final
-                        )
-                        for c in chunks:  # pushed on the loop thread (queue is not thread-safe)
-                            pending.chunk_queue.put_nowait(c)
-                        if final:
-                            self.stats["completed"] += 1
-                            if not pending.future.done():
-                                pending.future.set_result(np.zeros(0, np.float32))
-                    self.stage_stats.record("vocode", time.perf_counter() - t0)
-                except Exception as e:
-                    logger.exception("vocode failed")
-                    self.stats["failures"] = self.stats.get("failures", 0) + 1
-                    self._fail_pending(pending, e)
+                            pending.future.set_result(np.zeros(0, np.float32))
 
     def _slot_capacity(self) -> int:
         """Tokens one slot can hold (prompt + generation), engine-agnostic."""

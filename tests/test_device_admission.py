@@ -234,9 +234,12 @@ def test_spec_two_concurrent_streams_not_garbled(pipe):
     the token streams across batch compositions)."""
 
     def run(spec):
+        # vocode_batch off: whether a chunk renders batched or scalar is
+        # timing-dependent and shifts samples by float noise — this test
+        # asserts BIT equality of the spec-planner path
         server = ContinuousTTSServer(
             pipe, max_slots=2, steps_per_dispatch=8, greedy=True,
-            device_admission=spec, spec_first_chunk=spec,
+            device_admission=spec, spec_first_chunk=spec, vocode_batch=False,
         )
 
         async def consume(text, wav):
