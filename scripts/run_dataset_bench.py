@@ -76,6 +76,11 @@ def main():
     parser.add_argument("--no_int8_lm", action="store_true")
     parser.add_argument("--no_warmup", action="store_true")
     parser.add_argument(
+        "--no_vocode_batch", action="store_true",
+        help="disable cross-stream batched vocoding in the continuous "
+        "server (A/B lever; default on, as in production)",
+    )
+    parser.add_argument(
         "--stream_vocode_bucket", type=int, default=125,
         help="finer vocoder padding bucket for the STREAMING phase: chunk "
         "vocodes pad to this granularity instead of the full budget, cutting "
@@ -178,11 +183,24 @@ def main():
         run_continuous_benchmark(
             pipe, tasks[: max(3, len(max_new_choices) * len(prompt_secs))],
             concurrency=2, streaming=False, max_slots=args.max_slots,
+            vocode_batch=not args.no_vocode_batch,
         )
         run_continuous_benchmark(
             pipe, tasks[: max(3, len(max_new_choices) * len(prompt_secs))],
             concurrency=2, streaming=True, max_slots=args.max_slots,
+            vocode_batch=not args.no_vocode_batch,
         )
+        if not args.no_vocode_batch:
+            # pay the batched-vocoder compiles for every window shape the
+            # warm passes routed, so timed runs batch from the first drain
+            # instead of racing the background warm thread
+            from sparktts_tpu.serve.continuous_server import (
+                warm_vocode_batches_seen,
+            )
+
+            max_conc = max(offline_concs + streaming_concs, default=1)
+            n_voc = warm_vocode_batches_seen(pipe, min(args.max_slots, max_conc))
+            print(f"warmed {n_voc} batched-vocode signatures", file=sys.stderr)
         # warm the offline server's fused clone path (tokenize →
         # device assembly → generate+vocode) at every XLA shape signature
         # the timed runs can produce.  The compile surface is
@@ -283,7 +301,9 @@ def main():
         record(run_offline_benchmark(pipe, tasks, concurrency=conc))
         record(
             run_continuous_benchmark(
-                pipe, tasks, concurrency=conc, streaming=False, max_slots=args.max_slots
+                pipe, tasks, concurrency=conc, streaming=False,
+                max_slots=args.max_slots,
+                vocode_batch=not args.no_vocode_batch,
             )
         )
 
@@ -296,11 +316,27 @@ def main():
             run_continuous_benchmark(
                 pipe, tasks[:4], concurrency=2, streaming=True,
                 max_slots=args.max_slots,
+                vocode_batch=not args.no_vocode_batch,
             )
+            if not args.no_vocode_batch:
+                # finer bucket = new window shapes; re-warm the batched set
+                from sparktts_tpu.serve.continuous_server import (
+                    warm_vocode_batches_seen,
+                )
+
+                n_voc = warm_vocode_batches_seen(
+                    pipe, min(args.max_slots, max(streaming_concs))
+                )
+                print(
+                    f"warmed {n_voc} batched-vocode signatures "
+                    f"(stream bucket {pipe.vocode_bucket})", file=sys.stderr,
+                )
     for conc in streaming_concs:
         record(
             run_continuous_benchmark(
-                pipe, tasks, concurrency=conc, streaming=True, max_slots=args.max_slots
+                pipe, tasks, concurrency=conc, streaming=True,
+                max_slots=args.max_slots,
+                vocode_batch=not args.no_vocode_batch,
             )
         )
 

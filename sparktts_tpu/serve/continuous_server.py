@@ -54,6 +54,11 @@ logger = logging.getLogger(__name__)
 # the same pipeline adopts warm batch shapes instead of re-discovering them.
 _VOC_BATCH_WARM: set = set()
 _VOC_BATCH_WARMING: set = set()
+# padded window lengths each pipeline's vocode drains have actually routed —
+# lets a bench/deployment warm-pass discover its live shape set, then pay the
+# batched compiles up front (warm_vocode_batches_seen) instead of racing
+# background warms against timed runs
+_VOC_TPADS_SEEN: Dict[int, set] = {}
 
 
 def warm_vocode_batch(pipe, batch: int, t_pad: int) -> None:
@@ -71,6 +76,22 @@ def warm_vocode_batch(pipe, batch: int, t_pad: int) -> None:
         [np.zeros(t_pad, np.int32)] * batch,
     )
     _VOC_BATCH_WARM.add(key)
+
+
+def warm_vocode_batches_seen(pipe, max_batch: int) -> int:
+    """Synchronously compile batched-vocoder signatures for every padded
+    window length this process has already routed through a vocode drain for
+    `pipe` (run a representative warm pass first), at batch sizes 2..max_batch
+    from the server's size ladder.  Returns the number of signatures warmed."""
+    n = 0
+    for t_pad in sorted(_VOC_TPADS_SEEN.get(id(pipe), ())):
+        for b in (2, 4, 8, 16):
+            if b > max_batch:
+                break
+            if (id(pipe), b, t_pad) not in _VOC_BATCH_WARM:
+                warm_vocode_batch(pipe, b, t_pad)
+                n += 1
+    return n
 
 
 @dataclass
@@ -491,8 +512,10 @@ class ContinuousTTSServer:
         # group windows by padded length; each group runs in batched slices
         # of an already-warm (b, t_pad) signature, scalar otherwise
         groups: Dict[int, list] = {}
+        seen = _VOC_TPADS_SEEN.setdefault(id(self.pipe), set())
         for w in work:
             t_pad = -(-max(w[2].size, 1) // bucket) * bucket
+            seen.add(t_pad)
             groups.setdefault(t_pad, []).append(w)
         out: Dict[tuple, np.ndarray] = {}
         for t_pad, ws in sorted(groups.items()):
