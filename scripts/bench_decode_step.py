@@ -35,11 +35,6 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
 
     from sparktts_tpu.config import QwenConfig
     from sparktts_tpu.lm.generate import decode_chunk, init_kv_cache, prefill

@@ -67,10 +67,11 @@ def run_arm(pipe, ctx, text, prompt_wav, max_new_tokens, passes=2):
             audio_s=round(audio_s, 2),
             wall_s=round(wall, 3),
             rtf=round(wall / max(audio_s, 1e-9), 5),
-            first_chunk_ms=round(arrivals[0] * 1000, 1),
-            gap_p50_ms=round(float(np.percentile(gaps, 50)), 1),
-            gap_p90_ms=round(float(np.percentile(gaps, 90)), 1),
-            gap_max_ms=round(float(gaps.max()), 1),
+            first_chunk_ms=round(arrivals[0] * 1000, 1) if arrivals else None,
+            # inter-chunk gaps need >= 2 chunks (tiny budgets / early EOS)
+            gap_p50_ms=round(float(np.percentile(gaps, 50)), 1) if gaps.size else None,
+            gap_p90_ms=round(float(np.percentile(gaps, 90)), 1) if gaps.size else None,
+            gap_max_ms=round(float(gaps.max()), 1) if gaps.size else None,
             vocode_stats=voc,
         )
         await server.stop()
@@ -88,11 +89,6 @@ def main():
 
     import jax
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
 
     import jax.numpy as jnp
     import numpy as np

@@ -35,11 +35,6 @@ def main():
 
     import jax
 
-    try:  # persistent compile cache: repeat runs skip the compile phase
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
 
     import numpy as np
 

@@ -75,7 +75,7 @@ def snap_to_ladder(
         if v >= requested:
             if v - requested <= overshoot:
                 return min(v, max_dispatch)
-            return min(max(below, DISPATCH_LADDER[0]), max_dispatch)
+            return min(below, max_dispatch)
         below = v
     return min(DISPATCH_LADDER[-1], max_dispatch)
 

@@ -48,17 +48,21 @@ from sparktts_tpu.utils.profiling import StageStats
 
 logger = logging.getLogger(__name__)
 
-# (id(pipeline), batch, t_pad) signatures whose batched vocoder program is
-# already compiled in this process.  PROCESS-global like the fused-admission
-# executable cache: jit executables are process-wide, so a fresh server over
-# the same pipeline adopts warm batch shapes instead of re-discovering them.
-_VOC_BATCH_WARM: set = set()
-_VOC_BATCH_WARMING: set = set()
-# padded window lengths each pipeline's vocode drains have actually routed —
-# lets a bench/deployment warm-pass discover its live shape set, then pay the
-# batched compiles up front (warm_vocode_batches_seen) instead of racing
-# background warms against timed runs
-_VOC_TPADS_SEEN: Dict[int, set] = {}
+def _voc_state(pipe) -> Dict[str, set]:
+    """Per-PIPELINE batched-vocoder warm state, stored on the pipeline object
+    itself: `warm` (batch, t_pad) signatures whose batched program is
+    compiled, `warming` ones with a background compile in flight, and
+    `sizes_seen` raw window lengths vocode drains have actually routed.  The
+    vocoder executables live in the pipeline's per-instance jit cache, so
+    warmth shares its owner's lifetime exactly — a process-global registry
+    keyed by id(pipe) would survive the pipeline and could alias a recycled
+    object id, marking cold signatures warm and stalling a live drain on an
+    inline trace."""
+    st = getattr(pipe, "_voc_batch_state", None)
+    if st is None:
+        st = {"warm": set(), "warming": set(), "sizes_seen": set()}
+        pipe._voc_batch_state = st
+    return st
 
 
 def warm_vocode_batch(pipe, batch: int, t_pad: int) -> None:
@@ -67,28 +71,34 @@ def warm_vocode_batch(pipe, batch: int, t_pad: int) -> None:
     drain (benches/deployments call this up front; live servers otherwise
     background-warm shapes on first sight)."""
     t_pad = -(-t_pad // pipe.vocode_bucket) * pipe.vocode_bucket
-    key = (id(pipe), batch, t_pad)
-    if key in _VOC_BATCH_WARM:
+    st = _voc_state(pipe)
+    if (batch, t_pad) in st["warm"]:
         return
     n_glob = pipe.config.bicodec.speaker_encoder.token_num
     pipe.detokenize_batch(
         np.zeros((batch, n_glob), np.int32),
         [np.zeros(t_pad, np.int32)] * batch,
     )
-    _VOC_BATCH_WARM.add(key)
+    st["warm"].add((batch, t_pad))
 
 
 def warm_vocode_batches_seen(pipe, max_batch: int) -> int:
-    """Synchronously compile batched-vocoder signatures for every padded
-    window length this process has already routed through a vocode drain for
-    `pipe` (run a representative warm pass first), at batch sizes 2..max_batch
-    from the server's size ladder.  Returns the number of signatures warmed."""
+    """Synchronously compile batched-vocoder signatures for every window
+    length this process has already routed through a vocode drain for `pipe`
+    (run a representative warm pass first), at batch sizes 2..max_batch from
+    the server's size ladder.  Raw seen lengths are re-padded with the
+    pipeline's CURRENT vocode bucket, so changing `pipe.vocode_bucket`
+    between warm passes warms the shapes the next runs will actually
+    produce.  Returns the number of signatures warmed."""
+    st = _voc_state(pipe)
+    bucket = pipe.vocode_bucket
+    tpads = {-(-max(s, 1) // bucket) * bucket for s in st["sizes_seen"]}
     n = 0
-    for t_pad in sorted(_VOC_TPADS_SEEN.get(id(pipe), ())):
+    for t_pad in sorted(tpads):
         for b in (2, 4, 8, 16):
             if b > max_batch:
                 break
-            if (id(pipe), b, t_pad) not in _VOC_BATCH_WARM:
+            if (b, t_pad) not in st["warm"]:
                 warm_vocode_batch(pipe, b, t_pad)
                 n += 1
     return n
@@ -111,7 +121,14 @@ class _Pending:
     # streaming mode: chunks go to this queue instead of one final future
     chunk_queue: Optional[asyncio.Queue] = None
     stream_buf: list = field(default_factory=list)
-    raw_buf: list = field(default_factory=list)  # every emitted id (incl. globals/markers)
+    # absolute semantic index of stream_buf[0]: windowed vocode only re-reads
+    # the last stream_ctx tokens, so the dead prefix is trimmed as the stream
+    # advances (stream_emitted/window indices stay absolute)
+    stream_base: int = 0
+    # emitted ids (incl. markers) kept ONLY until the speaker identity is
+    # known — cleared once global_tokens is extracted (controllable mode) and
+    # never filled when it is known at admission (clone mode)
+    raw_buf: list = field(default_factory=list)
     stream_emitted: int = 0
     stream_target: int = 0
     stream_schedule: Optional[object] = None
@@ -426,9 +443,11 @@ class ContinuousTTSServer:
         emitted tail is bit-equal to a full-prefix recompute at
         O(chunk + ctx) cost."""
         tok = self.pipe.tokenizer
-        pending.raw_buf.extend(np.asarray(new_tokens).tolist())
+        if pending.global_tokens is None:
+            pending.raw_buf.extend(np.asarray(new_tokens).tolist())
         sem = extract_semantic_ids(tok, new_tokens)
         pending.stream_buf.extend(sem.tolist())
+        total = pending.stream_base + len(pending.stream_buf)
         windows = []
 
         def plan(upto: int):
@@ -437,11 +456,11 @@ class ContinuousTTSServer:
             windows.append((start, pending.stream_emitted, upto))
             pending.stream_emitted = upto
 
-        while len(pending.stream_buf) >= pending.stream_emitted + pending.stream_target:
+        while total >= pending.stream_emitted + pending.stream_target:
             plan(pending.stream_emitted + pending.stream_target)
             pending.stream_target = next(pending.stream_schedule)
-        if final and len(pending.stream_buf) > pending.stream_emitted:
-            plan(len(pending.stream_buf))
+        if final and total > pending.stream_emitted:
+            plan(total)
         if windows and pending.global_tokens is None:
             # controllable mode: the LLM emits the speaker identity itself.
             # Extract from the FULL raw stream — the globals may have arrived
@@ -449,7 +468,19 @@ class ContinuousTTSServer:
             pending.global_tokens = self._speaker_tokens(
                 np.asarray(pending.raw_buf, np.int32)
             )
+            pending.raw_buf.clear()
         return windows
+
+    def _trim_stream_buf(self, pending: _Pending):
+        """Drop stream_buf's dead prefix (vocode worker thread, after the
+        current windows' slices are materialized): future windows start at or
+        after bucket-aligned stream_emitted - stream_ctx, so a long-lived
+        stream holds O(ctx) host memory instead of O(stream length)."""
+        keep = max(pending.stream_emitted - self.stream_ctx, 0)
+        keep -= keep % self.pipe.vocode_bucket
+        if keep > pending.stream_base:
+            del pending.stream_buf[: keep - pending.stream_base]
+            pending.stream_base = keep
 
     def _speaker_tokens(self, tokens: np.ndarray) -> np.ndarray:
         """(1, token_num) global speaker ids extracted from an emitted token
@@ -468,22 +499,31 @@ class ContinuousTTSServer:
         pending.global_tokens = g
         return g
 
-    def _run_vocode_jobs(self, jobs: list) -> list:
+    def _run_vocode_jobs(self, jobs: list, deliver=None) -> list:
         """Execute one drain's vocode work (worker thread): plan every job's
         windows, then batch same-padded-length windows ACROSS streams into
         single vocoder programs.  Returns per-job result dicts aligned with
         `jobs`; errors are contained per job (a failed batch falls back to
         per-window scalar calls so one poisoned request cannot fail its
-        batch neighbors)."""
+        batch neighbors).
+
+        Each job's result is handed to `deliver` (if given) the moment its
+        last window lands — not after the whole drain — and first-audio jobs
+        (streams that have emitted nothing yet) are vocoded first, so a new
+        stream's first chunk never waits out the steady-state backlog."""
         up = self.pipe._wave_upsample
         bucket = self.pipe.vocode_bucket
-        results, work = [], []
+        results, work, prio = [], [], []
         for i, (pending, tokens, final, offline) in enumerate(jobs):
             res = {
                 "pending": pending, "offline": offline, "final": final,
                 "chunks": [], "wav": None, "error": None, "n_windows": 0,
             }
             results.append(res)
+            prio.append(
+                0 if (not offline and pending.chunk_queue is not None
+                      and pending.stream_emitted == 0) else 1
+            )
             try:
                 if offline:
                     sem = extract_semantic_ids(self.pipe.tokenizer, tokens)
@@ -500,59 +540,93 @@ class ContinuousTTSServer:
                 else:
                     windows = self._plan_stream_chunks(pending, tokens, final)
                     res["n_windows"] = len(windows)
+                    base = pending.stream_base
                     for k, (start, emitted, upto) in enumerate(windows):
-                        sem = np.asarray(pending.stream_buf[start:upto], np.int32)
+                        sem = np.asarray(
+                            pending.stream_buf[start - base : upto - base],
+                            np.int32,
+                        )
                         work.append(
                             (i, k, sem, self._glob_np(pending),
                              (emitted - start) * up, (upto - start) * up)
                         )
+                    self._trim_stream_buf(pending)
             except Exception as e:
                 res["error"] = e
 
-        # group windows by padded length; each group runs in batched slices
-        # of an already-warm (b, t_pad) signature, scalar otherwise
-        groups: Dict[int, list] = {}
-        seen = _VOC_TPADS_SEEN.setdefault(id(self.pipe), set())
-        for w in work:
-            t_pad = -(-max(w[2].size, 1) // bucket) * bucket
-            seen.add(t_pad)
-            groups.setdefault(t_pad, []).append(w)
         out: Dict[tuple, np.ndarray] = {}
-        for t_pad, ws in sorted(groups.items()):
+        done: set = set()
+
+        def finish(i: int):
+            if i in done:
+                return
+            done.add(i)
+            res = results[i]
+            if res["error"] is None and res["n_windows"]:
+                try:
+                    parts = [out[(i, k)] for k in range(res["n_windows"])]
+                except KeyError as e:  # a scalar fallback also failed
+                    res["error"] = e
+                else:
+                    if res["offline"]:
+                        res["wav"] = parts[0]
+                    else:
+                        res["chunks"] = parts
+            if deliver is not None:
+                deliver(res)
+
+        # nothing to vocode (planning error, or empty) → deliver immediately
+        for i, res in enumerate(results):
+            if res["error"] is not None or res["n_windows"] == 0:
+                finish(i)
+
+        # group windows by padded length; each group runs in batched slices
+        # of an already-warm (b, t_pad) signature, scalar otherwise.  Groups
+        # holding a first-audio window go first, and within a group
+        # first-audio windows sort to the front (stable — per-job window
+        # order is irrelevant: output is keyed by (job, window index)).
+        groups: Dict[int, list] = {}
+        seen = _voc_state(self.pipe)["sizes_seen"]
+        remaining = [r["n_windows"] for r in results]
+        for w in work:
+            seen.add(max(w[2].size, 1))
+            t_pad = -(-max(w[2].size, 1) // bucket) * bucket
+            groups.setdefault(t_pad, []).append(w)
+        ordered = sorted(
+            groups.items(), key=lambda kv: (min(prio[w[0]] for w in kv[1]), kv[0])
+        )
+        for t_pad, ws in ordered:
+            ws.sort(key=lambda w: prio[w[0]])
             idx = 0
             while idx < len(ws):
                 n = len(ws) - idx
                 b = self._pick_vocode_batch(n, t_pad) if self.vocode_batch else None
                 take = ws[idx : idx + (min(b, n) if b else 1)]
                 idx += len(take)
-                try:
-                    if b and len(take) >= 2:
+                if b and len(take) >= 2:
+                    try:
                         self._vocode_group(take, b, out)
-                    else:
+                    except Exception:
+                        logger.exception("batched vocode failed; scalar fallback")
+                        for w in take:
+                            try:
+                                self._vocode_scalar(w, out)
+                            except Exception as e2:
+                                if results[w[0]]["error"] is None:
+                                    results[w[0]]["error"] = e2
+                else:
+                    try:
                         self._vocode_scalar(take[0], out)
-                except Exception:
-                    logger.exception("batched vocode failed; scalar fallback")
-                    for w in take:
-                        if (w[0], w[1]) in out:
-                            continue
-                        try:
-                            self._vocode_scalar(w, out)
-                        except Exception as e2:
-                            if results[w[0]]["error"] is None:
-                                results[w[0]]["error"] = e2
+                    except Exception as e:
+                        if results[take[0][0]]["error"] is None:
+                            results[take[0][0]]["error"] = e
+                for w in take:
+                    remaining[w[0]] -= 1
+                    if remaining[w[0]] <= 0 or results[w[0]]["error"] is not None:
+                        finish(w[0])
 
-        for i, res in enumerate(results):
-            if res["error"] is not None or res["n_windows"] == 0:
-                continue
-            try:
-                parts = [out[(i, k)] for k in range(res["n_windows"])]
-            except KeyError as e:  # a scalar fallback also failed
-                res["error"] = res["error"] or e
-                continue
-            if res["offline"]:
-                res["wav"] = parts[0]
-            else:
-                res["chunks"] = parts
+        for i in range(len(results)):  # catch-all; no-op when all delivered
+            finish(i)
         return results
 
     def _vocode_scalar(self, w, out: Dict[tuple, np.ndarray]):
@@ -586,8 +660,8 @@ class ContinuousTTSServer:
         drain stays scalar, a later one batches."""
         if n < 2 or not self._voc_batch_sizes:
             return None
-        pid = id(self.pipe)
-        warm = [b for b in self._voc_batch_sizes if (pid, b, t_pad) in _VOC_BATCH_WARM]
+        warm_set = _voc_state(self.pipe)["warm"]
+        warm = [b for b in self._voc_batch_sizes if (b, t_pad) in warm_set]
         cover = [b for b in warm if b >= n]
         if cover:
             return cover[0]
@@ -596,10 +670,11 @@ class ContinuousTTSServer:
         return warm[-1] if warm else None
 
     def _warm_vocode_batch_bg(self, b: int, t_pad: int):
-        key = (id(self.pipe), b, t_pad)
-        if key in _VOC_BATCH_WARM or key in _VOC_BATCH_WARMING:
+        st = _voc_state(self.pipe)
+        key = (b, t_pad)
+        if key in st["warm"] or key in st["warming"]:
             return
-        _VOC_BATCH_WARMING.add(key)
+        st["warming"].add(key)
 
         def go():
             try:
@@ -607,7 +682,7 @@ class ContinuousTTSServer:
             except Exception:
                 logger.exception("vocode batch warm (%d, %d) failed", b, t_pad)
             finally:
-                _VOC_BATCH_WARMING.discard(key)
+                st["warming"].discard(key)
 
         threading.Thread(target=go, daemon=True, name=f"voc-warm-{b}x{t_pad}").start()
 
@@ -659,33 +734,42 @@ class ContinuousTTSServer:
         reference overlaps these via separate Triton model instances,
         SURVEY.md §3.5)."""
         loop = asyncio.get_running_loop()
+
+        def deliver(res):  # worker thread → loop thread per completed job
+            loop.call_soon_threadsafe(self._push_vocode_result, res)
+
         while True:
             first = await self._vocode_q.get()
             jobs = self._drain_vocode_jobs(first)
             if not jobs:
                 continue
-            results = await loop.run_in_executor(
-                self._vocode_pool, self._run_vocode_jobs, jobs
+            # each job is delivered (call_soon_threadsafe) as its last window
+            # lands — awaiting the executor only paces the drain loop
+            await loop.run_in_executor(
+                self._vocode_pool, self._run_vocode_jobs, jobs, deliver
             )
-            for res in results:  # pushes happen on the loop thread (chunk
-                pending = res["pending"]  # queues are not thread-safe)
-                if res["error"] is not None:
-                    logger.error("vocode failed: %r", res["error"])
-                    self.stats["failures"] = self.stats.get("failures", 0) + 1
-                    self._fail_pending(pending, res["error"])
-                    continue
-                if res["offline"]:
-                    self.stats["completed"] += 1
-                    if not pending.future.done():
-                        pending.future.set_result(res["wav"])
-                else:
-                    for c in res["chunks"]:
-                        pending.chunk_queue.put_nowait(c)
-                    if res["final"]:
-                        pending.chunk_queue.put_nowait(None)
-                        self.stats["completed"] += 1
-                        if not pending.future.done():
-                            pending.future.set_result(np.zeros(0, np.float32))
+
+    def _push_vocode_result(self, res):
+        """Hand one vocoded job to its consumer (loop thread — chunk queues
+        and futures are not thread-safe)."""
+        pending = res["pending"]
+        if res["error"] is not None:
+            logger.error("vocode failed", exc_info=res["error"])
+            self.stats["failures"] = self.stats.get("failures", 0) + 1
+            self._fail_pending(pending, res["error"])
+            return
+        if res["offline"]:
+            self.stats["completed"] += 1
+            if not pending.future.done():
+                pending.future.set_result(res["wav"])
+        else:
+            for c in res["chunks"]:
+                pending.chunk_queue.put_nowait(c)
+            if res["final"]:
+                pending.chunk_queue.put_nowait(None)
+                self.stats["completed"] += 1
+                if not pending.future.done():
+                    pending.future.set_result(np.zeros(0, np.float32))
 
     def _slot_capacity(self) -> int:
         """Tokens one slot can hold (prompt + generation), engine-agnostic."""
@@ -933,8 +1017,11 @@ class ContinuousTTSServer:
         request finishes, and an uncapped budget-length dispatch in that gap
         is exactly what a mid-flight admission then waits out.  Single-stream
         workloads never pay this: with no concurrent activity ever observed,
-        the window never opens.  The engine snaps the result UP to its
-        compiled ladder."""
+        the window never opens.  The engine snaps the result to its compiled
+        ladder via snap_to_ladder — UP to the next rung only within the
+        overshoot tolerance, otherwise DOWN (e.g. 84 → 64), so a first chunk
+        slightly past a rung may span two dispatches rather than overshoot a
+        big one."""
         need = None
         active = 0
         for slot, req in enumerate(self.engine.owner):
@@ -1012,7 +1099,8 @@ class ContinuousTTSServer:
         ).all():
             return None
         wav = chained.view(np.float32).copy()
-        p.raw_buf.extend(np.asarray(new).tolist())
+        # raw_buf stays empty: it only feeds speaker-identity extraction, and
+        # _plan_spec requires global_tokens to already be known
         p.stream_buf.extend(extract_semantic_ids(tok, new).tolist())
         p.stream_emitted = target
         p.stream_target = next(p.stream_schedule)
@@ -1023,7 +1111,7 @@ class ContinuousTTSServer:
         # hand the (already-booked) remainder to the vocode worker as an
         # empty increment so any follow-up chunk it completes is emitted NOW,
         # exactly when the plain path would emit it — not a dispatch later
-        if len(p.stream_buf) >= p.stream_emitted + p.stream_target:
+        if p.stream_base + len(p.stream_buf) >= p.stream_emitted + p.stream_target:
             self._vocode_q.put_nowait((p, np.zeros(0, np.int32), False, False))
         return req_id
 

@@ -480,6 +480,17 @@ def warmup_servers(
                     i + 1, len(wavs),
                 )
                 run(stream_once(wav))
+        if getattr(cserver, "vocode_batch", False):
+            # the streaming passes above recorded the window lengths their
+            # vocode drains routed; pay the cross-stream batched-vocoder
+            # compiles for those shapes now, instead of background-warming
+            # them against live traffic
+            from sparktts_tpu.serve.continuous_server import (
+                warm_vocode_batches_seen,
+            )
+
+            n_voc = warm_vocode_batches_seen(pipeline, len(cserver.engine.owner))
+            logger.info("warmup: %d batched-vocode signatures", n_voc)
         for k in cserver.stats:
             cserver.stats[k] = 0
         cserver.stage_stats = type(cserver.stage_stats)()

@@ -10,9 +10,9 @@ import pytest
 
 from sparktts_tpu.pipeline import SparkTTSPipeline
 from sparktts_tpu.serve.continuous_server import (
-    _VOC_BATCH_WARM,
     ContinuousTTSServer,
     _Pending,
+    _voc_state,
     warm_vocode_batch,
 )
 from sparktts_tpu.utils.profiling import StageStats
@@ -107,8 +107,8 @@ def test_batched_vocode_matches_scalar(pipe):
 def test_cold_batch_shape_stays_scalar_then_warms(pipe):
     n_sem = 2 * pipe.vocode_bucket  # a t_pad no other test warms
     t_pad = n_sem
-    pid = id(pipe)
-    assert not any(k[0] == pid and k[2] == t_pad for k in _VOC_BATCH_WARM)
+    warm = _voc_state(pipe)["warm"]
+    assert not any(k[1] == t_pad for k in warm)
 
     server = _bare_server(pipe, vocode_batch=True)
     res = server._run_vocode_jobs(_jobs(pipe, n_sem))
@@ -120,10 +120,10 @@ def test_cold_batch_shape_stays_scalar_then_warms(pipe):
 
     deadline = time.time() + 120
     while time.time() < deadline:
-        if (pid, 4, t_pad) in _VOC_BATCH_WARM:
+        if (4, t_pad) in warm:
             break
         time.sleep(0.2)
-    assert (pid, 4, t_pad) in _VOC_BATCH_WARM, "background warm never landed"
+    assert (4, t_pad) in warm, "background warm never landed"
 
     server2 = _bare_server(pipe, vocode_batch=True)
     res2 = server2._run_vocode_jobs(_jobs(pipe, n_sem))
@@ -206,3 +206,90 @@ def test_streaming_end_to_end_with_batching(pipe):
     for wa, wb in zip(a, b):
         assert wa.shape == wb.shape
         np.testing.assert_allclose(wa, wb, atol=1e-6, rtol=0)
+
+
+def test_incremental_delivery_first_audio_first(pipe):
+    """_run_vocode_jobs hands each job to `deliver` the moment its last
+    window lands — and a stream waiting for FIRST audio is vocoded (hence
+    delivered) before steady-state jobs, even when the drain-order puts it
+    last."""
+    n_sem = pipe.vocode_bucket
+    server = _bare_server(pipe, vocode_batch=False)
+
+    tok = pipe.tokenizer
+    rng = np.random.default_rng(11)
+    steady, t1 = _stream_pending(pipe, n_sem, 11)
+    # mid-stream state: 3 chunks emitted, buffer trimmed to the ctx window
+    steady.stream_emitted = 3 * n_sem
+    steady.stream_base = 2 * n_sem  # = floor_bucket(emitted - stream_ctx)
+    steady.stream_buf = rng.integers(0, tok.n_semantic, n_sem).astype(np.int32).tolist()
+    fresh, t2 = _stream_pending(pipe, 2 * n_sem, 12)  # different t_pad group
+
+    order = []
+    res = server._run_vocode_jobs(
+        [[steady, t1, False, False], [fresh, t2, True, False]],
+        deliver=lambda r: order.append(r["pending"]),
+    )
+    assert all(r["error"] is None for r in res)
+    assert order[0] is fresh and order[1] is steady
+
+
+def test_stream_buf_trimmed_to_context(pipe):
+    """A long-lived stream's host-side token buffer stays O(stream_ctx):
+    the dead prefix below the bucket-aligned context window is dropped and
+    stream_base keeps window indices absolute."""
+    tok = pipe.tokenizer
+    server = _bare_server(pipe, vocode_batch=False)
+    n = pipe.vocode_bucket
+    p, _ = _stream_pending(pipe, n, 21)
+    import itertools
+
+    p.stream_schedule = itertools.repeat(n)
+    rng = np.random.default_rng(21)
+    for _ in range(6):  # six chunks of one bucket each
+        ids = (tok.semantic_base + rng.integers(0, tok.n_semantic, n)).astype(np.int32)
+        res = server._run_vocode_jobs([[p, ids, False, False]])[0]
+        assert res["error"] is None and len(res["chunks"]) == 1
+    assert p.stream_emitted == 6 * n
+    assert p.stream_base == max(6 * n - server.stream_ctx, 0) // n * n
+    assert p.stream_base + len(p.stream_buf) == 6 * n
+    assert len(p.stream_buf) <= server.stream_ctx + n
+
+
+def test_warm_seen_sizes_follow_current_bucket(pipe, monkeypatch):
+    """warm_vocode_batches_seen re-pads RAW seen window sizes with the
+    pipeline's CURRENT bucket (warming the shapes upcoming runs actually
+    produce) and never re-warms an already-warm signature."""
+    import sparktts_tpu.serve.continuous_server as mod
+
+    st = _voc_state(pipe)
+    saved = {k: set(v) for k, v in st.items()}
+    calls = []
+
+    def fake_warm(p, b, t_pad):
+        t_pad = -(-t_pad // p.vocode_bucket) * p.vocode_bucket
+        calls.append((b, t_pad))
+        _voc_state(p)["warm"].add((b, t_pad))
+
+    monkeypatch.setattr(mod, "warm_vocode_batch", fake_warm)
+    try:
+        st["warm"].clear()
+        st["sizes_seen"].clear()
+        st["sizes_seen"].update({30, 70})  # raw window lengths
+        real_bucket = pipe.vocode_bucket
+
+        pipe.vocode_bucket = 50
+        n = mod.warm_vocode_batches_seen(pipe, max_batch=4)
+        assert n == 4 and set(calls) == {(2, 50), (4, 50), (2, 100), (4, 100)}
+
+        calls.clear()
+        pipe.vocode_bucket = 100  # bucket change re-pads the SAME raw sizes
+        n = mod.warm_vocode_batches_seen(pipe, max_batch=4)
+        # 30 and 70 both pad to 100 now — already warm from the 50-bucket
+        # pass, so nothing recompiles (the old code looped forever here)
+        assert n == 0 and not calls
+    finally:
+        pipe.vocode_bucket = real_bucket
+        for k in st:
+            st[k].clear()
+            st[k].update(saved[k])
