@@ -194,7 +194,10 @@ def main():
             )
 
             max_conc = max(offline_concs + streaming_concs, default=1)
-            n_voc = warm_vocode_batches_seen(pipe, min(args.max_slots, max_conc))
+            # 2×: a drain holds ≤1 job per stream but a backlogged stream's
+            # job can plan several same-shape windows, so the wanted batch
+            # size can exceed the concurrency — warm one rung past it
+            n_voc = warm_vocode_batches_seen(pipe, min(args.max_slots, 2 * max_conc))
             print(f"warmed {n_voc} batched-vocode signatures", file=sys.stderr)
         # warm the offline server's fused clone path (tokenize →
         # device assembly → generate+vocode) at every XLA shape signature
@@ -320,7 +323,7 @@ def main():
                 )
 
                 n_voc = warm_vocode_batches_seen(
-                    pipe, min(args.max_slots, max(streaming_concs))
+                    pipe, min(args.max_slots, 2 * max(streaming_concs))
                 )
                 print(
                     f"warmed {n_voc} batched-vocode signatures "

@@ -101,7 +101,13 @@ def detokenize_receptive_field(cfg: BiCodecConfig) -> int:
     pre = cfg.prenet
     for ratio in pre.sample_ratios:
         if ratio > 1:
-            rf += 1.0 / up  # sampler deconv: (k - s)/s ≤ 1 frame at its input
+            # sampler deconv (nn/sampling.py): k = 2·ratio, pad = ⌈ratio/2⌉,
+            # stride = ratio → one-sided reach (k − 1 − pad)/ratio frames of
+            # its own input: 1.0 at ratio 2 but 1.25 at 4, 1.375 at 8 — NOT
+            # a constant 1 (undercounting here silently breaks the windowed
+            # streaming vocode's bit-equality for large-ratio configs)
+            pad = ratio // 2 + ratio % 2
+            rf += ((2 * ratio - 1 - pad) / ratio) / up
             up *= ratio
         rf += vocos_rf(2) / up  # per-stage 2-layer backbone
     rf += vocos_rf(pre.vocos_num_layers) / up

@@ -68,16 +68,28 @@ def snap_to_ladder(
     Rounds UP to the next rung only when the overshoot stays within
     `overshoot` steps (the scan executes every overshot step — see
     LADDER_OVERSHOOT_TOLERANCE); otherwise takes the largest rung BELOW so
-    the tail rides a later, tighter dispatch.  The result is always in
-    DISPATCH_LADDER ∪ {max_dispatch} — warm both."""
-    below = DISPATCH_LADDER[0]
-    for v in DISPATCH_LADDER:
+    the tail rides a later, tighter dispatch.
+
+    A non-rung `max_dispatch` is itself a rung: the warm walk compiles it
+    via `eng.step(max_dispatch)`, so snapping must be able to both RETURN it
+    (that warm call, and any runtime request near the cap, must resolve to
+    the warmed size, not divert to a smaller rung) and never exceed it.  The
+    result is therefore always in (DISPATCH_LADDER ∪ {max_dispatch}) ∩
+    [1, max_dispatch]."""
+    if max_dispatch in DISPATCH_LADDER:
+        rungs = DISPATCH_LADDER
+    else:
+        rungs = tuple(sorted(set(DISPATCH_LADDER) | {max_dispatch}))
+    below = None
+    for v in rungs:
+        if v > max_dispatch:
+            break
         if v >= requested:
             if v - requested <= overshoot:
-                return min(v, max_dispatch)
-            return min(below, max_dispatch)
+                return v
+            return below if below is not None else v
         below = v
-    return min(DISPATCH_LADDER[-1], max_dispatch)
+    return below if below is not None else min(rungs[0], max_dispatch)
 
 
 # Process-global fused-admission executable cache (see

@@ -48,6 +48,19 @@ from sparktts_tpu.utils.profiling import StageStats
 
 logger = logging.getLogger(__name__)
 
+#: Batch sizes the cross-stream vocode batcher compiles/uses — the single
+#: source of truth for both the up-front warm pass (warm_vocode_batches_seen)
+#: and the server's runtime ladder (_voc_batch_sizes); a size missing from
+#: either side would stay permanently cold with no error.
+VOCODE_BATCH_LADDER = (2, 4, 8, 16)
+
+#: Guards the first-touch installation of a pipeline's _voc_batch_state: the
+#: vocode worker, warm daemon threads, and a warmup main thread can all race
+#: the lazy init, and a lost dict would drop warm/warming marks (re-kicking
+#: compiles, keeping drains scalar).
+_VOC_STATE_LOCK = threading.Lock()
+
+
 def _voc_state(pipe) -> Dict[str, set]:
     """Per-PIPELINE batched-vocoder warm state, stored on the pipeline object
     itself: `warm` (batch, t_pad) signatures whose batched program is
@@ -60,8 +73,11 @@ def _voc_state(pipe) -> Dict[str, set]:
     inline trace."""
     st = getattr(pipe, "_voc_batch_state", None)
     if st is None:
-        st = {"warm": set(), "warming": set(), "sizes_seen": set()}
-        pipe._voc_batch_state = st
+        with _VOC_STATE_LOCK:
+            st = getattr(pipe, "_voc_batch_state", None)
+            if st is None:
+                st = {"warm": set(), "warming": set(), "sizes_seen": set()}
+                pipe._voc_batch_state = st
     return st
 
 
@@ -95,7 +111,7 @@ def warm_vocode_batches_seen(pipe, max_batch: int) -> int:
     tpads = {-(-max(s, 1) // bucket) * bucket for s in st["sizes_seen"]}
     n = 0
     for t_pad in sorted(tpads):
-        for b in (2, 4, 8, 16):
+        for b in VOCODE_BATCH_LADDER:
             if b > max_batch:
                 break
             if (b, t_pad) not in st["warm"]:
@@ -297,7 +313,7 @@ class ContinuousTTSServer:
         # scalar path), so live streams never stall on an XLA compile.
         self.vocode_batch = vocode_batch
         self._voc_batch_sizes = [
-            b for b in (2, 4, 8, 16) if b <= max(max_slots, 2)
+            b for b in VOCODE_BATCH_LADDER if b <= max(max_slots, 2)
         ]
         # dedicated thread so vocoding overlaps the next decode dispatch
         self._vocode_pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="vocode")
@@ -493,8 +509,12 @@ class ContinuousTTSServer:
         )
 
     def _glob_np(self, pending: _Pending) -> np.ndarray:
-        """Pending's global tokens as a host (1, N) int32 array (fetched once
-        — device-chained admission leaves them device-resident)."""
+        """Pending's global tokens as a host (1, N) int32 array, fetched once
+        and cached on the pending.  Called ONLY when a window actually joins
+        a cross-stream batched group (np.concatenate needs host rows) — the
+        scalar path hands `pipe.detokenize` the tokens as-is, so
+        device-chained admissions stay device-resident and a new stream's
+        first chunk never pays a blocking device→host relay round-trip."""
         g = np.asarray(pending.global_tokens, np.int32).reshape(1, -1)
         pending.global_tokens = g
         return g
@@ -534,8 +554,7 @@ class ContinuousTTSServer:
                         continue
                     res["n_windows"] = 1
                     work.append(
-                        (i, 0, sem.astype(np.int32), self._glob_np(pending),
-                         0, sem.size * up)
+                        (i, 0, sem.astype(np.int32), pending, 0, sem.size * up)
                     )
                 else:
                     windows = self._plan_stream_chunks(pending, tokens, final)
@@ -547,7 +566,7 @@ class ContinuousTTSServer:
                             np.int32,
                         )
                         work.append(
-                            (i, k, sem, self._glob_np(pending),
+                            (i, k, sem, pending,
                              (emitted - start) * up, (upto - start) * up)
                         )
                     self._trim_stream_buf(pending)
@@ -573,7 +592,13 @@ class ContinuousTTSServer:
                     else:
                         res["chunks"] = parts
             if deliver is not None:
-                deliver(res)
+                try:
+                    deliver(res)
+                except Exception:
+                    # call_soon_threadsafe raises on a loop closed by a
+                    # concurrent stop(); the drain must still finish its
+                    # other jobs rather than kill the worker
+                    logger.exception("vocode result delivery failed")
 
         # nothing to vocode (planning error, or empty) → deliver immediately
         for i, res in enumerate(results):
@@ -595,44 +620,55 @@ class ContinuousTTSServer:
         ordered = sorted(
             groups.items(), key=lambda kv: (min(prio[w[0]] for w in kv[1]), kv[0])
         )
-        for t_pad, ws in ordered:
-            ws.sort(key=lambda w: prio[w[0]])
-            idx = 0
-            while idx < len(ws):
-                n = len(ws) - idx
-                b = self._pick_vocode_batch(n, t_pad) if self.vocode_batch else None
-                take = ws[idx : idx + (min(b, n) if b else 1)]
-                idx += len(take)
-                if b and len(take) >= 2:
-                    try:
-                        self._vocode_group(take, b, out)
-                    except Exception:
-                        logger.exception("batched vocode failed; scalar fallback")
-                        for w in take:
-                            try:
-                                self._vocode_scalar(w, out)
-                            except Exception as e2:
-                                if results[w[0]]["error"] is None:
-                                    results[w[0]]["error"] = e2
-                else:
-                    try:
-                        self._vocode_scalar(take[0], out)
-                    except Exception as e:
-                        if results[take[0][0]]["error"] is None:
-                            results[take[0][0]]["error"] = e
-                for w in take:
-                    remaining[w[0]] -= 1
-                    if remaining[w[0]] <= 0 or results[w[0]]["error"] is not None:
-                        finish(w[0])
+        try:
+            for t_pad, ws in ordered:
+                ws.sort(key=lambda w: prio[w[0]])
+                idx = 0
+                while idx < len(ws):
+                    n = len(ws) - idx
+                    b = self._pick_vocode_batch(n, t_pad) if self.vocode_batch else None
+                    take = ws[idx : idx + (min(b, n) if b else 1)]
+                    idx += len(take)
+                    if b and len(take) >= 2:
+                        try:
+                            self._vocode_group(take, b, out)
+                        except Exception:
+                            logger.exception("batched vocode failed; scalar fallback")
+                            for w in take:
+                                try:
+                                    self._vocode_scalar(w, out)
+                                except Exception as e2:
+                                    if results[w[0]]["error"] is None:
+                                        results[w[0]]["error"] = e2
+                    else:
+                        try:
+                            self._vocode_scalar(take[0], out)
+                        except Exception as e:
+                            if results[take[0][0]]["error"] is None:
+                                results[take[0][0]]["error"] = e
+                    for w in take:
+                        remaining[w[0]] -= 1
+                        if remaining[w[0]] <= 0 or results[w[0]]["error"] is not None:
+                            finish(w[0])
+        except Exception as e:
+            # code OUTSIDE the per-item guards can raise (e.g. the warm
+            # daemon's Thread.start under thread pressure) — contain it here:
+            # an escape would kill _vocode_task and hang every later request
+            logger.exception("vocode drain failed; failing its pending jobs")
+            for i, res in enumerate(results):
+                if i not in done and res["error"] is None:
+                    res["error"] = e
 
         for i in range(len(results)):  # catch-all; no-op when all delivered
             finish(i)
         return results
 
     def _vocode_scalar(self, w, out: Dict[tuple, np.ndarray]):
-        job, order, sem, glob, lo, hi = w
+        job, order, sem, pending, lo, hi = w
         t0 = time.perf_counter()
-        wav = self.pipe.detokenize(glob, sem[None, :])
+        # global tokens pass through as-is: pipe.detokenize keeps a
+        # device-resident jax.Array on device (no host sync on this path)
+        wav = self.pipe.detokenize(pending.global_tokens, sem[None, :])
         self.stage_stats.record("vocode", time.perf_counter() - t0)
         out[(job, order)] = wav[lo:hi]
 
@@ -641,7 +677,11 @@ class ContinuousTTSServer:
         with duplicate rows up to the warm batch size `b`."""
         pad = b - len(take)
         sems = [w[2] for w in take] + [take[-1][2]] * pad
-        globs = np.concatenate([w[3] for w in take] + [take[-1][3]] * pad, axis=0)
+        globs = np.concatenate(
+            [self._glob_np(w[3]) for w in take]
+            + [self._glob_np(take[-1][3])] * pad,
+            axis=0,
+        )
         t0 = time.perf_counter()
         wavs = self.pipe.detokenize_batch(globs, sems)
         self.stage_stats.record("vocode", time.perf_counter() - t0)
@@ -662,10 +702,16 @@ class ContinuousTTSServer:
             return None
         warm_set = _voc_state(self.pipe)["warm"]
         warm = [b for b in self._voc_batch_sizes if (b, t_pad) in warm_set]
+        want = next((b for b in self._voc_batch_sizes if b >= n), self._voc_batch_sizes[-1])
         cover = [b for b in warm if b >= n]
         if cover:
+            # an oversized warm batch covers n, but keep compiling the TIGHT
+            # size in the background — without this, one congested drain that
+            # warmed (say) 8 leaves every later n=2 drain running 4× the MXU
+            # rows forever (the early return would never warm the small size)
+            if cover[0] != want:
+                self._warm_vocode_batch_bg(want, t_pad)
             return cover[0]
-        want = next((b for b in self._voc_batch_sizes if b >= n), self._voc_batch_sizes[-1])
         self._warm_vocode_batch_bg(want, t_pad)
         return warm[-1] if warm else None
 
@@ -745,9 +791,19 @@ class ContinuousTTSServer:
                 continue
             # each job is delivered (call_soon_threadsafe) as its last window
             # lands — awaiting the executor only paces the drain loop
-            await loop.run_in_executor(
-                self._vocode_pool, self._run_vocode_jobs, jobs, deliver
-            )
+            try:
+                await loop.run_in_executor(
+                    self._vocode_pool, self._run_vocode_jobs, jobs, deliver
+                )
+            except Exception as e:
+                # submit on a shut-down pool (stop/restart race) or any
+                # escape _run_vocode_jobs' containment missed: fail THESE
+                # jobs (idempotent — _fail_pending guards done futures) but
+                # keep the vocode task alive for the next drain
+                logger.exception("vocode drain dispatch failed")
+                self.stats["failures"] = self.stats.get("failures", 0) + 1
+                for pending, *_ in jobs:
+                    self._fail_pending(pending, e)
 
     def _push_vocode_result(self, res):
         """Hand one vocoded job to its consumer (loop thread — chunk queues

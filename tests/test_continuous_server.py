@@ -320,6 +320,14 @@ def test_co_dispatch_caps_are_absolute(pipe):
     assert snap_to_ladder(500, 512) == 512   # 12-step overshoot is fine
     assert snap_to_ladder(350, 512) == 256   # tail rides a later dispatch
     assert snap_to_ladder(500, 128) == 128   # explicit caps still bind
+    # a NON-RUNG cap is itself a rung: the warm walk compiles eng.step(cap),
+    # so snapping must resolve to it — both the warm call itself and a
+    # runtime request near the cap (otherwise the cap-sized program compiles
+    # cold inside a live stream, the exact stall the warm exists to prevent)
+    assert snap_to_ladder(200, 200) == 200   # the warm walk's own call
+    assert snap_to_ladder(230, 200) == 200   # capped request hits warm size
+    assert snap_to_ladder(130, 200) == 128   # ladder rungs still preferred
+    assert snap_to_ladder(180, 200) == 200   # 20-step overshoot onto the cap
 
     server = ContinuousTTSServer(pipe, max_slots=4, steps_per_dispatch=512)
     assert server.co_dispatch_cap == 64
@@ -478,6 +486,51 @@ def test_detokenize_receptive_field_bound(pipe):
     assert 0 < rf_tiny <= rf_full
 
 
+def test_receptive_field_covers_empirical_reach_large_ratio():
+    """detokenize_receptive_field must UPPER-bound the measured forward
+    influence of one input frame even with sampler ratios >= 4, where the
+    prenet deconv's one-sided reach is (2r-1-⌈r/2⌉)/r > 1 input frames
+    (regression: a constant 1-frame-per-sampler term undercounted there,
+    which would let the windowed streaming vocode emit chunks that differ
+    from the full-prefix recompute).  Measures reach by perturbing single
+    semantic frames at several stride phases and locating the last changed
+    output sample."""
+    import dataclasses
+
+    from sparktts_tpu.codec.bicodec import detokenize_receptive_field
+    from sparktts_tpu.config import tiny_test_config
+
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(
+        cfg,
+        bicodec=dataclasses.replace(
+            cfg.bicodec,
+            prenet=dataclasses.replace(
+                cfg.bicodec.prenet, sample_ratios=(4, 2)
+            ),
+        ),
+    )
+    p = SparkTTSPipeline(config=cfg, max_new_tokens=16, prompt_bucket=32)
+    rf = detokenize_receptive_field(cfg.bicodec)
+    up = p._wave_upsample
+    n_glob = cfg.bicodec.speaker_encoder.token_num
+    glob = np.zeros((1, n_glob), np.int32)
+    rng = np.random.default_rng(0)
+    codebook = cfg.bicodec.quantizer.codebook_size
+    T = rf + 48  # room to the right of every probe
+    sem = rng.integers(0, codebook, (1, T)).astype(np.int32)
+    base = p.detokenize(glob, sem)
+    worst = 0.0
+    for j in (8, 9, 10, 11):  # cover the stride-4 sampler's input phases
+        pert = sem.copy()
+        pert[0, j] = (pert[0, j] + 1) % codebook
+        out = p.detokenize(glob, pert)
+        diff = np.nonzero(base != out)[0]
+        assert diff.size, "perturbed token had no effect"
+        worst = max(worst, diff[-1] / up - j)
+    assert worst <= rf, (worst, rf)
+
+
 def test_stream_context_window_matches_full_prefix(pipe):
     """Windowed streaming vocode (left context >= codec receptive field)
     must emit samples matching the full-prefix recompute.  Drives the vocode
@@ -587,3 +640,71 @@ def test_vocode_drain_merges_and_prioritizes():
     by_pending = {id(j[0]): j for j in jobs}
     np.testing.assert_array_equal(by_pending[id(established)][1], [1, 2, 3])
     assert by_pending[id(offline)][3] is True
+
+
+def test_pick_vocode_batch_warms_tight_size(pipe):
+    """An oversized warm batch may cover a drain's n windows, but the TIGHT
+    size must still be background-compiled — otherwise one congested drain
+    that warmed (say) 8 locks every later n=2 drain into 4x the MXU rows
+    forever (the cover early-return used to skip the warm kick)."""
+    from sparktts_tpu.serve.continuous_server import _voc_state
+
+    server = ContinuousTTSServer(
+        pipe, max_slots=8, steps_per_dispatch=4, vocode_batch=True
+    )
+    st = _voc_state(pipe)
+    saved = set(st["warm"])
+    kicks = []
+    server._warm_vocode_batch_bg = lambda b, t: kicks.append((b, t))
+    t_pad = 10**6  # a shape no other test warms
+    try:
+        st["warm"].add((8, t_pad))
+        assert server._pick_vocode_batch(2, t_pad) == 8  # covers now...
+        assert kicks == [(2, t_pad)]                     # ...but warms tight
+        st["warm"].add((2, t_pad))
+        kicks.clear()
+        assert server._pick_vocode_batch(2, t_pad) == 2  # tight wins once warm
+        assert kicks == []
+    finally:
+        st["warm"] -= st["warm"] - saved
+
+
+def test_vocode_drain_survives_nonjob_exception(pipe):
+    """An exception raised OUTSIDE the per-window guards (here: the warm
+    kick's Thread.start stand-in) must not escape _run_vocode_jobs — it
+    would kill the vocode task and hang every later request.  All jobs in
+    the drain fail cleanly and are still delivered."""
+    from sparktts_tpu.serve.continuous_server import _Pending, _voc_state
+
+    server = ContinuousTTSServer(
+        pipe, max_slots=4, steps_per_dispatch=4, vocode_batch=True
+    )
+
+    def boom(b, t_pad):
+        raise RuntimeError("can't start new thread")
+
+    server._warm_vocode_batch_bg = boom
+    tok = pipe.tokenizer
+    n_glob = pipe.config.bicodec.speaker_encoder.token_num
+    jobs = []
+    for _ in range(2):  # two same-shape windows → the batch picker runs
+        p = _Pending(
+            text="", prompt_wav=None, prompt_text=None, gender=None,
+            pitch=None, speed=None, max_new_tokens=0, future=None,
+        )
+        p.global_tokens = np.zeros((1, n_glob), np.int32)
+        toks = (tok.semantic_base + np.arange(24)).astype(np.int32)
+        jobs.append([p, toks, True, True])
+    # swap in an all-cold warm state so the picker must kick the warm
+    st = _voc_state(pipe)
+    saved = {k: set(v) for k, v in st.items()}
+    st["warm"].clear()
+    st["warming"].clear()
+    try:
+        delivered = []
+        results = server._run_vocode_jobs(jobs, deliver=delivered.append)
+    finally:
+        for k, v in saved.items():
+            st[k] |= v
+    assert len(delivered) == len(jobs) == 2
+    assert all(r["error"] is not None for r in results)
