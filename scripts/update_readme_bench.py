@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Regenerate the README "Measured" table from the checked-in bench artifacts.
+
+One source of truth: every number in the README benchmark block is read from
+BENCH_LAST.json (bench.py), BENCH_DATASET_r03.json (run_dataset_bench.py) and
+BENCH_SCALE_r03.json — never typed by hand (VERDICT r2 item 5: "no number in
+README that isn't reproducible from a checked-in artifact + script").
+
+    python scripts/update_readme_bench.py [--check]
+
+--check exits non-zero if the README block differs from the regenerated one
+(use in review: a stale README fails the check).
+"""
+import argparse
+import json
+import re
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+
+BEGIN = "| metric | this repo | reference (L20, Triton+TRT-LLM) |"
+
+# Reference numbers from BASELINE.md (runtime/triton_trtllm/README.md:89-94)
+REF = {
+    "offline_rtf": {1: 0.1362, 2: 0.0737, 4: 0.0704},
+    "streaming_rtf": {1: 0.1501, 2: 0.0862, 4: 0.0824},
+    "first_chunk_ms": {1: 210, 2: 226, 4: 1018},
+}
+
+
+def _rows(dataset):
+    out = {}
+    for r in dataset["runs"]:
+        out[(r["mode"], r["concurrency"])] = r
+    return out
+
+
+def build_table():
+    last = json.loads((ROOT / "BENCH_LAST.json").read_text())
+    data = _rows(json.loads((ROOT / "BENCH_DATASET_r03.json").read_text()))
+    scale = _rows(json.loads((ROOT / "BENCH_SCALE_r03.json").read_text()))
+
+    def rtf(mode, concs):
+        return " / ".join(f"{data[(mode, c)]['rtf']:.3f}" for c in concs)
+
+    def fc(concs):
+        return " / ".join(
+            f"{data[('continuous_streaming', c)]['first_chunk_p50_ms']:.0f}"
+            for c in concs
+        )
+
+    speedup = last["vs_baseline"]
+    g = data[("grpc_streaming", 1)]
+    lines = [
+        BEGIN,
+        "|---|---|---|",
+        f"| offline RTF, single stream (`bench.py`) | **{last['value']:.3f}** "
+        f"| 0.1362 (**{speedup:.1f}× faster**) |",
+        f"| offline dataset RTF, conc 1 / 2 / 4 | **{rtf('offline', (1, 2, 4))}** "
+        f"| 0.1362 / 0.0737 / 0.0704 |",
+        f"| streaming dataset RTF, conc 1 / 2 / 4 | **{rtf('continuous_streaming', (1, 2, 4))}** "
+        f"| 0.1501 / 0.0862 / 0.0824 |",
+        f"| streaming first-chunk P50, conc 1 / 2 / 4 | **{fc((1, 2, 4))} ms** "
+        f"| 210 / 226 / 1018 ms |",
+        f"| gRPC streaming RTF / first-chunk P50, conc 1 | "
+        f"**{g['rtf']:.3f} / {g['first_chunk_p50_ms']:.0f} ms** | 0.1501 / 210 ms |",
+    ]
+    if ("offline", 8) in scale and ("offline", 16) in scale:
+        r8, r16 = scale[("offline", 8)], scale[("offline", 16)]
+        agg = round(1.0 / r16["rtf"])
+        lines.append(
+            f"| offline dataset RTF, conc 8 / 16 (`BENCH_SCALE_r03.json`) | "
+            f"**{r8['rtf']:.4f} / {r16['rtf']:.4f}** ({agg}× realtime aggregate) "
+            f"| not published (stops at conc 4) |"
+        )
+    # sanity: fail loudly if any measured cell no longer beats the reference
+    losses = []
+    for c in (1, 2, 4):
+        if data[("offline", c)]["rtf"] >= REF["offline_rtf"][c]:
+            losses.append(f"offline conc {c}")
+        if data[("continuous_streaming", c)]["rtf"] >= REF["streaming_rtf"][c]:
+            losses.append(f"streaming conc {c}")
+        if (
+            data[("continuous_streaming", c)]["first_chunk_p50_ms"]
+            >= REF["first_chunk_ms"][c]
+        ):
+            losses.append(f"first-chunk conc {c}")
+    return "\n".join(lines) + "\n", losses
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--check", action="store_true")
+    args = ap.parse_args()
+
+    table, losses = build_table()
+    readme_path = ROOT / "README.md"
+    readme = readme_path.read_text()
+    # replace from the table header through the last contiguous table row
+    m = re.search(r"^\| metric \|[^\n]*\n(?:\|[^\n]*\n)+", readme, re.M)
+    if not m:
+        sys.exit("README measured table not found")
+    new = readme[: m.start()] + table + readme[m.end() :]
+    if losses:
+        print("WARNING: cells not beating reference:", ", ".join(losses))
+    if args.check:
+        if new != readme:
+            print("README bench table is stale; run scripts/update_readme_bench.py")
+            sys.exit(1)
+        print("README bench table matches artifacts")
+        return
+    if new != readme:
+        readme_path.write_text(new)
+        print("README bench table updated")
+    else:
+        print("README bench table already up to date")
+
+
+if __name__ == "__main__":
+    main()
