@@ -34,7 +34,16 @@ def apply_platform_env() -> str | None:
         return None
 
 
-def enable_compile_cache(default_dir: str = "/tmp/jax_comp_cache") -> None:
+def _default_cache_dir() -> str:
+    # repo-local so it survives /tmp cleanup between host sessions; falls
+    # back to /tmp when the package is installed somewhere read-only
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    candidate = os.path.join(root, ".jax_cache")
+    parent_writable = os.access(root, os.W_OK)
+    return candidate if parent_writable else "/tmp/jax_comp_cache"
+
+
+def enable_compile_cache(default_dir: str | None = None) -> None:
     """Turn on JAX's persistent compilation cache for this process.
 
     Cold-starting the full LLM program costs minutes of XLA compile; the
@@ -42,7 +51,9 @@ def enable_compile_cache(default_dir: str = "/tmp/jax_comp_cache") -> None:
     invocations) to a disk read.  Directory override: $SPARKTTS_COMPILE_CACHE
     (empty string disables).  Idempotent; safe before or after backend init.
     """
-    cache_dir = os.environ.get("SPARKTTS_COMPILE_CACHE", default_dir)
+    cache_dir = os.environ.get(
+        "SPARKTTS_COMPILE_CACHE", default_dir or _default_cache_dir()
+    )
     if not cache_dir:
         return
     import jax
