@@ -89,32 +89,91 @@ def build_table():
     return "\n".join(lines) + "\n", losses
 
 
+def build_notes_table():
+    last = json.loads((ROOT / "BENCH_LAST.json").read_text())
+    data = _rows(json.loads((ROOT / "BENCH_DATASET_r03.json").read_text()))
+
+    def rtf(mode, concs):
+        return " / ".join(f"{data[(mode, c)]['rtf']:.3f}" for c in concs)
+
+    def ratio(mode, ref, concs, inv=False):
+        out = []
+        for c in concs:
+            v = data[(mode, c)]["rtf"] if not inv else data[(mode, c)][
+                "first_chunk_p50_ms"
+            ]
+            out.append(f"{ref[c] / v:.1f}")
+        return " / ".join(out) + "×"
+
+    def fc(concs):
+        return " / ".join(
+            f"{data[('continuous_streaming', c)]['first_chunk_p50_ms']:.0f}"
+            for c in concs
+        )
+
+    g = data[("grpc_streaming", 1)]
+    return "\n".join(
+        [
+            "| metric | value | reference (L20) | speedup |",
+            "|---|---|---|---|",
+            f"| offline RTF, 1 stream (bench.py → BENCH_LAST.json) | "
+            f"**{last['value']:.4f}** | 0.1362 | **{last['vs_baseline']:.2f}×** |",
+            f"| offline dataset RTF conc 1/2/4 (BENCH_DATASET_r03) | "
+            f"**{rtf('offline', (1, 2, 4))}** | 0.1362 / 0.0737 / 0.0704 | "
+            f"{ratio('offline', REF['offline_rtf'], (1, 2, 4))} |",
+            f"| streaming dataset RTF conc 1/2/4 (BENCH_DATASET_r03) | "
+            f"**{rtf('continuous_streaming', (1, 2, 4))}** | 0.1501 / 0.0862 / 0.0824 | "
+            f"{ratio('continuous_streaming', REF['streaming_rtf'], (1, 2, 4))} |",
+            f"| streaming first-chunk P50 conc 1/2/4 | **{fc((1, 2, 4))} ms** | "
+            f"210 / 226 / 1018 ms | "
+            f"{ratio('continuous_streaming', REF['first_chunk_ms'], (1, 2, 4), inv=True)} |",
+            f"| gRPC streaming conc 1 (grpcio transport) | RTF **{g['rtf']:.3f}**, "
+            f"first-chunk P50 **{g['first_chunk_p50_ms']:.0f} ms** | 0.1501 / 210 ms | "
+            f"{0.1501 / g['rtf']:.1f} / {210 / g['first_chunk_p50_ms']:.1f}× |",
+        ]
+    ) + "\n"
+
+
+def _splice(text, header_re, table):
+    m = re.search(header_re, text, re.M)
+    if not m:
+        return None
+    return text[: m.start()] + table + text[m.end() :]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--check", action="store_true")
     args = ap.parse_args()
 
     table, losses = build_table()
-    readme_path = ROOT / "README.md"
-    readme = readme_path.read_text()
-    # replace from the table header through the last contiguous table row
-    m = re.search(r"^\| metric \|[^\n]*\n(?:\|[^\n]*\n)+", readme, re.M)
-    if not m:
-        sys.exit("README measured table not found")
-    new = readme[: m.start()] + table + readme[m.end() :]
     if losses:
         print("WARNING: cells not beating reference:", ", ".join(losses))
+    stale = []
+    targets = [
+        (ROOT / "README.md", r"^\| metric \|[^\n]*\n(?:\|[^\n]*\n)+", table),
+        (
+            ROOT / "BENCH_NOTES.md",
+            r"^\| metric \| value \| reference \(L20\) \| speedup \|\n(?:\|[^\n]*\n)+",
+            build_notes_table(),
+        ),
+    ]
+    for path, pattern, tbl in targets:
+        text = path.read_text()
+        new = _splice(text, pattern, tbl)
+        if new is None:
+            sys.exit(f"{path.name}: measured table not found")
+        if new != text:
+            stale.append(path.name)
+            if not args.check:
+                path.write_text(new)
     if args.check:
-        if new != readme:
-            print("README bench table is stale; run scripts/update_readme_bench.py")
+        if stale:
+            print("stale bench tables:", ", ".join(stale))
             sys.exit(1)
-        print("README bench table matches artifacts")
-        return
-    if new != readme:
-        readme_path.write_text(new)
-        print("README bench table updated")
+        print("bench tables match artifacts")
     else:
-        print("README bench table already up to date")
+        print("updated:" if stale else "already up to date:", ", ".join(stale) or "-")
 
 
 if __name__ == "__main__":
