@@ -78,6 +78,16 @@ def main():
         run_continuous_benchmark(
             pipe, mode_tasks, concurrency=2, streaming=True, fused_admission=fused
         )
+        if key == "voice_cache":
+            # second warm pass: the FIRST task per shared wav was a cache MISS
+            # above (fused path), so its (t_pad, S_pad) assembled-admission
+            # program never compiled.  Steady state is all-hits — warm again
+            # with the cache populated so every assembled signature is built
+            # before the timed run.
+            run_continuous_benchmark(
+                pipe, mode_tasks, concurrency=2, streaming=True,
+                fused_admission=fused,
+            )
         pipe.voice_cache_stats.update(hits=0, misses=0)
         stats = run_continuous_benchmark(
             pipe, mode_tasks, concurrency=args.concurrency, streaming=True,
