@@ -40,6 +40,10 @@ def main():
                         help="LRU size of the speaker-prompt token cache "
                              "(0 = off): repeat requests with the same "
                              "prompt voice skip the audio-tokenize stack")
+    parser.add_argument("--voices_dir", default=None,
+                        help="directory of <name>.wav prompt files to "
+                             "pre-register as named clone voices for the "
+                             "OpenAI-compatible /v1/audio/speech endpoint")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
@@ -53,9 +57,23 @@ def main():
         speculative_k=args.speculative_k,
         voice_cache_size=args.voice_cache,
     )
+    voices = None
+    if args.voices_dir:
+        from sparktts_tpu.io.audio import load_audio
+        from sparktts_tpu.serve.voices import VoiceRegistry
+
+        voices = VoiceRegistry()
+        for wav_path in sorted(Path(args.voices_dir).glob("*.wav")):
+            voices.register(
+                wav_path.stem,
+                load_audio(wav_path, sampling_rate=pipe.sample_rate),
+            )
+            logging.info("registered voice %r from %s", wav_path.stem, wav_path)
+
     serve_http(
         pipe, host=args.host, port=args.port, max_batch=args.max_batch,
         paged_kv=args.paged_kv, warmup=args.warmup, grpc_port=args.grpc_port,
+        voices=voices,
     )
 
 

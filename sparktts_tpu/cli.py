@@ -39,6 +39,15 @@ def parse_args(argv=None):
     parser.add_argument("--max_new_tokens", type=int, default=3000)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--stream", action="store_true", help="use the streaming synthesizer")
+    parser.add_argument(
+        "--longform", action="store_true",
+        help="sentence-segmented synthesis with one stable voice for texts "
+             "longer than the generation budget",
+    )
+    parser.add_argument(
+        "--max_segment_chars", type=int, default=400,
+        help="longform segment size (characters, sentence-aligned)",
+    )
     return parser.parse_args(argv)
 
 
@@ -67,7 +76,11 @@ def run_tts(args) -> str:
         top_p=args.top_p,
         seed=args.seed,
     )
-    if args.stream:
+    if args.longform:
+        wav = model.inference_long(
+            args.text, max_segment_chars=args.max_segment_chars, **kwargs
+        )
+    elif args.stream:
         from sparktts_tpu.serve.streaming import StreamingSynthesizer
 
         syn = StreamingSynthesizer(model)

@@ -480,9 +480,52 @@ class SparkTTSPipeline:
         seed: int = 0,
         greedy: bool = False,
     ) -> np.ndarray:
+        wav, _ = self._synthesize_segment(
+            text,
+            prompt_speech_path=prompt_speech_path,
+            prompt_text=prompt_text,
+            gender=gender,
+            pitch=pitch,
+            speed=speed,
+            temperature=temperature,
+            top_k=top_k,
+            top_p=top_p,
+            max_new_tokens=max_new_tokens,
+            seed=seed,
+            greedy=greedy,
+        )
+        return wav
+
+    def _synthesize_segment(
+        self,
+        text: str,
+        prompt_speech_path: Optional[str | Path] = None,
+        prompt_text: Optional[str] = None,
+        gender: Optional[str] = None,
+        pitch: Optional[str] = None,
+        speed: Optional[str] = None,
+        temperature: float = 0.8,
+        top_k: int = 50,
+        top_p: float = 0.95,
+        max_new_tokens: Optional[int] = None,
+        seed: int = 0,
+        greedy: bool = False,
+        speaker_globals: Optional[np.ndarray] = None,
+    ) -> tuple:
+        """One prompt → (wav, codec global ids).  The returned global ids are
+        the speaker identity actually used for vocoding — the tokenized
+        prompt's (clone), the LLM-emitted ones (control), or the
+        `speaker_globals` passed in (longform continuation: a clone prompt
+        carrying ONLY global tokens, the reference's no-prompt-text clone
+        form, reference `cli/SparkTTS.py:53-108`)."""
         global_token_ids: Optional[np.ndarray] = None
-        if gender is not None:
+        if speaker_globals is not None:
+            global_token_ids = np.asarray(speaker_globals, np.int32).reshape(1, -1)
+            ids = build_clone_prompt(self.tokenizer, text, global_token_ids)
+            mode = "clone"
+        elif gender is not None:
             ids = build_control_prompt(self.tokenizer, text, gender, pitch, speed)
+            mode = "control"
         else:
             global_token_ids, semantic_token_ids = self.tokenize_audio(prompt_speech_path)
             ids = build_clone_prompt(
@@ -492,6 +535,7 @@ class SparkTTSPipeline:
                 semantic_token_ids if prompt_text is not None else None,
                 prompt_text,
             )
+            mode = "clone"
 
         generated = self.generate_tokens(
             ids,
@@ -501,11 +545,11 @@ class SparkTTSPipeline:
             max_new_tokens=max_new_tokens,
             seed=seed,
             greedy=greedy,
-            mode="control" if gender is not None else "clone",
+            mode=mode,
         )
 
         semantic_ids = extract_semantic_ids(self.tokenizer, generated)
-        if gender is not None:
+        if mode == "control":
             from sparktts_tpu.prompt import padded_global_tokens
 
             global_token_ids = padded_global_tokens(
@@ -516,9 +560,91 @@ class SparkTTSPipeline:
             )
         if semantic_ids.size == 0:
             logger.warning("no semantic tokens generated; returning silence")
-            return np.zeros(0, dtype=np.float32)
+            return np.zeros(0, dtype=np.float32), global_token_ids
 
-        return self.detokenize(global_token_ids, semantic_ids[None, :])
+        return self.detokenize(global_token_ids, semantic_ids[None, :]), global_token_ids
+
+    def inference_long(
+        self,
+        text: str,
+        prompt_speech_path: Optional[str | Path] = None,
+        prompt_text: Optional[str] = None,
+        gender: Optional[str] = None,
+        pitch: Optional[str] = None,
+        speed: Optional[str] = None,
+        temperature: float = 0.8,
+        top_k: int = 50,
+        top_p: float = 0.95,
+        max_new_tokens: Optional[int] = None,
+        seed: int = 0,
+        greedy: bool = False,
+        max_segment_chars: int = 400,
+        inter_segment_silence_s: float = 0.1,
+    ) -> np.ndarray:
+        """Longform synthesis: sentence-split `text` into segments (≥ the
+        reference, which truncates at the token budget), synthesize each with
+        ONE stable voice, and concatenate.
+
+        Voice stability: the first segment establishes the speaker identity —
+        the tokenized prompt's global tokens (clone) or the LLM-emitted ones
+        (control) — and every later segment is a clone prompt conditioned on
+        exactly those global tokens, so the voice cannot drift between
+        segments.  Per-segment seeds derive from `seed` (seed + index)."""
+        from sparktts_tpu.utils.textseg import pack_segments
+
+        segments = pack_segments(text, max_segment_chars)
+        if len(segments) <= 1:
+            return self.inference(
+                text,
+                prompt_speech_path=prompt_speech_path,
+                prompt_text=prompt_text,
+                gender=gender,
+                pitch=pitch,
+                speed=speed,
+                temperature=temperature,
+                top_k=top_k,
+                top_p=top_p,
+                max_new_tokens=max_new_tokens,
+                seed=seed,
+                greedy=greedy,
+            )
+        shared = dict(
+            temperature=temperature,
+            top_k=top_k,
+            top_p=top_p,
+            max_new_tokens=max_new_tokens,
+            greedy=greedy,
+        )
+        wavs = []
+        speaker_globals: Optional[np.ndarray] = None
+        for i, segment in enumerate(segments):
+            if speaker_globals is None:
+                wav, speaker_globals = self._synthesize_segment(
+                    segment,
+                    prompt_speech_path=prompt_speech_path,
+                    prompt_text=prompt_text,
+                    gender=gender,
+                    pitch=pitch,
+                    speed=speed,
+                    seed=seed + i,
+                    **shared,
+                )
+            else:
+                wav, _ = self._synthesize_segment(
+                    segment, speaker_globals=speaker_globals, seed=seed + i, **shared
+                )
+            if wav.size:
+                wavs.append(wav)
+        if not wavs:
+            return np.zeros(0, dtype=np.float32)
+        gap = np.zeros(
+            int(self.sample_rate * max(inter_segment_silence_s, 0.0)), np.float32
+        )
+        joined = [wavs[0]]
+        for wav in wavs[1:]:
+            joined.append(gap)
+            joined.append(wav)
+        return np.concatenate(joined)
 
     def guided_constraint(self, mode: str = "clone"):
         """(vocab_slice, extra_ids) for guided decoding, or (None, ()) when

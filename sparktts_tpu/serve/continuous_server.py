@@ -133,6 +133,10 @@ class _Pending:
     temperature: Optional[float] = None
     top_p: Optional[float] = None
     global_tokens: Optional[np.ndarray] = None
+    # pre-supplied speaker identity (codec global ids): admission builds a
+    # globals-only clone prompt — longform continuation segments reuse the
+    # first segment's voice without re-tokenizing any audio
+    speaker_globals: Optional[np.ndarray] = None
     enqueue_time: float = field(default_factory=time.perf_counter)
     # streaming mode: chunks go to this queue instead of one final future
     chunk_queue: Optional[asyncio.Queue] = None
@@ -368,6 +372,7 @@ class ContinuousTTSServer:
         max_new_tokens: Optional[int] = None,
         temperature: Optional[float] = None,
         top_p: Optional[float] = None,
+        speaker_globals: Optional[np.ndarray] = None,
     ) -> np.ndarray:
         fut = asyncio.get_running_loop().create_future()
         self.stats["requests"] += 1
@@ -383,6 +388,7 @@ class ContinuousTTSServer:
                 future=fut,
                 temperature=temperature,
                 top_p=top_p,
+                speaker_globals=speaker_globals,
             )
         )
         return await fut
@@ -398,6 +404,7 @@ class ContinuousTTSServer:
         max_new_tokens: Optional[int] = None,
         temperature: Optional[float] = None,
         top_p: Optional[float] = None,
+        speaker_globals: Optional[np.ndarray] = None,
     ) -> AsyncIterator[np.ndarray]:
         """Async generator of waveform chunks (growing-chunk schedule,
         reference `spark_tts/1/model.py:347-385`) while the request shares the
@@ -405,28 +412,39 @@ class ContinuousTTSServer:
         temperature/top_p are honored per decode slot; top_k and the rng seed
         are engine-wide (shared batch, one rng stream).
         """
-        from sparktts_tpu.serve.streaming import chunk_sizes
-
-        fut = asyncio.get_running_loop().create_future()
-        q: asyncio.Queue = asyncio.Queue()
-        schedule = chunk_sizes(self.pipe.config.streaming)
-        first = next(schedule)
-        pending = _Pending(
+        pending = self._make_stream_pending(
             text=text,
             prompt_wav=prompt_wav,
             prompt_text=prompt_text,
             gender=gender,
             pitch=pitch,
             speed=speed,
-            max_new_tokens=max_new_tokens or self.default_max_new,
-            future=fut,
-            chunk_queue=q,
+            max_new_tokens=max_new_tokens,
+            temperature=temperature,
+            top_p=top_p,
+            speaker_globals=speaker_globals,
+        )
+        async for chunk in self._drain_stream(pending):
+            yield chunk
+
+    def _make_stream_pending(self, max_new_tokens=None, **kw) -> _Pending:
+        from sparktts_tpu.serve.streaming import chunk_sizes
+
+        schedule = chunk_sizes(self.pipe.config.streaming)
+        first = next(schedule)
+        return _Pending(
+            future=asyncio.get_running_loop().create_future(),
+            chunk_queue=asyncio.Queue(),
             stream_target=first,
             first_target=first,
             stream_schedule=schedule,
-            temperature=temperature,
-            top_p=top_p,
+            max_new_tokens=max_new_tokens or self.default_max_new,
+            **kw,
         )
+
+    async def _drain_stream(self, pending: _Pending) -> AsyncIterator[np.ndarray]:
+        """Submit a streaming pending and yield its chunks until completion."""
+        fut, q = pending.future, pending.chunk_queue
         self.stats["requests"] += 1
         await self.waiting.put(pending)
         try:
@@ -445,6 +463,81 @@ class ContinuousTTSServer:
         # otherwise never awaited on the streaming path)
         if fut.done() and not fut.cancelled() and fut.exception() is not None:
             raise fut.exception()
+
+    async def synthesize_streaming_long(
+        self,
+        text: str,
+        prompt_wav: Optional[np.ndarray] = None,
+        prompt_text: Optional[str] = None,
+        gender: Optional[str] = None,
+        pitch: Optional[str] = None,
+        speed: Optional[str] = None,
+        max_new_tokens: Optional[int] = None,
+        temperature: Optional[float] = None,
+        top_p: Optional[float] = None,
+        max_segment_chars: int = 400,
+        inter_segment_silence_s: float = 0.1,
+    ) -> AsyncIterator[np.ndarray]:
+        """Longform streaming: sentence-split the text (`utils/textseg.py`),
+        stream the segments back-to-back with ONE stable voice.  The first
+        segment establishes the speaker identity (tokenized prompt globals
+        for clone, LLM-emitted globals for control); every later segment
+        admits as a globals-only clone prompt — no audio re-tokenization, no
+        voice drift (role the reference lacks: it truncates at the token
+        budget).  Segments share the continuous decode batch like any other
+        request, so concurrent longform streams interleave per step."""
+        from sparktts_tpu.utils.textseg import pack_segments
+
+        segments = pack_segments(text, max_segment_chars)
+        gap = np.zeros(
+            int(self.pipe.sample_rate * max(inter_segment_silence_s, 0.0)),
+            np.float32,
+        )
+        speaker_globals: Optional[np.ndarray] = None
+        for i, segment in enumerate(segments):
+            if speaker_globals is None:
+                pending = self._make_stream_pending(
+                    text=segment,
+                    prompt_wav=prompt_wav,
+                    prompt_text=prompt_text,
+                    gender=gender,
+                    pitch=pitch,
+                    speed=speed,
+                    max_new_tokens=max_new_tokens,
+                    temperature=temperature,
+                    top_p=top_p,
+                )
+            else:
+                pending = self._make_stream_pending(
+                    text=segment,
+                    prompt_wav=None,
+                    prompt_text=None,
+                    gender=None,
+                    pitch=None,
+                    speed=None,
+                    max_new_tokens=max_new_tokens,
+                    temperature=temperature,
+                    top_p=top_p,
+                    speaker_globals=speaker_globals,
+                )
+            if i > 0 and gap.size:
+                yield gap
+            async for chunk in self._drain_stream(pending):
+                yield chunk
+            self.stats["longform_segments"] = (
+                self.stats.get("longform_segments", 0) + 1
+            )
+            if speaker_globals is None and pending.global_tokens is not None:
+                # one host fetch per longform request (clone admissions hold
+                # the globals as a device array)
+                speaker_globals = np.asarray(
+                    pending.global_tokens, np.int32
+                ).reshape(1, -1)
+
+    async def synthesize_long(self, **kw) -> np.ndarray:
+        """Offline longform: collect `synthesize_streaming_long` chunks."""
+        parts = [c async for c in self.synthesize_streaming_long(**kw)]
+        return np.concatenate(parts) if parts else np.zeros(0, np.float32)
 
     # ------------------------------------------------------------------
 
@@ -887,7 +980,14 @@ class ContinuousTTSServer:
         self.stage_stats.record("queue_wait", time.perf_counter() - pending.enqueue_time)
         tok = self.pipe.tokenizer
         prompt_len = None
-        if pending.gender is not None:
+        if pending.speaker_globals is not None:
+            # longform continuation: voice identity is already known — build
+            # a globals-only clone prompt (no audio tokenization at all)
+            g = np.asarray(pending.speaker_globals, np.int32).reshape(1, -1)
+            pending.global_tokens = g
+            ids = build_clone_prompt(tok, pending.text, g)
+            mode = "clone"
+        elif pending.gender is not None:
             ids = build_control_prompt(tok, pending.text, pending.gender, pending.pitch, pending.speed)
             mode = "control"
         elif self.device_admission:

@@ -32,6 +32,12 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
+# /v1/audio/speech inputs longer than this auto-route through longform
+# synthesis (sentence-segmented, voice-stable) instead of being truncated at
+# the generation budget.  OpenAI itself caps input at 4096 chars; this server
+# accepts any length.
+OPENAI_LONGFORM_AUTO_CHARS = 600
+
 
 @dataclass
 class TTSRequest:
@@ -511,6 +517,7 @@ def serve_http(
     warmup: bool = False,
     grpc_port: Optional[int] = None,
     control: Optional[dict] = None,
+    voices: Optional["VoiceRegistry"] = None,
 ):
     """Blocking HTTP JSON server.
 
@@ -524,6 +531,17 @@ def serve_http(
                            audio chunk is ready, terminated by {"done": true}.
                            Backed by the continuous-batching engine so
                            concurrent streams share the decode batch.
+      * POST /v1/audio/speech — OpenAI-compatible speech endpoint
+                           ({"input", "voice", "response_format": wav|pcm,
+                           "speed", "stream"}): returns audio BYTES
+                           (audio/wav or audio/pcm); "stream": true streams
+                           chunked audio through the continuous engine.
+                           Voices: built-in "female"/"male" (creation mode)
+                           or any name registered via the voice registry.
+      * POST/GET /v1/voices, DELETE /v1/voices/<name> — register / list /
+                           remove named clone voices (prompt wav uploaded
+                           once, then synthesized by name; pairs with the
+                           pipeline voice cache for one-dispatch admission).
       * GET /stats, GET /health
 
     `control`, when given, is filled with a `"stop"` callable (graceful
@@ -532,6 +550,18 @@ def serve_http(
     process own the socket.
     """
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from sparktts_tpu.serve.voices import (
+        BUILTIN_VOICES,
+        WAV_STREAM_SIZE,
+        VoiceRegistry,
+        openai_speed_level,
+        pcm16_bytes,
+        wav_bytes,
+        wav_header,
+    )
+
+    voice_registry = voices if voices is not None else VoiceRegistry()
 
     if grpc_port is not None and not streaming:
         # the gRPC front shares the continuous streaming engine; accepting
@@ -629,6 +659,24 @@ def serve_http(
                     # batch-server check
                     ok = ok and cserver._task is not None and not cserver._task.done()
                 self._send_json({"healthy": ok}, 200 if ok else 503)
+            elif self.path == "/v1/voices":
+                self._send_json(
+                    {"voices": voice_registry.describe(pipeline.sample_rate)}
+                )
+            elif self.path == "/v1/models":
+                # OpenAI SDK handshake surface (client.models.list())
+                self._send_json(
+                    {
+                        "object": "list",
+                        "data": [
+                            {
+                                "id": "spark-tts",
+                                "object": "model",
+                                "owned_by": "sparktts_tpu",
+                            }
+                        ],
+                    }
+                )
             elif self.path in ("/v2/health/ready", "/v2/health/live"):
                 # Triton v2 health surface (reference clients probe these).
                 # Content-Length is mandatory on a keep-alive connection —
@@ -682,12 +730,24 @@ def serve_http(
                     logger.exception("v2 infer failed")
                     self._send_json({"error": f"inference failed: {e}"}, 500)
                 return
+            path = self.path.split("?")[0]
             try:
                 payload = json.loads(raw)
-                if not isinstance(payload, dict) or "text" not in payload:
-                    raise ValueError('missing required field "text"')
+                if not isinstance(payload, dict):
+                    raise ValueError("payload must be a JSON object")
             except (json.JSONDecodeError, ValueError) as e:
                 self._send_json({"error": f"bad request: {e}"}, 400)
+                return
+            if path == "/v1/audio/speech":
+                self._do_openai_speech(payload)
+                return
+            if path == "/v1/voices":
+                self._do_register_voice(payload)
+                return
+            if "text" not in payload:
+                self._send_json(
+                    {"error": 'bad request: missing required field "text"'}, 400
+                )
                 return
             if self.path == "/tts":
                 try:
@@ -696,7 +756,10 @@ def serve_http(
                     self._send_json({"error": f"bad request: {e}"}, 400)
                     return
                 try:
-                    self._do_tts(req)
+                    if payload.get("longform"):
+                        self._do_tts_long(req, payload)
+                    else:
+                        self._do_tts(req)
                 except Exception as e:  # noqa: BLE001 — server-side failure
                     logger.exception("tts failed")
                     self._send_json({"error": f"inference failed: {e}"}, 500)
@@ -770,7 +833,75 @@ def serve_http(
                 }
             )
 
+        def _do_tts_long(self, req, payload):
+            """Offline longform ({"longform": true}): sentence-segmented
+            synthesis with one stable voice through the continuous engine."""
+            if cserver is None:
+                self._send_json(
+                    {"error": "longform requires the streaming engine"}, 501
+                )
+                return
+            kwargs = dict(
+                text=req.text,
+                prompt_wav=req.prompt_wav,
+                prompt_text=req.prompt_text,
+                gender=req.gender,
+                pitch=req.pitch,
+                speed=req.speed,
+                max_new_tokens=payload.get("max_new_tokens"),
+                temperature=payload.get("temperature"),
+                top_p=payload.get("top_p"),
+            )
+            if payload.get("max_segment_chars"):
+                kwargs["max_segment_chars"] = int(payload["max_segment_chars"])
+            t0 = time.perf_counter()
+            fut = asyncio.run_coroutine_threadsafe(
+                cserver.synthesize_long(**kwargs), loop
+            )
+            wav = fut.result()
+            self._send_json(
+                {
+                    "wav_b64": base64.b64encode(
+                        wav.astype(np.float32).tobytes()
+                    ).decode(),
+                    "sample_rate": pipeline.sample_rate,
+                    "infer_ms": (time.perf_counter() - t0) * 1000.0,
+                }
+            )
+
         def _do_tts_stream(self, req, payload):
+            def encode_chunk(val):
+                return (
+                    json.dumps(
+                        {
+                            "wav_b64": base64.b64encode(
+                                np.asarray(val, np.float32).tobytes()
+                            ).decode(),
+                            "sample_rate": pipeline.sample_rate,
+                        }
+                    ).encode()
+                    + b"\n"
+                )
+
+            self._stream_engine(
+                req,
+                payload,
+                content_type="application/x-ndjson",
+                preamble=b"",
+                encode_chunk=encode_chunk,
+                encode_done=lambda: json.dumps({"done": True}).encode() + b"\n",
+                encode_error=lambda msg: json.dumps({"error": msg}).encode() + b"\n",
+            )
+
+        def _stream_engine(
+            self, req, payload, content_type, preamble,
+            encode_chunk, encode_done, encode_error,
+        ):
+            """Decoupled streaming scaffold: run the request through the
+            continuous engine, write each audio chunk through the given
+            encoder over chunked transfer encoding.  Transport-format
+            agnostic (NDJSON for /tts_stream, raw audio for the OpenAI
+            endpoint)."""
             if cserver is None:
                 self._send_json({"error": "streaming disabled"}, 501)
                 return
@@ -784,12 +915,12 @@ def serve_http(
 
             if "top_k" in payload or "seed" in payload:
                 logger.warning(
-                    "/tts_stream: top_k/seed are engine-wide on the continuous "
+                    "streaming: top_k/seed are engine-wide on the continuous "
                     "path (shared batch) — per-request values ignored"
                 )
 
             async def pump():
-                agen = cserver.synthesize_streaming(
+                kwargs = dict(
                     text=req.text,
                     prompt_wav=req.prompt_wav,
                     prompt_text=req.prompt_text,
@@ -800,6 +931,14 @@ def serve_http(
                     temperature=payload.get("temperature"),
                     top_p=payload.get("top_p"),
                 )
+                if payload.get("longform"):
+                    if payload.get("max_segment_chars"):
+                        kwargs["max_segment_chars"] = int(
+                            payload["max_segment_chars"]
+                        )
+                    agen = cserver.synthesize_streaming_long(**kwargs)
+                else:
+                    agen = cserver.synthesize_streaming(**kwargs)
                 try:
                     async for chunk in agen:
                         if client_gone.is_set():
@@ -817,15 +956,18 @@ def serve_http(
             asyncio.run_coroutine_threadsafe(pump(), loop)
 
             self.send_response(200)
-            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Content-Type", content_type)
             self.send_header("Transfer-Encoding", "chunked")
             self.end_headers()
 
             def write_http_chunk(data: bytes):
+                if not data:
+                    return
                 self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
                 self.wfile.flush()
 
             try:
+                write_http_chunk(preamble)
                 while True:
                     try:
                         # bounded wait: if the streaming loop dies mid-request
@@ -834,20 +976,12 @@ def serve_http(
                     except _queue.Empty:
                         kind, val = "error", "stream timed out server-side"
                     if kind == "chunk":
-                        line = json.dumps(
-                            {
-                                "wav_b64": base64.b64encode(
-                                    np.asarray(val, np.float32).tobytes()
-                                ).decode(),
-                                "sample_rate": pipeline.sample_rate,
-                            }
-                        )
-                        write_http_chunk(line.encode() + b"\n")
+                        write_http_chunk(encode_chunk(val))
                     elif kind == "done":
-                        write_http_chunk(json.dumps({"done": True}).encode() + b"\n")
+                        write_http_chunk(encode_done())
                         break
                     else:
-                        write_http_chunk(json.dumps({"error": val}).encode() + b"\n")
+                        write_http_chunk(encode_error(val))
                         break
                 self.wfile.write(b"0\r\n\r\n")
                 self.wfile.flush()
@@ -856,6 +990,179 @@ def serve_http(
                 # synthesis stops and the engine slot is freed
                 client_gone.set()
                 logger.info("stream client disconnected; aborting synthesis")
+
+        # ---- OpenAI-compatible surface (/v1/audio/speech, /v1/voices) ----
+
+        def _send_openai_error(
+            self, message, status=400, etype="invalid_request_error"
+        ):
+            # OpenAI error envelope so SDK clients raise typed errors
+            self._send_json(
+                {"error": {"message": message, "type": etype, "code": None}},
+                status,
+            )
+
+        def _openai_request(self, payload):
+            """OpenAI speech payload → (TTSRequest, response_format, stream).
+            Raises ValueError (400) / KeyError (unknown voice, 404)."""
+            text = payload.get("input")
+            if not isinstance(text, str) or not text.strip():
+                raise ValueError('missing required field "input"')
+            response_format = payload.get("response_format", "wav")
+            if response_format not in ("wav", "pcm"):
+                raise ValueError(
+                    f"unsupported response_format {response_format!r} "
+                    "(supported: wav, pcm)"
+                )
+            stream = bool(payload.get("stream", False)) or (
+                payload.get("stream_format") == "audio"
+            )
+            level = None
+            if payload.get("speed") is not None:
+                level = openai_speed_level(payload["speed"])
+            voice = payload.get("voice", "female")
+            req = TTSRequest(
+                text=text,
+                temperature=payload.get("temperature", 0.8),
+                top_p=payload.get("top_p", 0.95),
+                seed=payload.get("seed", 0),
+            )
+            if voice in BUILTIN_VOICES:
+                # creation mode: attribute-token controllable synthesis
+                req.gender = voice
+                req.pitch = "moderate"
+                req.speed = level or "moderate"
+            else:
+                wav, prompt_text = voice_registry.get(voice)  # KeyError → 404
+                req.prompt_wav = wav
+                req.prompt_text = prompt_text
+                if level is not None:
+                    logger.warning(
+                        "/v1/audio/speech: speed is ignored for clone voices "
+                        "(attribute tokens only apply in creation mode)"
+                    )
+            return req, response_format, stream
+
+        def _do_openai_speech(self, payload):
+            try:
+                req, response_format, stream = self._openai_request(payload)
+            except KeyError as e:
+                self._send_openai_error(f"unknown voice {e.args[0]!r}", 404)
+                return
+            except (ValueError, TypeError) as e:
+                self._send_openai_error(str(e))
+                return
+            # longform: explicit flag, or automatic for inputs long enough to
+            # overrun the generation budget (the text would otherwise be
+            # silently truncated at max_new_tokens)
+            if (
+                payload.get("longform")
+                or len(req.text) > OPENAI_LONGFORM_AUTO_CHARS
+            ) and cserver is not None:
+                payload = dict(payload, longform=True)
+                if not stream:
+                    kwargs = dict(
+                        text=req.text,
+                        prompt_wav=req.prompt_wav,
+                        prompt_text=req.prompt_text,
+                        gender=req.gender,
+                        pitch=req.pitch,
+                        speed=req.speed,
+                        temperature=payload.get("temperature"),
+                        top_p=payload.get("top_p"),
+                    )
+                    if payload.get("max_segment_chars"):
+                        kwargs["max_segment_chars"] = int(
+                            payload["max_segment_chars"]
+                        )
+                    try:
+                        fut = asyncio.run_coroutine_threadsafe(
+                            cserver.synthesize_long(**kwargs), loop
+                        )
+                        wav = fut.result()
+                    except Exception as e:  # noqa: BLE001
+                        logger.exception("openai longform failed")
+                        self._send_openai_error(
+                            f"inference failed: {e}", 500, "server_error"
+                        )
+                        return
+                    self._send_audio(wav, response_format)
+                    return
+            if stream:
+                # chunked audio bytes as each chunk is vocoded; WAV gets a
+                # read-to-EOF header up front, PCM is raw 16-bit frames
+                preamble = (
+                    wav_header(WAV_STREAM_SIZE, pipeline.sample_rate)
+                    if response_format == "wav"
+                    else b""
+                )
+
+                def encode_error(msg):
+                    # can't switch to an error status mid-stream: truncate
+                    logger.error("openai stream failed: %s", msg)
+                    return b""
+
+                self._stream_engine(
+                    req,
+                    payload,
+                    content_type=(
+                        "audio/wav" if response_format == "wav" else "audio/pcm"
+                    ),
+                    preamble=preamble,
+                    encode_chunk=pcm16_bytes,
+                    encode_done=lambda: b"",
+                    encode_error=encode_error,
+                )
+                return
+            try:
+                fut = asyncio.run_coroutine_threadsafe(server.synthesize(req), loop)
+                res: TTSResult = fut.result()
+            except Exception as e:  # noqa: BLE001 — server-side failure
+                logger.exception("openai speech failed")
+                self._send_openai_error(f"inference failed: {e}", 500, "server_error")
+                return
+            self._send_audio(res.wav, response_format)
+
+        def _send_audio(self, wav, response_format):
+            if response_format == "wav":
+                body = wav_bytes(wav, pipeline.sample_rate)
+                ctype = "audio/wav"
+            else:
+                body = pcm16_bytes(wav)
+                ctype = "audio/pcm"
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _do_register_voice(self, payload):
+            try:
+                name = payload["name"]
+                wav = np.frombuffer(
+                    base64.b64decode(payload["wav_b64"]), dtype=np.float32
+                )
+                voice_registry.register(name, wav, payload.get("prompt_text"))
+            except (KeyError, ValueError, TypeError) as e:
+                self._send_openai_error(f"bad voice registration: {e}")
+                return
+            self._send_json(
+                {
+                    "name": name,
+                    "duration_s": round(len(wav) / pipeline.sample_rate, 3),
+                }
+            )
+
+        def do_DELETE(self):
+            path = self.path.split("?")[0]
+            if path.startswith("/v1/voices/"):
+                name = path[len("/v1/voices/") :]
+                if voice_registry.remove(name):
+                    self._send_json({"deleted": name})
+                else:
+                    self._send_openai_error(f"unknown voice {name!r}", 404)
+            else:
+                self._send_json({"error": "not found"}, 404)
 
         def log_message(self, fmt, *args):
             logger.debug(fmt, *args)
