@@ -93,10 +93,18 @@ class _Backend:
         self.loop.call_soon_threadsafe(self.loop.stop)
         self._thread.join(timeout=5)
 
+    def _longform_kwargs(self, req) -> dict:
+        kw = _request_kwargs(req)
+        if req.max_segment_chars:
+            kw["max_segment_chars"] = int(req.max_segment_chars)
+        return kw
+
     def synthesize(self, req: "pb.SynthesisRequest") -> "pb.AudioChunk":
-        fut = asyncio.run_coroutine_threadsafe(
-            self.server.synthesize(**_request_kwargs(req)), self.loop
-        )
+        if req.longform:
+            coro = self.server.synthesize_long(**self._longform_kwargs(req))
+        else:
+            coro = self.server.synthesize(**_request_kwargs(req))
+        fut = asyncio.run_coroutine_threadsafe(coro, self.loop)
         wav = fut.result()
         return pb.AudioChunk(
             pcm=np.asarray(wav, np.float32).tobytes(),
@@ -118,7 +126,13 @@ class _Backend:
 
         async def pump():
             try:
-                async for chunk in self.server.synthesize_streaming(**_request_kwargs(req)):
+                if req.longform:
+                    agen = self.server.synthesize_streaming_long(
+                        **self._longform_kwargs(req)
+                    )
+                else:
+                    agen = self.server.synthesize_streaming(**_request_kwargs(req))
+                async for chunk in agen:
                     out.put(("chunk", chunk))
                 out.put(("done", None))
             except asyncio.CancelledError:
@@ -294,6 +308,8 @@ def _build_request(
     pitch: Optional[str] = None,
     speed: Optional[str] = None,
     max_new_tokens: Optional[int] = None,
+    longform: bool = False,
+    max_segment_chars: Optional[int] = None,
 ) -> "pb.SynthesisRequest":
     return pb.SynthesisRequest(
         text=text,
@@ -303,6 +319,8 @@ def _build_request(
         pitch=pitch or "",
         speed=speed or "",
         max_new_tokens=max_new_tokens or 0,
+        longform=longform,
+        max_segment_chars=max_segment_chars or 0,
     )
 
 

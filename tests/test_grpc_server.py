@@ -70,6 +70,21 @@ def test_streaming_through_real_socket(server, pipe):
     assert all(sr == pipe.sample_rate for _, sr in chunks)
 
 
+def test_longform_streaming_through_real_socket(server, pipe):
+    """Longform flag: sentence-segmented synthesis over the same transport,
+    one stable voice across segments (globals-only clone continuations)."""
+    chunks = list(
+        framed_synthesize_stream(
+            server.host, server.port, "seg one here. seg two here. seg three.",
+            prompt_wav=_wav(3), longform=True, max_segment_chars=14,
+        )
+    )
+    assert len(chunks) >= 2
+    total = np.concatenate([c for c, _ in chunks])
+    assert total.size > 0 and np.isfinite(total).all()
+    assert server.backend.server.stats.get("longform_segments", 0) >= 2
+
+
 def test_unary_through_real_socket(server, pipe):
     wav, sr = framed_synthesize(
         server.host, server.port, "offline over the wire", prompt_wav=_wav(2)
