@@ -100,6 +100,10 @@ _PAGE = Template("""<!DOCTYPE html>
       <span class="prompt-state" id="prompt-state">no prompt loaded</span>
     </div>
     <audio id="prompt-audio" controls style="display:none"></audio>
+    <div class="row" style="margin-top:10px">
+      <label><input type="checkbox" id="clone-longform"> longform
+        (sentence-segmented, for texts beyond the generation budget)</label>
+    </div>
     <div class="row" style="margin-top:16px">
       <button class="btn" id="clone-go" onclick="synthesize('clone', false)">Generate</button>
       <button class="btn minor" id="clone-stream" onclick="synthesize('clone', true)">Stream</button>
@@ -127,6 +131,10 @@ _PAGE = Template("""<!DOCTYPE html>
       <input type="range" id="speed" min="1" max="5" value="3" step="1"
              oninput="sliderLabel('speed')">
       <span class="slider-val" id="speed-val">moderate</span>
+    </div>
+    <div class="row" style="margin-top:10px">
+      <label><input type="checkbox" id="create-longform"> longform
+        (sentence-segmented, for texts beyond the generation budget)</label>
     </div>
     <div class="row" style="margin-top:16px">
       <button class="btn" id="create-go" onclick="synthesize('create', false)">Generate</button>
@@ -266,16 +274,19 @@ function buildPayload(tab) {
     const p = { text, prompt_wav_b64: f32ToB64(state.prompt) };
     const pt = document.getElementById("clone-prompt-text").value.trim();
     if (pt.length >= 2) p.prompt_text = pt;
+    if (document.getElementById("clone-longform").checked) p.longform = true;
     return p;
   }
   const text = document.getElementById("create-text").value.trim();
   if (!text) throw new Error("enter text to synthesize");
-  return {
+  const p = {
     text,
     gender: document.querySelector("input[name=gender]:checked").value,
     pitch: LEVELS[document.getElementById("pitch").value],
     speed: LEVELS[document.getElementById("speed").value],
   };
+  if (document.getElementById("create-longform").checked) p.longform = true;
+  return p;
 }
 
 function setBusy(tab, busy) {

@@ -322,6 +322,8 @@ def test_native_ui_page(server_port):
         assert level in page
     # the page drives the same endpoints every other client uses
     assert "/tts_stream" in page and '"/tts"' in page
+    # longform toggles on both tabs
+    assert "clone-longform" in page and "create-longform" in page
 
 
 def test_warmup_servers_compiles_and_resets():
