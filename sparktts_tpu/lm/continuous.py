@@ -132,9 +132,12 @@ class SlotState(NamedTuple):
     rng: jax.Array
 
 
-def init_slots(cfg: QwenConfig, max_slots: int, cache_len: int, rng, cache_dtype=jnp.bfloat16) -> SlotState:
+def init_slots(
+    cfg: QwenConfig, max_slots: int, cache_len: int, rng,
+    cache_dtype=jnp.bfloat16, mesh=None,
+) -> SlotState:
     # distinct buffers per field: donation forbids aliased arguments
-    return SlotState(
+    slots = SlotState(
         cache=init_kv_cache(cfg, max_slots, cache_len, cache_dtype),
         cur_token=jnp.zeros((max_slots,), jnp.int32),
         write_pos=jnp.zeros((max_slots,), jnp.int32),
@@ -147,6 +150,29 @@ def init_slots(cfg: QwenConfig, max_slots: int, cache_len: int, rng, cache_dtype
         temperature=jnp.full((max_slots,), 0.8, jnp.float32),
         top_p=jnp.full((max_slots,), 0.95, jnp.float32),
         rng=rng,
+    )
+    if mesh is None:
+        return slots
+    # multi-chip serving (pipeline.shard_llm): commit the decode state to the
+    # SAME device set as the sharded params — K/V heads follow the attention
+    # tp sharding, the small per-slot vectors replicate.  Without this, the
+    # AOT-compiled fused-admission programs see single-device state against
+    # mesh-sharded params and refuse to lower.
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    # heads-over-tp only: slot batch stays replicated (admission scatters a
+    # single slot by index; a dp-sharded batch would turn every scatter into
+    # a cross-replica collective for a handful of rows)
+    cache_sh = NamedSharding(mesh, P(None, None, None, "tp", None))
+    replicated = NamedSharding(mesh, P())
+    return SlotState(
+        cache=jax.tree.map(lambda x: jax.device_put(x, cache_sh), slots.cache),
+        **{
+            f: jax.device_put(getattr(slots, f), replicated)
+            for f in slots._fields
+            if f != "cache"
+        },
     )
 
 
@@ -638,6 +664,7 @@ class ContinuousBatchingEngine(StepProtocolMixin):
         clone_slice: Tuple[int, int] | None = None,
         clone_extras: Tuple[int, ...] = (),
         max_dispatch: int = DISPATCH_LADDER[-1],
+        mesh=None,
     ):
         self.params = params
         self.cfg = cfg
@@ -653,7 +680,17 @@ class ContinuousBatchingEngine(StepProtocolMixin):
         self.clone_slice = clone_slice
         self.clone_extras = tuple(clone_extras)
         self.max_dispatch = max_dispatch
-        self.slots = init_slots(cfg, max_slots, cache_len, jax.random.PRNGKey(seed), cache_dtype)
+        self.mesh = mesh
+        self._replicated = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            self._replicated = NamedSharding(mesh, P())
+        self.slots = init_slots(
+            cfg, max_slots, cache_len, jax.random.PRNGKey(seed), cache_dtype,
+            mesh=mesh,
+        )
         self.owner: List[Optional[int]] = [None] * max_slots  # request ids
         self.budget = np.zeros(max_slots, np.int64)  # remaining tokens per slot
         self.buffers: Dict[int, List[int]] = {}
@@ -794,6 +831,15 @@ class ContinuousBatchingEngine(StepProtocolMixin):
     def fused_ready(self, tok_args: tuple, t_pad: int) -> bool:
         return self.fused_key(tok_args, t_pad) in self._fused_exe
 
+    def _harr(self, v, dtype=None):
+        """Host value → fixed-dtype jnp array, committed to the serving mesh
+        when one is set (AOT lowering refuses mixed single-device/mesh args;
+        mesh-replicated scalars keep the fused programs lowerable)."""
+        a = jnp.asarray(v, dtype)
+        if self._replicated is not None:
+            a = jax.device_put(a, self._replicated)
+        return a
+
     def _fused_traced(
         self, slot, tok_args, scaffold_row, g_off, s_off, n_sem, prompt_len,
         temperature, top_p, limit,
@@ -803,16 +849,17 @@ class ContinuousBatchingEngine(StepProtocolMixin):
         signature is identical across calls (and across lower vs call)."""
         w2v_params, bc_params, wav, feature_mask, ref_wav = tok_args
         args = (
-            self.params, self.slots, jnp.asarray(slot, jnp.int32),
-            w2v_params, bc_params, wav, feature_mask, ref_wav,
-            scaffold_row,
-            jnp.asarray([g_off], jnp.int32), jnp.asarray([s_off], jnp.int32),
-            jnp.asarray([n_sem], jnp.int32), jnp.asarray(prompt_len, jnp.int32),
+            self.params, self.slots, self._harr(slot, jnp.int32),
+            w2v_params, bc_params, self._harr(wav), self._harr(feature_mask),
+            self._harr(ref_wav),
+            self._harr(scaffold_row),
+            self._harr([g_off], jnp.int32), self._harr([s_off], jnp.int32),
+            self._harr([n_sem], jnp.int32), self._harr(prompt_len, jnp.int32),
         )
         kwargs = dict(
-            temperature=jnp.asarray(temperature, jnp.float32),
-            top_p=jnp.asarray(top_p, jnp.float32),
-            limit=jnp.asarray(limit, jnp.int32),
+            temperature=self._harr(temperature, jnp.float32),
+            top_p=self._harr(top_p, jnp.float32),
+            limit=self._harr(limit, jnp.int32),
         )
         return args, kwargs
 
@@ -929,16 +976,16 @@ class ContinuousBatchingEngine(StepProtocolMixin):
         prompt_len, temperature, top_p, limit,
     ):
         args = (
-            self.params, self.slots, jnp.asarray(slot, jnp.int32),
-            jnp.asarray(global_t, jnp.int32), jnp.asarray(semantic, jnp.int32),
-            scaffold_row,
-            jnp.asarray([g_off], jnp.int32), jnp.asarray([s_off], jnp.int32),
-            jnp.asarray([n_sem], jnp.int32), jnp.asarray(prompt_len, jnp.int32),
+            self.params, self.slots, self._harr(slot, jnp.int32),
+            self._harr(global_t, jnp.int32), self._harr(semantic, jnp.int32),
+            self._harr(scaffold_row),
+            self._harr([g_off], jnp.int32), self._harr([s_off], jnp.int32),
+            self._harr([n_sem], jnp.int32), self._harr(prompt_len, jnp.int32),
         )
         kwargs = dict(
-            temperature=jnp.asarray(temperature, jnp.float32),
-            top_p=jnp.asarray(top_p, jnp.float32),
-            limit=jnp.asarray(limit, jnp.int32),
+            temperature=self._harr(temperature, jnp.float32),
+            top_p=self._harr(top_p, jnp.float32),
+            limit=self._harr(limit, jnp.int32),
         )
         return args, kwargs
 

@@ -152,6 +152,8 @@ class SparkTTSPipeline:
         if codec_device is not None:
             self.bicodec_params = jax.device_put(self.bicodec_params, codec_device)
             self.w2v_params = jax.device_put(self.w2v_params, codec_device)
+        # multi-chip serving: set by shard_llm(mesh)
+        self.mesh = None
 
         # encoder time-compression: semantic tokens per wav2vec2 frame
         self._enc_ratio = int(np.prod(self.config.bicodec.encoder.sample_ratios))
@@ -174,6 +176,37 @@ class SparkTTSPipeline:
         self._voice_cache: "OrderedDict[bytes, tuple]" = OrderedDict()
         self._voice_lock = threading.Lock()
         self.voice_cache_stats = {"hits": 0, "misses": 0}
+
+    # ------------------------------------------------------------------
+    # multi-chip serving
+    # ------------------------------------------------------------------
+
+    def shard_llm(self, mesh) -> None:
+        """Shard the LM over a `jax.sharding.Mesh` (megatron-style specs:
+        tp-column/row attention + MLP, vocab-sharded embedding) and replicate
+        the codec stack on the SAME devices, so every serving program —
+        including the fused tokenize+assemble+prefill admission — runs under
+        GSPMD on the mesh.  Engines built after this call place their decode
+        state on the mesh too (`lm/continuous.init_slots` via the server's
+        `mesh=` plumbing).  Role of the reference's multi-GPU TRT-LLM engine
+        build (`convert_checkpoint.py --tp_size`), as mesh placement instead
+        of weight-file surgery."""
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from sparktts_tpu.parallel.shardings import qwen_param_specs
+
+        if self.codec_device is not None:
+            raise ValueError("shard_llm and codec_device are mutually exclusive")
+        self.llm_params = jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            self.llm_params,
+            qwen_param_specs(self.config.llm),
+        )
+        replicated = NamedSharding(mesh, P())
+        self.bicodec_params = jax.device_put(self.bicodec_params, replicated)
+        self.w2v_params = jax.device_put(self.w2v_params, replicated)
+        self.mesh = mesh
 
     # ------------------------------------------------------------------
     # voice cache

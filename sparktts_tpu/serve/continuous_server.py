@@ -262,6 +262,13 @@ class ContinuousTTSServer:
             max_dispatch=steps_per_dispatch,
             greedy=greedy,
         )
+        if paged and pipeline.mesh is not None:
+            # the paged Pallas decode kernel drives per-page DMA off
+            # scalar-prefetched tables — single-device by construction; the
+            # dense engine carries the sharded path (kv heads over tp)
+            raise ValueError(
+                "paged KV does not compose with shard_llm; use the dense engine"
+            )
         if paged:
             from sparktts_tpu.lm.paged import PagedContinuousEngine
 
@@ -299,6 +306,7 @@ class ContinuousTTSServer:
                 pipeline.config.llm,
                 max_slots=max_slots,
                 cache_len=cache_len,
+                mesh=pipeline.mesh,
                 **common,
             )
         self.waiting: asyncio.Queue = asyncio.Queue()

@@ -197,12 +197,10 @@ def test_tp_sharded_full_server_end_to_end():
             config=tiny_test_config(), max_new_tokens=16, prompt_bucket=32
         )
         if shard:
-            mesh = make_mesh(dp=4, tp=2)
-            pipe.llm_params = jax.tree.map(
-                lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
-                pipe.llm_params,
-                qwen_param_specs(pipe.config.llm),
-            )
+            # shard_llm: LM params sharded, codec replicated, engine decode
+            # state committed to the mesh — the FUSED admission program then
+            # lowers under GSPMD (asserted below)
+            pipe.shard_llm(make_mesh(dp=4, tp=2))
         # greedy: tp psum reorders fp reductions, so sampled draws may flip
         # on epsilon logit shifts; greedy argmax at tiny dims is stable and
         # makes audio bit-comparable (same policy as the engine-level test)
@@ -210,7 +208,7 @@ def test_tp_sharded_full_server_end_to_end():
         # test asserts BIT equality of sharded vs single-device serving
         server = ContinuousTTSServer(
             pipe, max_slots=4, steps_per_dispatch=4, greedy=True,
-            vocode_batch=False,
+            vocode_batch=False, fused_warm="sync",
         )
 
         async def go():
@@ -222,7 +220,11 @@ def test_tp_sharded_full_server_end_to_end():
             await server.stop()
             return offline, np.concatenate(chunks) if chunks else np.zeros(0)
 
-        return asyncio.new_event_loop().run_until_complete(go())
+        out = asyncio.new_event_loop().run_until_complete(go())
+        # both admissions (offline + stream) must take the one-dispatch fused
+        # path — sharded params included
+        assert server.stats.get("fused_admissions", 0) == 2, server.stats
+        return out
 
     ref_off, ref_stream = run(False)
     sh_off, sh_stream = run(True)
