@@ -329,6 +329,23 @@ def main():
                     f"warmed {n_voc} batched-vocode signatures "
                     f"(stream bucket {pipe.vocode_bucket})", file=sys.stderr,
                 )
+            # the vocode window cap closes the SCALAR streaming shape set;
+            # warm all of it so no sampled generation length lands a
+            # detokenize compile inside a timed drain (the first conc-4 r03
+            # recording ate one 6.7 s compile exactly this way)
+            from sparktts_tpu.serve.continuous_server import (
+                default_stream_ctx,
+                vocode_window_cap,
+                warm_stream_windows,
+            )
+
+            n_win = warm_stream_windows(
+                pipe, vocode_window_cap(pipe) + default_stream_ctx(pipe)
+            )
+            print(
+                f"warmed {n_win} scalar stream-window signatures "
+                f"(stream bucket {pipe.vocode_bucket})", file=sys.stderr,
+            )
     for conc in streaming_concs:
         record(
             run_continuous_benchmark(

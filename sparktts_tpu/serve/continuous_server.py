@@ -98,6 +98,49 @@ def warm_vocode_batch(pipe, batch: int, t_pad: int) -> None:
     st["warm"].add((batch, t_pad))
 
 
+def default_stream_ctx(pipe) -> int:
+    """Codec one-sided receptive field rounded up to the vocode bucket — the
+    streaming left-context that makes windowed vocode bit-equal to the
+    full-prefix recompute."""
+    from sparktts_tpu.codec.bicodec import detokenize_receptive_field
+
+    rf = detokenize_receptive_field(pipe.config.bicodec)
+    bucket = pipe.vocode_bucket
+    return -(-rf // bucket) * bucket
+
+
+def vocode_window_cap(pipe, max_vocode_window: Optional[int] = None,
+                      stream_ctx: Optional[int] = None) -> int:
+    """Resolve the streaming vocode window cap (see ContinuousTTSServer):
+    bucket-aligned, defaulting to 8 buckets, floored at ctx + 2 buckets so a
+    window can always advance past its own context prefix."""
+    bucket = pipe.vocode_bucket
+    if stream_ctx is None:
+        stream_ctx = default_stream_ctx(pipe)
+    if max_vocode_window is None:
+        max_vocode_window = 8 * bucket
+    floor_cap = stream_ctx + 2 * bucket
+    return -(-max(max_vocode_window, floor_cap) // bucket) * bucket
+
+
+def warm_stream_windows(pipe, max_window: int) -> int:
+    """Compile the SCALAR streaming-vocode program for every window shape the
+    capped planner can produce: t_pad ∈ {bucket, 2·bucket, ...} up to
+    `max_window` (pass cap + stream_ctx: a split window renders look-ahead
+    past its cut).  The window cap (ContinuousTTSServer.max_vocode_window)
+    closes this set, so a server warmed here never pays a detokenize compile
+    inside a live vocode drain no matter what lengths sampling produces.
+    Returns the number of signatures compiled (cached ones are jit hits)."""
+    bucket = pipe.vocode_bucket
+    n_glob = pipe.config.bicodec.speaker_encoder.token_num
+    globs = np.zeros((1, n_glob), np.int32)
+    n = 0
+    for t_pad in range(bucket, -(-int(max_window) // bucket) * bucket + 1, bucket):
+        pipe.detokenize(globs, np.zeros((1, t_pad), np.int32))
+        n += 1
+    return n
+
+
 def warm_vocode_batches_seen(pipe, max_batch: int) -> int:
     """Synchronously compile batched-vocoder signatures for every window
     length this process has already routed through a vocode drain for `pipe`
@@ -189,6 +232,7 @@ class ContinuousTTSServer:
         arrival_window_s: float = 4.0,
         stream_context_frames: Optional[int] = None,
         vocode_batch: bool = True,
+        max_vocode_window: Optional[int] = None,
     ):
         self.pipe = pipeline
         # streaming vocode left-context window: each chunk re-renders only
@@ -200,12 +244,25 @@ class ContinuousTTSServer:
         # re-vocodes full prefixes per chunk too, `spark_tts/1/model.py:283`,
         # and its own streaming caps chunks at 30 s to bound that cost).
         if stream_context_frames is None:
-            from sparktts_tpu.codec.bicodec import detokenize_receptive_field
-
-            rf = detokenize_receptive_field(pipeline.config.bicodec)
-            bucket = pipeline.vocode_bucket
-            stream_context_frames = -(-rf // bucket) * bucket
+            stream_context_frames = default_stream_ctx(pipeline)
         self.stream_ctx = int(stream_context_frames)
+        # vocode window-size cap: every streaming vocode window EMITS at most
+        # this many semantic tokens past its context start (a split window
+        # additionally renders up to stream_ctx look-ahead tokens), so the
+        # scalar AND batched detokenize programs come from the small CLOSED
+        # shape set {bucket, 2*bucket, ..., cap + ctx} that warmup can
+        # enumerate (warm_stream_windows).
+        # Without it the set is open — chunk targets grow to 30 s (1500
+        # tokens) and a final tail's size tracks the sampled generation
+        # length, so a live run can always hit a fresh t_pad and stall its
+        # vocode drain several seconds on a synchronous XLA compile (seen as
+        # a 6.7 s vocode max in the conc-4 dataset recording).  Oversized
+        # windows split into cap-sized pieces, each with its own
+        # receptive-field prefix — emitted samples stay bit-equal to the
+        # full-prefix recompute, same invariant as the windowing itself.
+        self.max_vocode_window = vocode_window_cap(
+            pipeline, max_vocode_window, self.stream_ctx
+        )
         # arrival anticipation: how long after the last concurrent activity a
         # lone stream keeps its dispatches short (see _requested_steps)
         self.arrival_window_s = arrival_window_s
@@ -552,8 +609,10 @@ class ContinuousTTSServer:
     def _plan_stream_chunks(self, pending: _Pending, new_tokens: np.ndarray, final: bool):
         """Advance a stream's chunk-schedule bookkeeping and return the vocode
         windows it is now due, WITHOUT vocoding (worker thread).  Each window
-        is (start, emitted, upto): vocode stream_buf[start:upto] and emit the
-        samples from `emitted` on.  start = emitted - stream_ctx rounded DOWN
+        is (start, emitted, upto, render): vocode stream_buf[start:render]
+        and emit the samples in [emitted, upto) (render > upto only for
+        split windows, whose look-ahead past the cut keeps the split
+        invisible in the output).  start = emitted - stream_ctx rounded DOWN
         to a vocode bucket — stream_ctx covers the codec's receptive field
         and keeping (upto - start) ≡ upto (mod bucket) makes detokenize's
         edge-replicate right pad identical to the full-prefix call's, so the
@@ -568,10 +627,27 @@ class ContinuousTTSServer:
         windows = []
 
         def plan(upto: int):
-            start = max(pending.stream_emitted - self.stream_ctx, 0)
-            start -= start % self.pipe.vocode_bucket
-            windows.append((start, pending.stream_emitted, upto))
-            pending.stream_emitted = upto
+            """Plan window(s) advancing emission to `upto`, splitting so no
+            single window EMITS more than max_vocode_window tokens past its
+            context start.  A split cut is an internal boundary the uncapped
+            plan would not have, so the piece renders stream_ctx tokens of
+            LOOK-AHEAD past its cut (bounded by `upto`, where the uncapped
+            window itself edge-pads) and emits only up to the cut — the
+            emitted samples are bit-equal to the unsplit window.  Window
+            token spans are therefore ≤ max_vocode_window + stream_ctx, a
+            CLOSED shape set warmup enumerates (see __init__)."""
+            while True:
+                start = max(pending.stream_emitted - self.stream_ctx, 0)
+                start -= start % self.pipe.vocode_bucket
+                cut = min(upto, start + self.max_vocode_window)
+                render = min(cut + self.stream_ctx, upto)
+                windows.append((start, pending.stream_emitted, cut, render))
+                pending.stream_emitted = cut
+                if cut >= upto:
+                    return
+                self.stats["vocode_split_windows"] = (
+                    self.stats.get("vocode_split_windows", 0) + 1
+                )
 
         while total >= pending.stream_emitted + pending.stream_target:
             plan(pending.stream_emitted + pending.stream_target)
@@ -661,9 +737,11 @@ class ContinuousTTSServer:
                     windows = self._plan_stream_chunks(pending, tokens, final)
                     res["n_windows"] = len(windows)
                     base = pending.stream_base
-                    for k, (start, emitted, upto) in enumerate(windows):
+                    for k, (start, emitted, upto, render) in enumerate(windows):
+                        # render [start, render) — split windows carry
+                        # look-ahead past their cut — but emit [emitted, upto)
                         sem = np.asarray(
-                            pending.stream_buf[start - base : upto - base],
+                            pending.stream_buf[start - base : render - base],
                             np.int32,
                         )
                         work.append(

@@ -497,6 +497,15 @@ def warmup_servers(
 
             n_voc = warm_vocode_batches_seen(pipeline, len(cserver.engine.owner))
             logger.info("warmup: %d batched-vocode signatures", n_voc)
+        # the vocode window cap closes the scalar streaming detokenize shape
+        # set — compile all of it now so no sampled generation length can
+        # land a vocoder compile inside a live drain
+        from sparktts_tpu.serve.continuous_server import warm_stream_windows
+
+        n_win = warm_stream_windows(
+            pipeline, cserver.max_vocode_window + cserver.stream_ctx
+        )
+        logger.info("warmup: %d scalar stream-window signatures", n_win)
         for k in cserver.stats:
             cserver.stats[k] = 0
         cserver.stage_stats = type(cserver.stage_stats)()

@@ -582,6 +582,85 @@ def test_stream_context_window_matches_full_prefix(pipe):
     np.testing.assert_array_equal(windowed, full)
 
 
+def test_vocode_window_cap_splits_and_matches_full_prefix(pipe):
+    """max_vocode_window bounds every planned window's span (closing the
+    detokenize shape set the warmup enumerates) by SPLITTING oversized
+    windows; each piece carries its own receptive-field prefix, so the
+    emitted samples are bit-equal to the uncapped plan.  Exercises the giant
+    final-tail case that produced an unwarmed-t_pad compile inside the
+    conc-4 dataset recording."""
+    import itertools
+
+    from sparktts_tpu.serve.continuous_server import _Pending
+
+    tok = pipe.tokenizer
+    n_glob = pipe.config.bicodec.speaker_encoder.token_num
+    bucket = pipe.vocode_bucket
+    rng = np.random.default_rng(7)
+    raw = (tok.semantic_base + rng.integers(0, tok.n_semantic, 7 * bucket + 13)).astype(
+        np.int32
+    )
+    ctx = server_ctx_default(pipe)
+
+    def mk_pending():
+        p = _Pending(
+            text="", prompt_wav=None, prompt_text=None, gender=None,
+            pitch=None, speed=None, max_new_tokens=0, future=None,
+        )
+        p.chunk_queue = object()
+        p.global_tokens = np.zeros((1, n_glob), np.int32)
+        # schedule never triggers: the whole stream arrives as one final tail
+        p.stream_target = 10**6
+        p.stream_schedule = itertools.repeat(10**6)
+        return p
+
+    def run(cap: int):
+        server = ContinuousTTSServer(
+            pipe, max_slots=2, steps_per_dispatch=4, vocode_batch=False,
+            max_vocode_window=cap,
+        )
+        p = mk_pending()
+        q = mk_pending()
+        windows = server._plan_stream_chunks(q, raw, final=True)
+        res = server._run_vocode_jobs([[p, raw, True, False]])[0]
+        assert res["error"] is None
+        return server, windows, np.concatenate(res["chunks"])
+
+    server, windows, capped = run(ctx + 2 * bucket)  # smallest legal cap
+    assert len(windows) > 1, "cap must have split the final tail"
+    prev_upto = 0
+    for start, emitted, upto, render in windows:
+        assert upto - start <= server.max_vocode_window
+        assert render - start <= server.max_vocode_window + server.stream_ctx
+        assert upto <= render <= len(raw)
+        assert start % bucket == 0
+        assert emitted == prev_upto  # contiguous emission
+        prev_upto = upto
+    assert prev_upto == len(raw)
+    # every split cut carries full look-ahead (only the schedule boundary
+    # itself may truncate it)
+    for start, emitted, upto, render in windows[:-1]:
+        assert render == min(upto + server.stream_ctx, len(raw))
+
+    _, full_windows, full = run(10**6)
+    assert len(full_windows) == 1
+    assert capped.shape == full.shape
+    np.testing.assert_array_equal(capped, full)
+
+
+def test_vocode_window_cap_floor_and_alignment(pipe):
+    """The resolved cap is bucket-aligned and never below ctx + 2 buckets —
+    a smaller cap could not advance emission past its own context prefix."""
+    from sparktts_tpu.serve.continuous_server import vocode_window_cap
+
+    bucket = pipe.vocode_bucket
+    ctx = server_ctx_default(pipe)
+    assert vocode_window_cap(pipe) % bucket == 0
+    assert vocode_window_cap(pipe, max_vocode_window=1) == ctx + 2 * bucket
+    big = vocode_window_cap(pipe, max_vocode_window=17 * bucket + 1)
+    assert big == 18 * bucket and big % bucket == 0
+
+
 def server_ctx_default(pipe) -> int:
     """The auto context the server derives: RF rounded up to the bucket."""
     from sparktts_tpu.codec.bicodec import detokenize_receptive_field

@@ -29,6 +29,7 @@ def _bare_server(pipe, vocode_batch=True, max_slots=4):
     server = object.__new__(ContinuousTTSServer)
     server.pipe = pipe
     server.stream_ctx = pipe.vocode_bucket  # small fixed window for the test
+    server.max_vocode_window = 10**9  # splitting not under test here
     server.vocode_batch = vocode_batch
     server._voc_batch_sizes = [b for b in (2, 4, 8) if b <= max_slots]
     server.stats = {}
