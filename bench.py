@@ -7,6 +7,14 @@ budget so random weights can't shortcut via early EOS.  The reference's L20
 offline concurrency-1 RTF (0.1362) is the baseline.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Structured so a COLD run completes inside the watchdog (VERDICT r03 item 1a):
+the critical path is exactly one compile (the chained generate->vocode->fetch
+program, which IS the headline path) followed by the timed loop, and the
+headline is written incrementally — after the first timed iteration there is
+already a live number on disk.  Stage-split and full-vocab measurements are
+diagnostics and run strictly AFTER the headline has been emitted, so the
+watchdog can only ever truncate diagnostics, never the result.
 """
 
 import json
@@ -21,10 +29,17 @@ BASELINE_RTF = 0.1362  # reference README.md:212, single L20, offline conc=1
 LAST_RESULT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json")
 WATCHDOG_S = 520
 
+_headline_emitted = False
+
 
 def _watchdog(signum, frame):
     """The TPU relay in this environment can wedge for long stretches; if the
-    live run stalls, emit the last known-good measurement rather than nothing."""
+    live run stalls, emit the last known-good measurement rather than nothing.
+    Once the live headline has been printed, diagnostics are all that remain —
+    exit quietly without a second JSON line."""
+    if _headline_emitted:
+        print("watchdog fired during diagnostics; headline already live", file=sys.stderr)
+        os._exit(0)
     try:
         with open(LAST_RESULT) as f:
             line = f.read().strip()
@@ -44,7 +59,27 @@ NEW_TOKENS = 500          # 500 semantic tokens @ 50 Hz → 10 s of audio
 FRAME_RATE = 50
 
 
+def _result_line(rtf: float) -> str:
+    return json.dumps(
+        {
+            "metric": "offline_rtf_single_stream",
+            "value": round(rtf, 5),
+            "unit": "rtf",
+            "vs_baseline": round(BASELINE_RTF / rtf, 3),
+        }
+    )
+
+
+def _write_last(line: str) -> None:
+    try:
+        with open(LAST_RESULT, "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+
+
 def main():
+    global _headline_emitted
     import jax
 
     # persistent XLA compilation cache: repeat bench runs skip the 1-3 min
@@ -87,68 +122,15 @@ def main():
     # layout (semantic base 151665, eos 151645)
     SEM_BASE, N_SEM, EOS = 151665, 8192, 151645
 
-    def run_llm(seed, guided=True):
-        tokens, lengths = generate(
-            llm_params,
-            cfg.llm,
-            ids,
-            mask,
-            jax.random.PRNGKey(seed),
-            max_new_tokens=NEW_TOKENS,
-            cache_len=cache_len,
-            temperature=0.8,
-            top_k=50,
-            top_p=0.95,
-            eos_ids=(),          # fixed budget: never stop early
-            pad_id=0,
-            vocab_slice=(SEM_BASE, SEM_BASE + N_SEM) if guided else None,
-            extra_ids=(EOS,) if guided else (),
-        )
-        # force a host transfer: on this platform block_until_ready alone
-        # does not guarantee execution completed
-        return np.asarray(tokens)
-
-    semantic = jnp.zeros((1, NEW_TOKENS), jnp.int32)
     global_t = jnp.zeros((1, cfg.bicodec.speaker_encoder.token_num), jnp.int32)
-
     detok = jax.jit(lambda p, s, g: bicodec_detokenize(p, cfg.bicodec, s, g))
 
-    def run_vocoder():
-        return np.asarray(detok(bc_params, semantic, global_t))
-
-    # compile
-    t0 = time.perf_counter()
-    run_llm(0)
-    t_compile_llm = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    run_vocoder()
-    t_compile_voc = time.perf_counter() - t0
-    print(
-        f"compile: llm {t_compile_llm:.1f}s vocoder {t_compile_voc:.1f}s", file=sys.stderr
-    )
-
-    # warm up the dispatch path (first post-compile calls absorb runtime setup)
-    for i in range(2):
-        run_llm(100 + i)
-        run_vocoder()
-
-    # timed
-    n_iters = 3
-    llm_times, voc_times = [], []
-    for i in range(n_iters):
-        t0 = time.perf_counter()
-        run_llm(i + 1)
-        llm_times.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        run_vocoder()
-        voc_times.append(time.perf_counter() - t0)
-
-    # chained e2e (the production offline path): generate → on-device
-    # semantic extraction → vocode → ONE packed host fetch.  On this
-    # tunneled platform every host sync costs a relay round-trip, so
-    # chaining the vocoder onto the decode program is strictly faster than
-    # timing the stages separately — and it is the honest end-to-end
-    # definition (host holds tokens AND audio after one transfer).
+    # ---- critical path: the chained e2e program (the production offline
+    # path): generate → on-device semantic extraction → vocode → ONE packed
+    # host fetch.  On this tunneled platform every host sync costs a relay
+    # round-trip, so chaining the vocoder onto the decode program is strictly
+    # faster than timing the stages separately — and it is the honest
+    # end-to-end definition (host holds tokens AND audio after one transfer).
     def run_chained(seed):
         tokens, _ = generate(
             llm_params, cfg.llm, ids, mask, jax.random.PRNGKey(seed),
@@ -166,15 +148,68 @@ def main():
         out = np.asarray(flat)  # single host transfer
         return out[:NEW_TOKENS], out[NEW_TOKENS:].view(np.float32)
 
-    run_chained(0)  # compile the tail ops
+    audio_seconds = NEW_TOKENS / FRAME_RATE
+
+    t0 = time.perf_counter()
+    run_chained(0)  # the ONLY compile on the critical path
+    t_compile = time.perf_counter() - t0
+    print(f"compile (chained e2e program): {t_compile:.1f}s", file=sys.stderr)
+
+    run_chained(100)  # one warm-up: absorb first post-compile dispatch setup
+
+    n_iters = 3
     chained_times = []
     for i in range(n_iters):
         t0 = time.perf_counter()
         run_chained(i + 1)
         chained_times.append(time.perf_counter() - t0)
+        # incremental: a live number is on disk after the FIRST iteration
+        _write_last(_result_line(min(chained_times) / audio_seconds))
     t_chained = min(chained_times)
     print(
         f"chained llm+vocoder e2e {t_chained * 1000:.1f} ms (single fetch)",
+        file=sys.stderr,
+    )
+
+    rtf = t_chained / audio_seconds
+    line = _result_line(rtf)
+    _write_last(line)
+    print(line)
+    sys.stdout.flush()
+    _headline_emitted = True
+
+    # ---- diagnostics (post-headline; watchdog may truncate freely) ----
+    def run_llm(seed, guided=True):
+        tokens, lengths = generate(
+            llm_params, cfg.llm, ids, mask, jax.random.PRNGKey(seed),
+            max_new_tokens=NEW_TOKENS, cache_len=cache_len,
+            temperature=0.8, top_k=50, top_p=0.95,
+            eos_ids=(), pad_id=0,
+            vocab_slice=(SEM_BASE, SEM_BASE + N_SEM) if guided else None,
+            extra_ids=(EOS,) if guided else (),
+        )
+        # force a host transfer: on this platform block_until_ready alone
+        # does not guarantee execution completed
+        return np.asarray(tokens)
+
+    semantic = jnp.zeros((1, NEW_TOKENS), jnp.int32)
+
+    def run_vocoder():
+        return np.asarray(detok(bc_params, semantic, global_t))
+
+    llm_times, voc_times = [], []
+    for i in range(n_iters):
+        t0 = time.perf_counter()
+        run_llm(i + 1)
+        llm_times.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        run_vocoder()
+        voc_times.append(time.perf_counter() - t0)
+    t_llm, t_voc = min(llm_times), min(voc_times)
+    print(
+        f"stage-split: llm {t_llm * 1000:.1f} ms ({NEW_TOKENS / t_llm:.0f} tok/s), "
+        f"vocoder {t_voc * 1000:.1f} ms, audio {audio_seconds:.1f} s "
+        f"(chained headline {t_chained * 1000:.1f} ms)",
         file=sys.stderr,
     )
 
@@ -188,33 +223,6 @@ def main():
         f"full-vocab llm {t_full * 1000:.1f} ms ({NEW_TOKENS / t_full:.0f} tok/s)",
         file=sys.stderr,
     )
-
-    t_llm = min(llm_times)
-    t_voc = min(voc_times)
-    audio_seconds = NEW_TOKENS / FRAME_RATE
-    # headline = the faster of (separately-fetched stages, chained single
-    # fetch); chained wins on tunneled TPUs, they tie on direct-attached
-    rtf = min(t_llm + t_voc, t_chained) / audio_seconds
-    print(
-        f"llm {t_llm * 1000:.1f} ms ({NEW_TOKENS / t_llm:.0f} tok/s), "
-        f"vocoder {t_voc * 1000:.1f} ms, audio {audio_seconds:.1f} s",
-        file=sys.stderr,
-    )
-
-    line = json.dumps(
-        {
-            "metric": "offline_rtf_single_stream",
-            "value": round(rtf, 5),
-            "unit": "rtf",
-            "vs_baseline": round(BASELINE_RTF / rtf, 3),
-        }
-    )
-    try:
-        with open(LAST_RESULT, "w") as f:
-            f.write(line + "\n")
-    except OSError:
-        pass
-    print(line)
 
 
 if __name__ == "__main__":

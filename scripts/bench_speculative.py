@@ -46,6 +46,12 @@ def main():
         help="also distill a 4-layer draft for STEPS optimizer steps "
         "(lm/distill.py) and measure its acceptance/tok_s",
     )
+    parser.add_argument(
+        "--sanity", action="store_true",
+        help="run the deterministic distillation sanity task (narrow-vocab "
+        "teacher, 2-layer draft; in-domain acceptance must clear 0.5)",
+    )
+    parser.add_argument("--sanity_steps", type=int, default=300)
     args = parser.parse_args()
 
     import jax
@@ -147,20 +153,46 @@ def main():
     if args.distill:
         # a DISTILLED 4-layer draft (trained on target-sampled sequences,
         # lm/distill.py) — realistic acceptance between the random floor and
-        # the self-draft ceiling
-        from sparktts_tpu.lm.distill import distill_draft
+        # the self-draft ceiling.  Round-3 postmortem (VERDICT r03 item 3):
+        # the greedy random-weight teacher collapses onto a near-constant
+        # sequence, so the distill loss hits ~0 while proving nothing, AND the
+        # old eval prompted from ids 100-5000 — OUT of the semantic range the
+        # corpus was drawn from.  Now: (a) record the teacher-corpus
+        # degeneracy stats, (b) record the loss CURVE, (c) measure acceptance
+        # IN-domain (prompts drawn from the same semantic range, via
+        # measure_acceptance) alongside the old OOD prompt.
+        from sparktts_tpu.lm.distill import (
+            corpus_stats,
+            distill_draft,
+            measure_acceptance,
+            sample_target_corpus,
+        )
 
         dcfg = draft_config(cfg, 4)
+        stats_corpus = sample_target_corpus(
+            params, cfg, jax.random.PRNGKey(7), 32, 8, 56,
+            greedy=True, vocab_slice=vocab_slice, extra_ids=extra,
+        )
+        teacher_stats = corpus_stats(stats_corpus, prompt_len=8)
+        print(f"teacher corpus stats: {teacher_stats}", file=sys.stderr)
+
         t0 = time.perf_counter()
-        draft, loss = distill_draft(
+        draft, losses = distill_draft(
             params, cfg, dcfg, steps=args.distill, batch=8,
             prompt_len=8, gen_len=56, corpus_seqs=128,
             vocab_slice=vocab_slice, extra_ids=extra,
         )
         train_s = time.perf_counter() - t0
-        print(f"distilled draft: {args.distill} steps, loss {loss:.3f}, "
+        curve = [round(losses[i], 4) for i in
+                 sorted({0, 1, len(losses) // 4, len(losses) // 2,
+                         3 * len(losses) // 4, len(losses) - 1})]
+        print(f"distilled draft: {args.distill} steps, loss curve {curve}, "
               f"{train_s:.0f}s", file=sys.stderr)
         draft = jax.tree.map(lambda x: x.astype(jnp.bfloat16), draft)
+        acc_in_domain = measure_acceptance(
+            params, draft, cfg, dcfg, n_prompts=4, prompt_len=8,
+            gen_len=64, k=4, seed=3, vocab_slice=vocab_slice, extra_ids=extra,
+        )
         for k in (4,):
             def spec_d():
                 return speculative_generate_greedy(
@@ -176,13 +208,72 @@ def main():
                 "config": f"distilled_draft4_k{k}_steps{args.distill}",
                 "tok_s": round(n_out / t, 1),
                 "ms_total": round(t * 1000, 1),
-                "acceptance": round(float(np.asarray(accepted)) / max(n_out, 1), 3),
+                "acceptance_ood_prompt": round(
+                    float(np.asarray(accepted)) / max(n_out, 1), 3),
+                "acceptance_in_domain": round(acc_in_domain, 3),
                 "tokens_out": n_out,
-                "distill_loss": round(loss, 3),
+                "distill_loss_curve": curve,
+                "teacher_corpus": teacher_stats,
                 "distill_train_s": round(train_s, 1),
             }
             print(json.dumps(rec), file=sys.stderr)
             results.append(rec)
+
+    if args.sanity:
+        # Deterministic sanity task (VERDICT r03 item 3 'done' criterion):
+        # narrow-vocab teacher with a LEARNABLE, non-constant greedy function,
+        # distilled 2-layer draft, in-domain acceptance must clear 0.5 — well
+        # above the 1/k random floor.  Modest dims so it runs in seconds on
+        # either backend; random fp32 teacher at these dims has a non-trivial
+        # greedy map (verified non-degenerate via corpus stats below).
+        from sparktts_tpu.config import QwenConfig
+        from sparktts_tpu.lm.distill import (
+            corpus_stats,
+            distill_draft,
+            measure_acceptance,
+            sample_target_corpus,
+        )
+
+        scfg = QwenConfig(
+            vocab_size=512, hidden_size=256, intermediate_size=512,
+            num_hidden_layers=6, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=64, eos_token_id=0, pad_token_id=1,
+        )
+        steacher = init_qwen(jax.random.PRNGKey(11), scfg, dtype=jnp.float32)
+        sdcfg = draft_config(scfg, 2)
+        s_corpus = sample_target_corpus(
+            steacher, scfg, jax.random.PRNGKey(12), 32, 4, 28, greedy=True,
+        )
+        s_stats = corpus_stats(s_corpus, prompt_len=4)
+        t0 = time.perf_counter()
+        sdraft, s_losses = distill_draft(
+            steacher, scfg, sdcfg, steps=args.sanity_steps, batch=8,
+            prompt_len=4, gen_len=28, corpus_seqs=256, learning_rate=3e-3,
+            seed=5,
+        )
+        s_train_s = time.perf_counter() - t0
+        srand = init_qwen(jax.random.PRNGKey(13), sdcfg, dtype=jnp.float32)
+        acc_rand = measure_acceptance(
+            steacher, srand, scfg, sdcfg, n_prompts=8, prompt_len=4,
+            gen_len=32, k=4, seed=6,
+        )
+        acc_dist = measure_acceptance(
+            steacher, sdraft, scfg, sdcfg, n_prompts=8, prompt_len=4,
+            gen_len=32, k=4, seed=6,
+        )
+        s_curve = [round(s_losses[i], 4) for i in
+                   sorted({0, 1, len(s_losses) // 2, len(s_losses) - 1})]
+        rec = {
+            "config": f"sanity_distill_v512_h256_L6to2_steps{args.sanity_steps}",
+            "acceptance_random_draft": round(acc_rand, 3),
+            "acceptance_distilled": round(acc_dist, 3),
+            "distill_loss_curve": s_curve,
+            "teacher_corpus": s_stats,
+            "distill_train_s": round(s_train_s, 1),
+            "pass": acc_dist > 0.5,
+        }
+        print(json.dumps(rec), file=sys.stderr)
+        results.append(rec)
 
     doc = {"new_tokens": new, "int8": args.int8, "batch": 1, "results": results}
     print(json.dumps(doc, indent=2))

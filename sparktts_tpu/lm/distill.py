@@ -70,15 +70,20 @@ def distill_draft(
     vocab_slice: Tuple[int, int] | None = None,
     extra_ids: Tuple[int, ...] = (),
     draft_params: Optional[dict] = None,
+    temperature: float = 1.0,
 ):
     """Train a draft LM to imitate the target on target-generated sequences.
-    Returns (draft_params, final_loss).  Loss is next-token CE over the
-    generated region only (the prompt is random noise)."""
+    Returns (draft_params, loss_curve) where loss_curve is the per-step CE
+    (next-token, generated region only — the prompt is random noise).  A
+    curve, not a scalar: a healthy run DESCENDS; a flat-zero curve means the
+    teacher corpus is degenerate (see corpus_stats), which is a property of
+    the teacher, not a training failure."""
     rng = jax.random.PRNGKey(seed)
     r_corpus, r_init, r_order = jax.random.split(rng, 3)
     corpus = sample_target_corpus(
         target_params, cfg, r_corpus, corpus_seqs, prompt_len, gen_len,
-        greedy=greedy_teacher, vocab_slice=vocab_slice, extra_ids=extra_ids,
+        greedy=greedy_teacher, temperature=temperature,
+        vocab_slice=vocab_slice, extra_ids=extra_ids,
     )
     if draft_params is None:
         draft_params = init_qwen(r_init, draft_cfg, dtype=jnp.float32)
@@ -95,11 +100,26 @@ def distill_draft(
     order = np.asarray(
         jax.random.randint(r_order, (steps, batch), 0, corpus.shape[0], jnp.int32)
     )
-    loss = jnp.zeros(())
+    losses = []
     for i in range(steps):
         ids = jnp.asarray(corpus[order[i]])
         state, loss = step_fn(state, input_ids=ids, loss_mask=loss_mask)
-    return state.params, float(loss)
+        losses.append(float(loss))
+    return state.params, losses
+
+
+def corpus_stats(corpus: np.ndarray, prompt_len: int) -> dict:
+    """Degeneracy diagnostics for a teacher corpus: a greedy teacher with
+    random weights typically collapses onto one token, which makes the
+    distillation task trivially easy (loss -> 0) while proving nothing about
+    the draft.  top_token_share near 1.0 means exactly that."""
+    gen = corpus[:, prompt_len:].reshape(-1)
+    uniq, counts = np.unique(gen, return_counts=True)
+    return {
+        "unique_tokens": int(uniq.size),
+        "top_token_share": round(float(counts.max()) / gen.size, 4),
+        "gen_tokens": int(gen.size),
+    }
 
 
 def measure_acceptance(
