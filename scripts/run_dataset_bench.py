@@ -73,6 +73,11 @@ def main():
         help="comma-separated concurrencies for the gRPC-transport streaming "
         "sweep ('' disables)",
     )
+    parser.add_argument(
+        "--longform_requests", type=int, default=2,
+        help="number of longform (3-segment) streaming requests to record "
+        "(0 disables)",
+    )
     parser.add_argument("--no_int8_lm", action="store_true")
     parser.add_argument("--no_warmup", action="store_true")
     parser.add_argument(
@@ -329,29 +334,53 @@ def main():
                     f"warmed {n_voc} batched-vocode signatures "
                     f"(stream bucket {pipe.vocode_bucket})", file=sys.stderr,
                 )
-            # the vocode window cap closes the SCALAR streaming shape set;
-            # warm all of it so no sampled generation length lands a
-            # detokenize compile inside a timed drain (the first conc-4 r03
-            # recording ate one 6.7 s compile exactly this way)
-            from sparktts_tpu.serve.continuous_server import (
-                default_stream_ctx,
-                vocode_window_cap,
-                warm_stream_windows,
-            )
+    if streaming_concs and not args.no_warmup:
+        # the vocode window cap closes the SCALAR streaming shape set; warm
+        # all of it so no sampled generation length lands a detokenize
+        # compile inside a timed drain (the first conc-4 r03 recording ate
+        # one 6.7 s compile exactly this way).  Runs whether or not a finer
+        # stream bucket is in play (ADVICE r03: a base-bucket streaming run
+        # pays the same mid-drain compile otherwise).
+        from sparktts_tpu.serve.continuous_server import (
+            default_stream_ctx,
+            vocode_window_cap,
+            warm_stream_windows,
+        )
 
-            n_win = warm_stream_windows(
-                pipe, vocode_window_cap(pipe) + default_stream_ctx(pipe)
-            )
-            print(
-                f"warmed {n_win} scalar stream-window signatures "
-                f"(stream bucket {pipe.vocode_bucket})", file=sys.stderr,
-            )
+        n_win = warm_stream_windows(
+            pipe, vocode_window_cap(pipe) + default_stream_ctx(pipe)
+        )
+        print(
+            f"warmed {n_win} new scalar stream-window signatures "
+            f"(stream bucket {pipe.vocode_bucket})", file=sys.stderr,
+        )
     for conc in streaming_concs:
         record(
             run_continuous_benchmark(
                 pipe, tasks, concurrency=conc, streaming=True,
                 max_slots=args.max_slots,
                 vocode_batch=not args.no_vocode_batch,
+            )
+        )
+
+    if args.longform_requests:
+        # longform row (VERDICT r03 item 7): 3-segment texts (~3× the token
+        # budget) through synthesize_streaming_long — voice-stable segment
+        # chaining with globals-only re-admission.  Segment shapes reuse the
+        # already-warm prompt buckets (same texts, same budgets); the
+        # globals-only admission signature warms inside the first request —
+        # run one unrecorded warm request first so the timed rows measure
+        # steady state like every other phase
+        from sparktts_tpu.bench.harness import run_longform_benchmark
+
+        if not args.no_warmup:
+            run_longform_benchmark(
+                pipe, tasks, n_requests=1, segments=3, max_slots=args.max_slots
+            )
+        record(
+            run_longform_benchmark(
+                pipe, tasks, n_requests=args.longform_requests, segments=3,
+                max_slots=args.max_slots,
             )
         )
 

