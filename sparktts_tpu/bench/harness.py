@@ -380,6 +380,7 @@ def run_continuous_benchmark(
     max_new_tokens: Optional[int] = None,
     fused_admission: bool = True,
     vocode_batch: bool = True,
+    paged: bool = False,
 ) -> Dict[str, Any]:
     """Dataset benchmark through the continuous (inflight) batching server —
     the closest analogue of the reference's Triton+TRT-LLM serving stack
@@ -395,7 +396,7 @@ def run_continuous_benchmark(
             default_max_new_tokens=max_new_tokens, fused_admission=fused_admission,
             # bench measures steady state: compile inline during the warm
             # pass rather than racing a background warm against the run
-            fused_warm="sync", vocode_batch=vocode_batch,
+            fused_warm="sync", vocode_batch=vocode_batch, paged=paged,
         )
         await server.start()
         latencies: List[float] = []
