@@ -2,8 +2,8 @@
 """Regenerate the README "Measured" table from the checked-in bench artifacts.
 
 One source of truth: every number in the README benchmark block is read from
-BENCH_LAST.json (bench.py), BENCH_DATASET_r03.json (run_dataset_bench.py) and
-BENCH_SCALE_r03.json — never typed by hand (VERDICT r2 item 5: "no number in
+BENCH_LAST.json (bench.py) and the newest BENCH_DATASET_r*.json and
+BENCH_SCALE_r*.json — never typed by hand (VERDICT r2 item 5: "no number in
 README that isn't reproducible from a checked-in artifact + script").
 
     python scripts/update_readme_bench.py [--check]
@@ -32,14 +32,24 @@ REF = {
 def _rows(dataset):
     out = {}
     for r in dataset["runs"]:
-        out[(r["mode"], r["concurrency"])] = r
+        out[(r["mode"], r.get("concurrency", 1))] = r
     return out
+
+
+def _latest(pattern):
+    """Newest round's artifact (BENCH_DATASET_r04.json over _r03 etc.)."""
+    paths = sorted(ROOT.glob(pattern))
+    if not paths:
+        sys.exit(f"no artifact matches {pattern}")
+    return paths[-1]
 
 
 def build_table():
     last = json.loads((ROOT / "BENCH_LAST.json").read_text())
-    data = _rows(json.loads((ROOT / "BENCH_DATASET_r03.json").read_text()))
-    scale = _rows(json.loads((ROOT / "BENCH_SCALE_r03.json").read_text()))
+    dataset_path = _latest("BENCH_DATASET_r*.json")
+    scale_path = _latest("BENCH_SCALE_r*.json")
+    data = _rows(json.loads(dataset_path.read_text()))
+    scale = _rows(json.loads(scale_path.read_text()))
 
     def rtf(mode, concs):
         return " / ".join(f"{data[(mode, c)]['rtf']:.3f}" for c in concs)
@@ -51,7 +61,13 @@ def build_table():
         )
 
     speedup = last["vs_baseline"]
-    g = data[("grpc_streaming", 1)]
+    grpc_concs = sorted(
+        c for (m, c) in data if m == "grpc_streaming" and c in (1, 2, 4)
+    )
+    grpc_fc = " / ".join(
+        "{:.0f}".format(data[("grpc_streaming", c)]["first_chunk_p50_ms"])
+        for c in grpc_concs
+    )
     lines = [
         BEGIN,
         "|---|---|---|",
@@ -63,16 +79,33 @@ def build_table():
         f"| 0.1501 / 0.0862 / 0.0824 |",
         f"| streaming first-chunk P50, conc 1 / 2 / 4 | **{fc((1, 2, 4))} ms** "
         f"| 210 / 226 / 1018 ms |",
-        f"| gRPC streaming RTF / first-chunk P50, conc 1 | "
-        f"**{g['rtf']:.3f} / {g['first_chunk_p50_ms']:.0f} ms** | 0.1501 / 210 ms |",
+        f"| gRPC streaming RTF, conc {' / '.join(map(str, grpc_concs))} | "
+        f"**{rtf('grpc_streaming', grpc_concs)}** | 0.1501 / 0.0862 / 0.0824 |",
+        f"| gRPC first-chunk P50, conc {' / '.join(map(str, grpc_concs))} | "
+        f"**{grpc_fc} ms** | 210 / 226 / 1018 ms |",
     ]
+    lf = data.get(("continuous_streaming_longform", 1))
+    if lf:
+        lines.append(
+            f"| longform streaming (3-segment, voice-stable) RTF / first-chunk P50 | "
+            f"**{lf['rtf']:.3f} / {lf['first_chunk_p50_ms']:.0f} ms** "
+            f"| n/a (reference truncates at the token budget) |"
+        )
     if ("offline", 8) in scale and ("offline", 16) in scale:
         r8, r16 = scale[("offline", 8)], scale[("offline", 16)]
         agg = round(1.0 / r16["rtf"])
         lines.append(
-            f"| offline dataset RTF, conc 8 / 16 (`BENCH_SCALE_r03.json`) | "
+            f"| offline dataset RTF, conc 8 / 16 (`{scale_path.name}`) | "
             f"**{r8['rtf']:.4f} / {r16['rtf']:.4f}** ({agg}× realtime aggregate) "
             f"| not published (stops at conc 4) |"
+        )
+    if ("continuous_streaming", 8) in scale and ("continuous_streaming", 16) in scale:
+        s8 = scale[("continuous_streaming", 8)]
+        s16 = scale[("continuous_streaming", 16)]
+        lines.append(
+            f"| streaming first-chunk P50, conc 8 / 16 (`{scale_path.name}`) | "
+            f"**{s8['first_chunk_p50_ms']:.0f} / {s16['first_chunk_p50_ms']:.0f} ms** "
+            f"| not published (conc-4 figure: 1018 ms) |"
         )
     # sanity: fail loudly if any measured cell no longer beats the reference
     losses = []
@@ -91,7 +124,9 @@ def build_table():
 
 def build_notes_table():
     last = json.loads((ROOT / "BENCH_LAST.json").read_text())
-    data = _rows(json.loads((ROOT / "BENCH_DATASET_r03.json").read_text()))
+    dataset_path = _latest("BENCH_DATASET_r*.json")
+    data = _rows(json.loads(dataset_path.read_text()))
+    tag = dataset_path.stem.split("_")[-1]  # e.g. r04
 
     def rtf(mode, concs):
         return " / ".join(f"{data[(mode, c)]['rtf']:.3f}" for c in concs)
@@ -118,10 +153,10 @@ def build_notes_table():
             "|---|---|---|---|",
             f"| offline RTF, 1 stream (bench.py → BENCH_LAST.json) | "
             f"**{last['value']:.4f}** | 0.1362 | **{last['vs_baseline']:.2f}×** |",
-            f"| offline dataset RTF conc 1/2/4 (BENCH_DATASET_r03) | "
+            f"| offline dataset RTF conc 1/2/4 ({tag}) | "
             f"**{rtf('offline', (1, 2, 4))}** | 0.1362 / 0.0737 / 0.0704 | "
             f"{ratio('offline', REF['offline_rtf'], (1, 2, 4))} |",
-            f"| streaming dataset RTF conc 1/2/4 (BENCH_DATASET_r03) | "
+            f"| streaming dataset RTF conc 1/2/4 ({tag}) | "
             f"**{rtf('continuous_streaming', (1, 2, 4))}** | 0.1501 / 0.0862 / 0.0824 | "
             f"{ratio('continuous_streaming', REF['streaming_rtf'], (1, 2, 4))} |",
             f"| streaming first-chunk P50 conc 1/2/4 | **{fc((1, 2, 4))} ms** | "
