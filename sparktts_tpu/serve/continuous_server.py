@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import asyncio
 import logging
+import os
 import threading
 import time
 from collections import deque
@@ -415,6 +416,16 @@ class ContinuousTTSServer:
         # batch shape background-compiles while the drain falls back to the
         # scalar path), so live streams never stall on an XLA compile.
         self.vocode_batch = vocode_batch
+        # Cross-drain first-chunk-priority vocode scheduling (defer-split in
+        # _vocode_loop).  Default OFF: measured A/B at conc 8/16
+        # (BENCH_SCALE_r04.json) shows deferring steady-state jobs sacrifices
+        # cross-stream vocode batching on the saturated device — neutral at
+        # conc 8, and at conc 16 it made first-chunk P50 1.7× WORSE (2990 ms
+        # vs 1763 ms).  Within-drain prioritization (first-audio windows
+        # vocode first, per-job delivery, _run_vocode_jobs) plus speculative
+        # inline first chunks carry the QoS instead.  SPARKTTS_VOCODE_DEFER=1
+        # re-enables for measurement.
+        self.first_chunk_priority = bool(os.environ.get("SPARKTTS_VOCODE_DEFER"))
         self._voc_batch_sizes = [
             b for b in VOCODE_BATCH_LADDER if b <= max(max_slots, 2)
         ]
@@ -1019,11 +1030,12 @@ class ContinuousTTSServer:
             backlog = []
             if not jobs:
                 continue
-            jobs, backlog, deferred = _split_first_audio(jobs, deferred)
-            if backlog:
-                self.stats["vocode_deferrals"] = (
-                    self.stats.get("vocode_deferrals", 0) + len(backlog)
-                )
+            if self.first_chunk_priority:
+                jobs, backlog, deferred = _split_first_audio(jobs, deferred)
+                if backlog:
+                    self.stats["vocode_deferrals"] = (
+                        self.stats.get("vocode_deferrals", 0) + len(backlog)
+                    )
             # each job is delivered (call_soon_threadsafe) as its last window
             # lands — awaiting the executor only paces the drain loop
             try:
