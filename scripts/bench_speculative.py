@@ -52,6 +52,10 @@ def main():
         "teacher, 2-layer draft; in-domain acceptance must clear 0.5)",
     )
     parser.add_argument("--sanity_steps", type=int, default=300)
+    parser.add_argument(
+        "--only_sanity", action="store_true",
+        help="skip the production-dims sweep (implies --sanity)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -98,6 +102,8 @@ def main():
     vocab_slice, extra = (SEM_BASE, SEM_BASE + N_SEM), (EOS,)
 
     results = []
+    if args.only_sanity:
+        args.sanity = True
 
     def timed(label, fn):
         out = fn()  # compile + warm
@@ -119,14 +125,17 @@ def main():
             vocab_slice=vocab_slice, extra_ids=extra,
         )
 
-    (_, _), t = timed("vanilla", vanilla)
-    base = {"config": "vanilla_greedy", "tok_s": round(new / t, 1),
-            "ms_total": round(t * 1000, 1)}
-    print(json.dumps(base), file=sys.stderr)
-    results.append(base)
+    if not args.only_sanity:
+        (_, _), t = timed("vanilla", vanilla)
+        base = {"config": "vanilla_greedy", "tok_s": round(new / t, 1),
+                "ms_total": round(t * 1000, 1)}
+        print(json.dumps(base), file=sys.stderr)
+        results.append(base)
 
     full_layers = cfg.num_hidden_layers
-    for draft_layers, ks in ((full_layers, (4,)), (6, (4,)), (4, (2, 4, 8))):
+    sweep = () if args.only_sanity else (
+        (full_layers, (4,)), (6, (4,)), (4, (2, 4, 8)))
+    for draft_layers, ks in sweep:
         draft = draft_from_layers(params, draft_layers)
         dcfg = draft_config(cfg, draft_layers)
         for k in ks:
@@ -150,7 +159,7 @@ def main():
             print(json.dumps(rec), file=sys.stderr)
             results.append(rec)
 
-    if args.distill:
+    if args.distill and not args.only_sanity:
         # a DISTILLED 4-layer draft (trained on target-sampled sequences,
         # lm/distill.py) — realistic acceptance between the random floor and
         # the self-draft ceiling.  Round-3 postmortem (VERDICT r03 item 3):
@@ -221,56 +230,57 @@ def main():
 
     if args.sanity:
         # Deterministic sanity task (VERDICT r03 item 3 'done' criterion):
-        # narrow-vocab teacher with a LEARNABLE, non-constant greedy function,
-        # distilled 2-layer draft, in-domain acceptance must clear 0.5 — well
-        # above the 1/k random floor.  Modest dims so it runs in seconds on
-        # either backend; random fp32 teacher at these dims has a non-trivial
-        # greedy map (verified non-degenerate via corpus stats below).
-        from sparktts_tpu.config import QwenConfig
+        # the hand-built CYCLER teacher (greedy map i -> i+1 mod h; see
+        # lm/distill.py make_cycler_teacher) — non-constant and fully
+        # predictable, so a distilled 1-layer draft must clear 0.5 in-domain
+        # acceptance while a random draft scores ~the 1/k floor.  (A random
+        # fp32 transformer teacher is unusable here: it collapses to a
+        # DIFFERENT constant per prompt — constant_seq_share 1.0 — which a
+        # random draft can match by luck; measured 0.35-0.75 across
+        # platforms.)  True-fp32 matmuls: the pass criterion rides greedy
+        # argmax agreement, and TPU's default downgraded fp32 matmul
+        # precision flips near-tie argmaxes.
         from sparktts_tpu.lm.distill import (
             corpus_stats,
             distill_draft,
+            make_cycler_teacher,
             measure_acceptance,
             sample_target_corpus,
         )
 
-        scfg = QwenConfig(
-            vocab_size=512, hidden_size=256, intermediate_size=512,
-            num_hidden_layers=6, num_attention_heads=4, num_key_value_heads=2,
-            head_dim=64, eos_token_id=0, pad_token_id=1,
-        )
-        steacher = init_qwen(jax.random.PRNGKey(11), scfg, dtype=jnp.float32)
-        sdcfg = draft_config(scfg, 2)
-        s_corpus = sample_target_corpus(
-            steacher, scfg, jax.random.PRNGKey(12), 32, 4, 28, greedy=True,
-        )
-        s_stats = corpus_stats(s_corpus, prompt_len=4)
-        t0 = time.perf_counter()
-        sdraft, s_losses = distill_draft(
-            steacher, scfg, sdcfg, steps=args.sanity_steps, batch=8,
-            prompt_len=4, gen_len=28, corpus_seqs=256, learning_rate=3e-3,
-            seed=5,
-        )
-        s_train_s = time.perf_counter() - t0
-        srand = init_qwen(jax.random.PRNGKey(13), sdcfg, dtype=jnp.float32)
-        acc_rand = measure_acceptance(
-            steacher, srand, scfg, sdcfg, n_prompts=8, prompt_len=4,
-            gen_len=32, k=4, seed=6,
-        )
-        acc_dist = measure_acceptance(
-            steacher, sdraft, scfg, sdcfg, n_prompts=8, prompt_len=4,
-            gen_len=32, k=4, seed=6,
-        )
+        with jax.default_matmul_precision("highest"):
+            steacher, scfg = make_cycler_teacher(32, shift=1)
+            sdcfg = draft_config(scfg, 1)
+            s_corpus = sample_target_corpus(
+                steacher, scfg, jax.random.PRNGKey(12), 32, 4, 28, greedy=True,
+            )
+            s_stats = corpus_stats(s_corpus, prompt_len=4)
+            t0 = time.perf_counter()
+            sdraft, s_losses = distill_draft(
+                steacher, scfg, sdcfg, steps=args.sanity_steps, batch=8,
+                prompt_len=4, gen_len=24, corpus_seqs=128, learning_rate=5e-3,
+                seed=5,
+            )
+            s_train_s = time.perf_counter() - t0
+            srand = init_qwen(jax.random.PRNGKey(13), sdcfg, dtype=jnp.float32)
+            acc_rand = measure_acceptance(
+                steacher, srand, scfg, sdcfg, n_prompts=8, prompt_len=4,
+                gen_len=32, k=4, seed=6,
+            )
+            acc_dist = measure_acceptance(
+                steacher, sdraft, scfg, sdcfg, n_prompts=8, prompt_len=4,
+                gen_len=32, k=4, seed=6,
+            )
         s_curve = [round(s_losses[i], 4) for i in
                    sorted({0, 1, len(s_losses) // 2, len(s_losses) - 1})]
         rec = {
-            "config": f"sanity_distill_v512_h256_L6to2_steps{args.sanity_steps}",
+            "config": f"sanity_distill_cycler32_L1_steps{args.sanity_steps}",
             "acceptance_random_draft": round(acc_rand, 3),
             "acceptance_distilled": round(acc_dist, 3),
             "distill_loss_curve": s_curve,
             "teacher_corpus": s_stats,
             "distill_train_s": round(s_train_s, 1),
-            "pass": acc_dist > 0.5,
+            "pass": acc_dist > 0.5 and acc_rand < 0.25,
         }
         print(json.dumps(rec), file=sys.stderr)
         results.append(rec)

@@ -112,14 +112,53 @@ def corpus_stats(corpus: np.ndarray, prompt_len: int) -> dict:
     """Degeneracy diagnostics for a teacher corpus: a greedy teacher with
     random weights typically collapses onto one token, which makes the
     distillation task trivially easy (loss -> 0) while proving nothing about
-    the draft.  top_token_share near 1.0 means exactly that."""
-    gen = corpus[:, prompt_len:].reshape(-1)
-    uniq, counts = np.unique(gen, return_counts=True)
+    the draft.  top_token_share near 1.0 means exactly that — and because a
+    random teacher often collapses onto a DIFFERENT constant per prompt
+    (global token stats then look diverse), constant_seq_share reports the
+    fraction of sequences whose generated region is a single repeated token."""
+    gen = corpus[:, prompt_len:]
+    flat = gen.reshape(-1)
+    uniq, counts = np.unique(flat, return_counts=True)
+    per_seq_constant = (gen == gen[:, :1]).all(axis=1)
     return {
         "unique_tokens": int(uniq.size),
-        "top_token_share": round(float(counts.max()) / gen.size, 4),
-        "gen_tokens": int(gen.size),
+        "top_token_share": round(float(counts.max()) / flat.size, 4),
+        "constant_seq_share": round(float(per_seq_constant.mean()), 4),
+        "gen_tokens": int(flat.size),
     }
+
+
+def make_cycler_teacher(h: int = 32, shift: int = 1):
+    """Hand-built deterministic teacher whose greedy map is token i -> i+shift
+    (mod h): non-constant, fully predictable, unlearnable by luck.  Hidden ==
+    vocab with identity embedding; attention zeroed; the MLP's saturated gate
+    adds (e_{i+shift} - e_i)/h to the residual.  The canonical NON-degenerate
+    distillation target (random tiny transformers collapse to per-prompt
+    constants — see corpus_stats.constant_seq_share); shared by
+    tests/test_speculative.py and the bench sanity task."""
+    import dataclasses
+
+    eye = jnp.eye(h, dtype=jnp.float32)
+    w_u = jnp.roll(eye, shift, axis=1) - eye  # e_i -> e_{i+shift} - e_i
+    layer = {
+        "ln1": {"gamma": jnp.ones((h,))},
+        "qkv": {"w": jnp.zeros((h, 2 * 4 + 2 * 1 * 4)), "b": jnp.zeros((2 * 4 + 2 * 1 * 4,))},
+        "o": {"w": jnp.zeros((2 * 4, h))},
+        "ln2": {"gamma": jnp.ones((h,))},
+        "gateup": {"w": jnp.concatenate([10.0 * jnp.ones((h, h)), w_u], axis=1)},
+        "down": {"w": eye / (10.0 * h)},
+    }
+    params = {
+        "embed": eye,
+        "layers": jax.tree.map(lambda x: x[None], layer),
+        "final_ln": {"gamma": jnp.ones((h,))},
+    }
+    cfg = QwenConfig(
+        vocab_size=h, hidden_size=h, intermediate_size=h,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=1,
+        head_dim=4, eos_token_id=h - 1, pad_token_id=0,
+    )
+    return params, cfg
 
 
 def measure_acceptance(

@@ -216,30 +216,15 @@ CYC_H = 32  # hidden == vocab: identity embedding
 
 
 def _cycler_params(shift: int):
-    h = CYC_H
-    eye = jnp.eye(h, dtype=jnp.float32)
-    w_u = jnp.roll(eye, shift, axis=1) - eye          # e_i -> e_{i+shift} - e_i
-    layer = {
-        "ln1": {"gamma": jnp.ones((h,))},
-        "qkv": {"w": jnp.zeros((h, 2 * 4 + 2 * 1 * 4)), "b": jnp.zeros((2 * 4 + 2 * 1 * 4,))},
-        "o": {"w": jnp.zeros((2 * 4, h))},
-        "ln2": {"gamma": jnp.ones((h,))},
-        "gateup": {"w": jnp.concatenate([10.0 * jnp.ones((h, h)), w_u], axis=1)},
-        "down": {"w": eye / (10.0 * h)},
-    }
-    return {
-        "embed": eye,
-        "layers": jax.tree.map(lambda x: x[None], layer),
-        "final_ln": {"gamma": jnp.ones((h,))},
-    }
+    from sparktts_tpu.lm.distill import make_cycler_teacher
+
+    return make_cycler_teacher(CYC_H, shift=shift)[0]
 
 
 def _cycler_cfg():
-    return QwenConfig(
-        vocab_size=CYC_H, hidden_size=CYC_H, intermediate_size=CYC_H,
-        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=1,
-        head_dim=4, eos_token_id=CYC_H - 1, pad_token_id=0,
-    )
+    from sparktts_tpu.lm.distill import make_cycler_teacher
+
+    return make_cycler_teacher(CYC_H)[1]
 
 
 def test_cycler_vanilla_is_nonconstant_cycle():
