@@ -32,6 +32,10 @@ WORKDIR /opt/sparktts
 COPY pyproject.toml README.md ./
 COPY sparktts_tpu ./sparktts_tpu
 COPY csrc ./csrc
+# drop any host-built shared object that rode in with COPY: io/native.py
+# reuses an existing .so when its mtime beats the source, so a stale host
+# binary would silently shadow the in-image g++ build below
+RUN find ./csrc -name '*.so' -delete
 COPY scripts/run_server.py ./scripts/run_server.py
 RUN pip install --no-cache-dir "${JAX_EXTRA}" && \
     pip install --no-cache-dir .[checkpoints]

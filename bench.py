@@ -59,15 +59,19 @@ NEW_TOKENS = 500          # 500 semantic tokens @ 50 Hz → 10 s of audio
 FRAME_RATE = 50
 
 
-def _result_line(rtf: float) -> str:
-    return json.dumps(
-        {
-            "metric": "offline_rtf_single_stream",
-            "value": round(rtf, 5),
-            "unit": "rtf",
-            "vs_baseline": round(BASELINE_RTF / rtf, 3),
-        }
-    )
+def _result_line(rtf: float, tax_ms=None) -> str:
+    rec = {
+        "metric": "offline_rtf_single_stream",
+        "value": round(rtf, 5),
+        "unit": "rtf",
+        "vs_baseline": round(BASELINE_RTF / rtf, 3),
+    }
+    if tax_ms is not None:
+        # relay-health probe taken in the same window (VERDICT r04 item 2):
+        # the fixed cost of one blocking dispatch round-trip while this
+        # number was recorded — the window the measurement belongs to
+        rec["dispatch_tax_ms"] = tax_ms
+    return json.dumps(rec)
 
 
 def _write_last(line: str) -> None:
@@ -157,6 +161,15 @@ def main():
 
     run_chained(100)  # one warm-up: absorb first post-compile dispatch setup
 
+    # relay-health probe (VERDICT r04 item 2): measure the blocking
+    # round-trip tax in THIS window so the headline carries its own
+    # environment evidence instead of a prose note
+    from sparktts_tpu.bench.relay_probe import probe_record
+
+    probe = probe_record("bench.py pre-timing")
+    tax_ms = probe.get("roundtrip_ms")
+    print(f"relay probe: {probe}", file=sys.stderr)
+
     n_iters = 3
     chained_times = []
     for i in range(n_iters):
@@ -164,7 +177,7 @@ def main():
         run_chained(i + 1)
         chained_times.append(time.perf_counter() - t0)
         # incremental: a live number is on disk after the FIRST iteration
-        _write_last(_result_line(min(chained_times) / audio_seconds))
+        _write_last(_result_line(min(chained_times) / audio_seconds, tax_ms))
     t_chained = min(chained_times)
     print(
         f"chained llm+vocoder e2e {t_chained * 1000:.1f} ms (single fetch)",
@@ -172,7 +185,7 @@ def main():
     )
 
     rtf = t_chained / audio_seconds
-    line = _result_line(rtf)
+    line = _result_line(rtf, tax_ms)
     _write_last(line)
     print(line)
     sys.stdout.flush()

@@ -104,11 +104,14 @@ def main():
             out["voice_cache_stats"] = dict(pipe.voice_cache_stats)
         return out
 
+    from sparktts_tpu.bench.relay_probe import probe_record
+
     modes = ("fused", "chained", "voice_cache")
     cold = {key: run_mode(key) for key in modes}
-    results = {}
+    results = {"dispatch_tax_session_start": probe_record("post-cold-pass")}
     for key in modes:
         results[key] = run_mode(key)
+        results[key]["dispatch_tax"] = probe_record()
         # keep the cold pass's headline numbers for attribution only
         results[key]["cold_pass"] = {
             k: cold[key][k] for k in ("rtf", "first_chunk_p90_ms")

@@ -64,14 +64,21 @@ def main():
         "tasks": len(tasks),
         "runs": [],
     }
+    from sparktts_tpu.bench.relay_probe import probe_record
+
+    results["dispatch_tax_session_start"] = probe_record("session start")
     for engine in ("dense", "paged"):
         paged = engine == "paged"
         for streaming in (False, True):
-            # warm pass compiles this engine's programs at every signature
-            run_continuous_benchmark(
-                pipe, tasks, concurrency=2, streaming=streaming, paged=paged,
-            )
-            stats = {}
+            # warm pass at EVERY timed concurrency (VERDICT r04 item 7: a
+            # warm pass at conc 2 alone leaves batch-composition signatures
+            # cold for the conc-1/4 timed rows — the r04 dense rows carried
+            # exactly that confound)
+            for conc in sorted(set([2] + concs)):
+                run_continuous_benchmark(
+                    pipe, tasks, concurrency=conc, streaming=streaming,
+                    paged=paged,
+                )
             for conc in concs:
                 s = run_continuous_benchmark(
                     pipe, tasks, concurrency=conc, streaming=streaming,
@@ -84,6 +91,7 @@ def main():
                     "rtf": s["rtf"],
                     "avg_latency_ms": s["avg_latency_ms"],
                     "p90_latency_ms": s["p90_latency_ms"],
+                    "dispatch_tax": probe_record(),
                 }
                 for k in ("first_chunk_p50_ms", "first_chunk_p90_ms"):
                     if k in s:

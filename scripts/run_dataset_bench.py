@@ -288,10 +288,19 @@ def main():
             file=sys.stderr,
         )
 
+    # relay-health probe (VERDICT r04 item 2): every recorded run carries the
+    # blocking-round-trip tax measured in ITS OWN window, so a win/loss cell
+    # is interpretable without trusting an environment_note paragraph
+    from sparktts_tpu.bench.relay_probe import probe_record
+
+    results["dispatch_tax_session_start"] = probe_record("session start")
+    print(f"relay probe: {results['dispatch_tax_session_start']}", file=sys.stderr)
+
     def record(stats):
         # checkpoint after EVERY timed run: the TPU relay in this environment
         # can wedge mid-session, and a 20-minute run must not lose its
         # completed measurements to a hang in a later phase
+        stats["dispatch_tax"] = probe_record()
         print(json.dumps(stats), file=sys.stderr)
         results["runs"].append(stats)
         Path(args.out + ".partial").write_text(json.dumps(results, indent=2) + "\n")
@@ -428,6 +437,7 @@ def main():
     }
     print(json.dumps(results["codec_quality"]), file=sys.stderr)
 
+    results["dispatch_tax_session_end"] = probe_record("session end")
     out = json.dumps(results, indent=2)
     Path(args.out).write_text(out + "\n")
     print(out)

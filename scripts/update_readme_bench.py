@@ -37,8 +37,14 @@ def _rows(dataset):
 
 
 def _latest(pattern):
-    """Newest round's artifact (BENCH_DATASET_r04.json over _r03 etc.)."""
-    paths = sorted(ROOT.glob(pattern))
+    """Newest round's artifact (BENCH_DATASET_r04.json over _r03 etc.),
+    ordered by the PARSED round number — lexicographic path order would
+    mis-sort r100 below r99 and silently pick the wrong round for an
+    unpadded tag like r4."""
+    paths = sorted(
+        ROOT.glob(pattern),
+        key=lambda p: int(re.search(r"_r(\d+)\.json$", p.name).group(1)),
+    )
     if not paths:
         sys.exit(f"no artifact matches {pattern}")
     return paths[-1]

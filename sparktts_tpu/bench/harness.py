@@ -515,17 +515,16 @@ def run_longform_benchmark(
         wall = time.perf_counter() - t_start
         stats = dict(server.stats)
         await server.stop()
-        fc = np.asarray(first_chunk)
-        return _summarize(
-            latencies, audio_s, wall,
-            {
-                "mode": "continuous_streaming_longform",
-                "segments_per_request": segments,
-                "server_stats": stats,
-                "first_chunk_p50_ms": round(float(np.percentile(fc, 50)) * 1000, 2),
-                "first_chunk_avg_ms": round(float(fc.mean()) * 1000, 2),
-            },
-        )
+        extra = {
+            "mode": "continuous_streaming_longform",
+            "segments_per_request": segments,
+            "server_stats": stats,
+        }
+        if first_chunk:  # a zero-chunk request must not lose the whole run
+            fc = np.asarray(first_chunk)
+            extra["first_chunk_p50_ms"] = round(float(np.percentile(fc, 50)) * 1000, 2)
+            extra["first_chunk_avg_ms"] = round(float(fc.mean()) * 1000, 2)
+        return _summarize(latencies, audio_s, wall, extra)
 
     return asyncio.new_event_loop().run_until_complete(run())
 

@@ -136,8 +136,6 @@ def make_cycler_teacher(h: int = 32, shift: int = 1):
     distillation target (random tiny transformers collapse to per-prompt
     constants — see corpus_stats.constant_seq_share); shared by
     tests/test_speculative.py and the bench sanity task."""
-    import dataclasses
-
     eye = jnp.eye(h, dtype=jnp.float32)
     w_u = jnp.roll(eye, shift, axis=1) - eye  # e_i -> e_{i+shift} - e_i
     layer = {

@@ -185,11 +185,14 @@ def _split_first_audio(jobs: list, deferred: set):
     steady-state jobs are deferred one cycle — unless any of them was already
     deferred (its id is in `deferred`), in which case the whole drain runs.
     `deferred'` is exactly the ids in the returned backlog, so a job
-    rejoining from backlog is never re-deferred."""
+    rejoining from backlog is never re-deferred.  OFFLINE jobs are never
+    deferred: their caller has buffered nothing (completion latency is the
+    whole request), so they stay in run_now alongside the first-audio work —
+    only steady-state chunks of established streams are traded."""
     def first_audio(job) -> bool:
         pending, _, _, offline = job
-        return (not offline and pending.chunk_queue is not None
-                and pending.stream_emitted == 0)
+        return offline or (pending.chunk_queue is not None
+                           and pending.stream_emitted == 0)
 
     urgent = [j for j in jobs if first_audio(j)]
     rest = [j for j in jobs if not first_audio(j)]

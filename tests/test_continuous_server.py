@@ -821,7 +821,9 @@ def test_split_first_audio_defers_steady_state_once():
     run3, backlog3, _ = _split_first_audio([old1, old2], set())
     assert run3 == [old1, old2] and backlog3 == []
 
-    # offline jobs are never first-audio (no chunk_queue consumer semantics)
+    # offline jobs are never deferred (ADVICE r04): their caller holds no
+    # buffered audio, so they run alongside the first-audio work
     off = [SimpleNamespace(chunk_queue=None, stream_emitted=0), np.arange(3), False, True]
-    run4, backlog4, _ = _split_first_audio([off, new], set())
-    assert run4 == [new] and [j[0] for j in backlog4] == [off[0]]
+    run4, backlog4, _ = _split_first_audio([off, new, old1], set())
+    assert off in run4 and new in run4
+    assert [j[0] for j in backlog4] == [old1[0]]
