@@ -74,7 +74,7 @@ def main():
         "sweep ('' disables)",
     )
     parser.add_argument(
-        "--longform_requests", type=int, default=2,
+        "--longform_requests", type=int, default=8,
         help="number of longform (3-segment) streaming requests to record "
         "(0 disables)",
     )

@@ -306,11 +306,15 @@ def run_grpc_streaming_benchmark(
         )
         host, port = "127.0.0.1", server.bound_port
         stream_fn = G.grpc_synthesize_stream
-        close = lambda: (server.stop(0), backend.close())  # noqa: E731
+        cserver = backend.server
+        close = lambda: (  # noqa: E731
+            server.stop(0), backend.close(), G.close_cached_channels(),
+        )
     else:
         srv = G.FramedSocketServer(pipeline, **server_kwargs)
         host, port = srv.host, srv.port
         stream_fn = G.framed_synthesize_stream
+        cserver = srv.backend.server if hasattr(srv, "backend") else None
         close = srv.close
 
     def stream_iter(task: BenchTask):
@@ -331,7 +335,9 @@ def run_grpc_streaming_benchmark(
             for task in _distinct_shape_tasks(pipeline, tasks):
                 for _ in stream_iter(task):
                     pass
-        return _streaming_sweep(
+            if cserver is not None:
+                cserver.stage_stats.reset()  # drop warm-pass samples
+        stats = _streaming_sweep(
             stream_iter, tasks, concurrency,
             {
                 "mode": "grpc_streaming",
@@ -339,6 +345,12 @@ def run_grpc_streaming_benchmark(
                 "concurrency": concurrency,
             },
         )
+        if cserver is not None:
+            # per-stage attribution incl. the grpc bridge stages
+            # (grpc_bridge_in / grpc_first_chunk_bridge) so a first-chunk
+            # delta vs the in-process rows is attributable from the artifact
+            stats["stage_stats"] = cserver.stage_stats.summary()
+        return stats
     finally:
         close()
 
@@ -474,13 +486,15 @@ def run_longform_benchmark(
     segments: int = 3,
     max_slots: int = 8,
     segment_max_new_tokens: Optional[int] = None,
+    concurrency: int = 1,
 ) -> Dict[str, Any]:
     """Longform streaming through the continuous server: each request's text
     is `segments` sentence-segments long (~segments× the per-request token
     budget), exercising `synthesize_streaming_long`'s voice-stable
-    segment chaining (globals-only re-admission).  No reference equivalent —
-    it truncates at the token budget (`cli/SparkTTS.py:199`); recorded so the
-    longform machinery has a measured TPU number (VERDICT r03 item 7)."""
+    segment chaining (globals-only re-admission, segment-overlapped
+    decode).  No reference equivalent — it truncates at the token budget
+    (`cli/SparkTTS.py:199`); recorded so the longform machinery has a
+    measured TPU number (VERDICT r03 item 7 / r04 item 5)."""
     from sparktts_tpu.serve.continuous_server import ContinuousTTSServer
 
     async def run():
@@ -491,33 +505,40 @@ def run_longform_benchmark(
         await server.start()
         latencies: List[float] = []
         first_chunk: List[float] = []
-        audio_s = 0.0
-        t_start = time.perf_counter()
-        for i in range(n_requests):
+        totals = {"audio_s": 0.0}
+        sem = asyncio.Semaphore(max(concurrency, 1))
+
+        async def one(i: int):
             task = tasks[i % len(tasks)]
             # one sentence per segment: pack_segments splits on sentence
             # boundaries, so joining with '. ' yields `segments` segments
             text = ". ".join([task.text] * segments) + "."
-            t0 = time.perf_counter()
-            got_first = False
-            async for chunk in server.synthesize_streaming_long(
-                text,
-                prompt_wav=task.prompt_wav,
-                prompt_text=task.prompt_text,
-                max_new_tokens=task.max_new_tokens or segment_max_new_tokens,
-                max_segment_chars=len(task.text) + 2,
-            ):
-                if not got_first:
-                    first_chunk.append(time.perf_counter() - t0)
-                    got_first = True
-                audio_s += len(chunk) / pipeline.sample_rate
-            latencies.append(time.perf_counter() - t0)
+            async with sem:
+                t0 = time.perf_counter()
+                got_first = False
+                async for chunk in server.synthesize_streaming_long(
+                    text,
+                    prompt_wav=task.prompt_wav,
+                    prompt_text=task.prompt_text,
+                    max_new_tokens=task.max_new_tokens or segment_max_new_tokens,
+                    max_segment_chars=len(task.text) + 2,
+                ):
+                    if not got_first:
+                        first_chunk.append(time.perf_counter() - t0)
+                        got_first = True
+                    totals["audio_s"] += len(chunk) / pipeline.sample_rate
+                latencies.append(time.perf_counter() - t0)
+
+        t_start = time.perf_counter()
+        await asyncio.gather(*(one(i) for i in range(n_requests)))
         wall = time.perf_counter() - t_start
+        audio_s = totals["audio_s"]
         stats = dict(server.stats)
         await server.stop()
         extra = {
             "mode": "continuous_streaming_longform",
             "segments_per_request": segments,
+            "concurrency": concurrency,
             "server_stats": stats,
         }
         if first_chunk:  # a zero-chunk request must not lose the whole run

@@ -524,6 +524,12 @@ class StepProtocolMixin:
         for slot, req in enumerate(owner_snapshot):
             if req is None:
                 continue
+            if req not in self.buffers:
+                # the request already left the engine under an EARLIER commit
+                # (pipelined dispatch: a slot that finished in dispatch N
+                # still appears done in dispatch N+1's snapshot) or a forced
+                # release — nothing further to account for this slot
+                continue
             new = toks[slot][valid[slot]]
             if new.size:
                 self.buffers[req].extend(new.tolist())

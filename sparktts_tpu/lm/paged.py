@@ -364,6 +364,12 @@ class PagedContinuousEngine(StepProtocolMixin):
         self.free_pages: List[int] = list(range(1, n_pages))
         self.slot_pages: List[List[int]] = [[] for _ in range(max_slots)]
         self.tokens_seen = np.zeros(max_slots, np.int64)  # prompt + decoded
+        # decode steps dispatched but not yet committed (pipelined dispatch:
+        # the server may enqueue dispatch N+1 before committing N, and page
+        # growth must cover BOTH — tokens_seen alone lags by the uncommitted
+        # window and would under-grow the page tables, scattering live K/V
+        # into the trash page)
+        self.steps_inflight = np.zeros(max_slots, np.int64)
         # worst-case pages each slot may grow to (admission-time reservation:
         # the pool is guaranteed to cover every admitted request's budget)
         self.reserved = np.zeros(max_slots, np.int64)
@@ -497,9 +503,11 @@ class PagedContinuousEngine(StepProtocolMixin):
             if req is None:
                 continue
             # slots stop on device at token_limit — pages beyond it are never
-            # written, so cap the requirement there
+            # written, so cap the requirement there.  steps_inflight covers
+            # dispatches enqueued but not yet committed (pipelined window).
             tokens_after = min(
-                int(self.tokens_seen[slot]) + n_steps, int(self.token_limit[slot])
+                int(self.tokens_seen[slot] + self.steps_inflight[slot]) + n_steps,
+                int(self.token_limit[slot]),
             )
             need = -(-tokens_after // self.page_size)
             if need > self.pages_per_slot:
@@ -545,6 +553,9 @@ class PagedContinuousEngine(StepProtocolMixin):
 
         n_steps = snap_to_ladder(n_steps, self.max_dispatch)
         self._ensure_pages(n_steps)
+        for slot, req in enumerate(self.owner):
+            if req is not None:
+                self.steps_inflight[slot] += n_steps
         _, top_k, _ = self.sampling
         self.slots, packed = paged_decode_steps(
             self.params,
@@ -565,6 +576,17 @@ class PagedContinuousEngine(StepProtocolMixin):
 
     # step_commit comes from StepProtocolMixin; the paged engine's extra
     # bookkeeping is tokens_seen (drives page growth) and page release
+    def step_commit(self, handle, fetched):
+        # release this dispatch's in-flight step bookings before the shared
+        # commit (tokens_seen absorbs the actual advance via the hook below)
+        n_steps = handle[2]
+        for slot, req in enumerate(handle[3]):
+            if req is not None:
+                self.steps_inflight[slot] = max(
+                    int(self.steps_inflight[slot]) - n_steps, 0
+                )
+        return super().step_commit(handle, fetched)
+
     def _commit_slot_tokens(self, slot: int, n_valid: int) -> None:
         self.tokens_seen[slot] += n_valid
 

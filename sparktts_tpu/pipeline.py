@@ -464,33 +464,82 @@ class SparkTTSPipeline:
         return np.asarray(wav)[0, : t_true * self._wave_upsample].astype(np.float32)
 
     def spec_vocode_chain(self, slot: int, target: int, global_tokens):
-        """Build a `chain_fn` for the continuous engines' `step_chained`:
-        speculatively vocode decode-slot `slot`'s first `target` emitted
-        tokens IN THE SAME device-dispatch chain as the decode micro-batch,
-        and pack the waveform bits into the step result so the host fetches
-        tokens + audio in ONE transfer.
+        """Single-slot `spec_vocode_chain_multi` (kept as the simple direct
+        API; see there for semantics)."""
+        return self.spec_vocode_chain_multi([(slot, target, 0, global_tokens)], 1)
 
-        Speculative: assumes the first `target` emissions are semantic ids
-        (true for a guided clone stream unless EOS fires inside the chunk —
-        the caller validates against the fetched tokens and falls back to the
-        normal vocode path when the assumption missed).  The semantic window
-        is edge-replicate padded to the vocode bucket on device, exactly like
-        `detokenize`, so a validated speculative chunk is bit-identical to
+    def spec_vocode_chain_multi(self, specs, batch: int):
+        """Build a `chain_fn` for the continuous engines' `step_chained`:
+        speculatively vocode EVERY listed decode slot's first streaming chunk
+        IN THE SAME device-dispatch chain as the decode micro-batch, as ONE
+        batched vocoder program, and pack the waveform bits into the step
+        result so the host fetches tokens + all first chunks in a single
+        transfer (each blocking fetch costs a relay round-trip here).
+
+        `specs` is a list of (slot, target, sem_off, global_tokens_or_None):
+
+        * clone streams pass their (device-resident) speaker tokens and
+          sem_off 0 — the first `target` emissions are assumed semantic;
+        * controllable streams pass global_tokens=None and sem_off =
+          token_num + 2 — the emission is assumed to be the trained layout
+          `<|start_global_token|> g*token_num <|end_global_token|> sem...`
+          (reference `cli/SparkTTS.py:222-228`), so the speaker identity is
+          read from THIS dispatch's own tokens on device.
+
+        All targets must share one vocode-bucket padding (streams follow the
+        same chunk schedule, so first-chunk targets agree); `batch` pads the
+        call with duplicate rows up to an already-compiled (batch, t_pad)
+        batched-vocoder signature (callers gate on warm state — a cold
+        signature would stall the decode chain on an XLA compile).
+
+        Speculative: the caller validates each row against the fetched
+        tokens (EOS inside the window / unexpected layout) and falls back to
+        the normal vocode path per row.  Windows are edge-replicate padded
+        exactly like `detokenize`, so a validated chunk is bit-identical to
         the normal path's."""
-        t_pad = _round_up(max(target, 1), self.vocode_bucket)
+        assert specs and batch >= len(specs)
+        target0 = specs[0][1]
+        assert all(t == target0 for _, t, _, _ in specs), "mixed chunk targets"
+        t_pad = _round_up(max(target0, 1), self.vocode_bucket)
         detok = self._detokenize_fn(t_pad)
         bc_params = self.bicodec_params
-        sem_base = self.tokenizer.semantic_base
-        n_sem = self.tokenizer.n_semantic
+        tok = self.tokenizer
+        sem_base, n_sem = tok.semantic_base, tok.n_semantic
+        g_base, n_glob = tok.global_base, tok.n_global
+        tn = self.config.bicodec.speaker_encoder.token_num
         up = self._wave_upsample
-        g = jnp.reshape(jnp.asarray(global_tokens, dtype=jnp.int32), (1, -1))
+        g_rows = [
+            None if g is None
+            else jnp.reshape(jnp.asarray(g, dtype=jnp.int32), (1, -1))
+            for *_, g in specs
+        ]
+        pad_idx = jnp.minimum(jnp.arange(t_pad), target0 - 1)
 
         def chain(packed: jax.Array) -> jax.Array:
-            ids = packed[slot, :target]
-            sem = jnp.clip(ids - sem_base, 0, n_sem - 1)
-            sem_p = sem[jnp.minimum(jnp.arange(t_pad), target - 1)][None, :]
-            wav = detok(bc_params, sem_p, g)[0, : target * up].astype(jnp.float32)
-            return jax.lax.bitcast_convert_type(wav, jnp.int32)
+            sems, globs = [], []
+            for (slot, target, off, _), g in zip(specs, g_rows):
+                ids = packed[slot, off : off + target]
+                sem = jnp.clip(ids - sem_base, 0, n_sem - 1)
+                sems.append(sem[pad_idx])
+                if g is None:  # controllable: speaker ids from this dispatch
+                    globs.append(
+                        jnp.clip(packed[slot, 1 : 1 + tn] - g_base, 0, n_glob - 1)[None, :]
+                    )
+                else:
+                    globs.append(g)
+            while len(sems) < batch:  # duplicate-row pad to the warm batch
+                sems.append(sems[-1])
+                globs.append(globs[-1])
+            wav = detok(
+                bc_params,
+                jnp.stack(sems).astype(jnp.int32),
+                jnp.concatenate(globs, axis=0),
+            )
+            parts = [
+                wav[i, : target0 * up].astype(jnp.float32)
+                for i in range(len(specs))
+            ]
+            return jax.lax.bitcast_convert_type(jnp.concatenate(parts), jnp.int32)
 
         return chain
 

@@ -271,8 +271,21 @@ class ContinuousTTSServer:
         stream_context_frames: Optional[int] = None,
         vocode_batch: bool = True,
         max_vocode_window: Optional[int] = None,
+        dispatch_depth: int = 2,
     ):
         self.pipe = pipeline
+        # how many decode dispatches may be in flight at once.  Depth 2
+        # double-buffers the decode cadence: dispatch N+1 is enqueued BEFORE
+        # dispatch N's blocking fetch, so the device runs continuously across
+        # the fetch round-trip instead of idling one relay RTT per dispatch
+        # (~25 ms healthy, 150+ ms in degraded windows — relay_probe).  The
+        # planned-token ledger (_planned_ahead) keeps dispatch sizing, spec
+        # planning and first-chunk accounting correct for work that is
+        # dispatched but not yet committed.  Depth 1 restores the serialized
+        # cadence (A/B lever).
+        self.dispatch_depth = max(1, int(
+            os.environ.get("SPARKTTS_DISPATCH_DEPTH", dispatch_depth)
+        ))
         # streaming vocode left-context window: each chunk re-renders only
         # [emitted - ctx, upto) and emits the tail.  ctx defaults to the
         # codec's one-sided receptive field (detokenize is purely
@@ -407,6 +420,10 @@ class ContinuousTTSServer:
         self.waiting: asyncio.Queue = asyncio.Queue()
         self._deferred: deque = deque()  # backpressured admissions, retried first
         self.inflight: Dict[int, _Pending] = {}
+        # per-slot decode steps dispatched but not yet committed (the
+        # pipelined dispatch window's ledger): sizing/spec read
+        # budget - planned and loop_tokens + planned
+        self._planned_ahead = [0] * max_slots
         self._task: Optional[asyncio.Task] = None
         self._vocode_task: Optional[asyncio.Task] = None
         self._vocode_q: asyncio.Queue = asyncio.Queue()
@@ -607,45 +624,90 @@ class ContinuousTTSServer:
             np.float32,
         )
         speaker_globals: Optional[np.ndarray] = None
+
+        def continuation(segment: str) -> _Pending:
+            return self._make_stream_pending(
+                text=segment,
+                prompt_wav=None,
+                prompt_text=None,
+                gender=None,
+                pitch=None,
+                speed=None,
+                max_new_tokens=max_new_tokens,
+                temperature=temperature,
+                top_p=top_p,
+                speaker_globals=speaker_globals,
+            )
+
+        pending = self._make_stream_pending(
+            text=segments[0],
+            prompt_wav=prompt_wav,
+            prompt_text=prompt_text,
+            gender=gender,
+            pitch=pitch,
+            speed=speed,
+            max_new_tokens=max_new_tokens,
+            temperature=temperature,
+            top_p=top_p,
+        )
+        self.stats["requests"] += 1
+        await self.waiting.put(pending)
+        # Segments OVERLAP: segment i+1 is admitted as soon as the speaker
+        # identity is known (clone: at segment 0's admission; control: with
+        # its first chunk), so its prefill+decode share the continuous batch
+        # while segment i's tail still renders — by the time i finishes, i+1
+        # holds buffered audio and the segment boundary costs ~nothing
+        # (VERDICT r04 item 5: sequential segments made longform RTF 1.3×
+        # the plain streaming RTF).  Chunks still YIELD strictly in segment
+        # order; i+1's early chunks simply wait in its queue.
         for i, segment in enumerate(segments):
-            if speaker_globals is None:
-                pending = self._make_stream_pending(
-                    text=segment,
-                    prompt_wav=prompt_wav,
-                    prompt_text=prompt_text,
-                    gender=gender,
-                    pitch=pitch,
-                    speed=speed,
-                    max_new_tokens=max_new_tokens,
-                    temperature=temperature,
-                    top_p=top_p,
-                )
-            else:
-                pending = self._make_stream_pending(
-                    text=segment,
-                    prompt_wav=None,
-                    prompt_text=None,
-                    gender=None,
-                    pitch=None,
-                    speed=None,
-                    max_new_tokens=max_new_tokens,
-                    temperature=temperature,
-                    top_p=top_p,
-                    speaker_globals=speaker_globals,
-                )
-            if i > 0 and gap.size:
-                yield gap
-            async for chunk in self._drain_stream(pending):
-                yield chunk
+            next_pending: Optional[_Pending] = None
+            q = pending.chunk_queue
+            try:
+                while True:
+                    chunk = await q.get()
+                    if chunk is None:
+                        break
+                    if (
+                        next_pending is None
+                        and i + 1 < len(segments)
+                        and pending.global_tokens is not None
+                    ):
+                        if speaker_globals is None:
+                            # one host fetch per longform request (clone
+                            # admissions hold the globals as a device array)
+                            speaker_globals = np.asarray(
+                                pending.global_tokens, np.int32
+                            ).reshape(1, -1)
+                        next_pending = continuation(segments[i + 1])
+                        self.stats["requests"] += 1
+                        await self.waiting.put(next_pending)
+                    yield chunk
+            except (GeneratorExit, asyncio.CancelledError):
+                pending.cancelled = True
+                if next_pending is not None:
+                    next_pending.cancelled = True
+                raise
+            fut = pending.future
+            if fut.done() and not fut.cancelled() and fut.exception() is not None:
+                if next_pending is not None:
+                    next_pending.cancelled = True
+                raise fut.exception()
             self.stats["longform_segments"] = (
                 self.stats.get("longform_segments", 0) + 1
             )
             if speaker_globals is None and pending.global_tokens is not None:
-                # one host fetch per longform request (clone admissions hold
-                # the globals as a device array)
                 speaker_globals = np.asarray(
                     pending.global_tokens, np.int32
                 ).reshape(1, -1)
+            if i + 1 < len(segments):
+                if next_pending is None:  # zero-chunk segment: admit now
+                    next_pending = continuation(segments[i + 1])
+                    self.stats["requests"] += 1
+                    await self.waiting.put(next_pending)
+                if gap.size:
+                    yield gap
+                pending = next_pending
 
     async def synthesize_long(self, **kw) -> np.ndarray:
         """Offline longform: collect `synthesize_streaming_long` chunks."""
@@ -1337,13 +1399,21 @@ class ContinuousTTSServer:
         big one."""
         need = None
         active = 0
+        first_chunk_bound = False
         for slot, req in enumerate(self.engine.owner):
             if req is None:
                 continue
             active += 1
-            remaining = max(int(self.engine.budget[slot]), 1)
+            # remaining AFTER in-flight dispatches: a slot whose budget is
+            # already fully covered by dispatched-but-uncommitted work needs
+            # nothing from the next dispatch
+            remaining = int(self.engine.budget[slot]) - self._planned_ahead[slot]
+            if remaining <= 0:
+                continue
             p = self.inflight.get(req)
+            slot_first = False
             if p is not None and p.chunk_queue is not None:
+                covered = p.loop_tokens + self._planned_ahead[slot]
                 first_need = p.first_target
                 if p.gender is not None:
                     # controllable mode emits its speaker identity first:
@@ -1351,32 +1421,58 @@ class ContinuousTTSServer:
                     # first semantic token — the first chunk needs them too
                     token_num = self.pipe.config.bicodec.speaker_encoder.token_num
                     first_need += token_num + 2
-                if p.loop_tokens < first_need:
-                    slot_need = max(min(first_need - p.loop_tokens, remaining), 1)
+                if covered < first_need:
+                    slot_need = max(min(first_need - covered, remaining), 1)
+                    slot_first = True
                 else:
                     slot_need = remaining
             else:
                 slot_need = remaining
-            need = slot_need if need is None else min(need, slot_need)
+            if need is None or slot_need < need:
+                need, first_chunk_bound = slot_need, slot_first
+            elif slot_need == need:
+                first_chunk_bound = first_chunk_bound or slot_first
         if need is None:
-            return self.steps
+            # every active slot's budget is covered by in-flight dispatches
+            # (or nothing is active): no further ahead-dispatch is useful
+            return None if active else self.steps
         if active > 1 or self._deferred or not self.waiting.empty():
             self._last_concurrent = time.perf_counter()
             need = min(need, self.co_dispatch_cap)
         elif time.perf_counter() - self._last_concurrent < self.arrival_window_s:
             need = min(need, self.anticipation_cap)
+        elif first_chunk_bound:
+            # a LONE pre-first-chunk stream: round UP to the covering ladder
+            # rung (within 2× the need) so the first chunk — including
+            # controllable mode's token_num+2 identity preamble — rides ONE
+            # dispatch and stays speculative-chunk-eligible, instead of
+            # snapping down and spanning two dispatch round-trips
+            need = snap_to_ladder(need, self.steps, overshoot=need)
         return need
 
     def _plan_spec(self, n_dispatch: int):
-        """Pick ONE streaming clone slot whose FIRST chunk this dispatch
-        fully covers, for speculative on-device chunk rendering: the chunk's
-        vocode is chained onto the decode dispatch and fetched with the step
-        result in one transfer (engine.step_chained).  First chunk only —
-        later chunks' semantic prefix spans earlier dispatches and already
-        overlaps decode on the vocode worker thread; the first chunk is the
-        latency-critical one.  Returns (req_id, target, chain_fn) or None."""
+        """Collect EVERY streaming slot whose FIRST chunk this dispatch fully
+        covers, for speculative on-device chunk rendering: all their chunk
+        vocodes are chained onto the decode dispatch as ONE batched vocoder
+        program and fetched with the step result in a single transfer
+        (engine.step_chained) — simultaneous admissions (bursty arrivals,
+        high concurrency) each save a vocode dispatch round-trip.  First
+        chunks only — later chunks' semantic prefix spans earlier dispatches
+        and already overlaps decode on the vocode worker thread.
+
+        Clone slots assume the first `target` emissions are semantic ids;
+        CONTROLLABLE slots assume the trained emission layout
+        (start_global marker, token_num globals, end marker, semantics —
+        reference `cli/SparkTTS.py:222-228`) and read the speaker identity
+        from the same dispatch on device.  Every row is validated against
+        the fetched tokens at commit; a miss falls back to the normal path.
+
+        Returns (entries, chain_fn) or None; each entry is
+        (req_id, slot, target, sem_off, control)."""
         if not self.spec_first_chunk:
             return None
+        tn = self.pipe.config.bicodec.speaker_encoder.token_num
+        entries = []
         for slot, req in enumerate(self.engine.owner):
             if req is None:
                 continue
@@ -1385,48 +1481,122 @@ class ContinuousTTSServer:
                 p is None or p.cancelled or p.chunk_queue is None
                 or p.loop_increments  # an earlier increment exists (possibly
                                       # still queued for the vocode worker)
-                or p.gender is not None or p.global_tokens is None
+                or self._planned_ahead[slot]  # an in-flight dispatch already
+                                      # covers (part of) this stream's head
             ):
                 continue
+            control = p.gender is not None
+            if control:
+                off = tn + 2  # start marker + globals + end marker first
+            elif p.global_tokens is not None:
+                off = 0
+            else:
+                continue
             target = p.stream_target
-            if 0 < target <= min(n_dispatch, int(self.engine.budget[slot])):
-                return req, target, self.pipe.spec_vocode_chain(slot, target, p.global_tokens)
-        return None
+            if entries and target != entries[0][2]:
+                continue  # one shared (batch, t_pad) program per chain
+            budget = int(self.engine.budget[slot]) - self._planned_ahead[slot]
+            if 0 < off + target <= min(n_dispatch, budget):
+                entries.append((req, slot, target, off, control))
+        if not entries:
+            return None
+        n_spec, batch = self._spec_batch(len(entries), entries[0][2])
+        entries = entries[:n_spec]
+        chain = self.pipe.spec_vocode_chain_multi(
+            [
+                (slot, target, off,
+                 None if control else self.inflight[req].global_tokens)
+                for req, slot, target, off, control in entries
+            ],
+            batch,
+        )
+        return entries, chain
 
-    def _apply_spec(self, spec, chained: np.ndarray, increments) -> Optional[int]:
-        """Validate a speculative first chunk against the fetched tokens; on
-        success push the pre-rendered wav and do the stream bookkeeping
-        inline (returns the req id so the normal vocode path skips this
-        increment).  The speculation only misses when EOS fired inside the
-        chunk — then the chained render used garbage past EOS, so fall back
-        to the normal path, which renders the valid prefix exactly."""
-        req_id, target, _ = spec
-        p = self.inflight.get(req_id)
-        new = increments.get(req_id)
-        if p is None or p.cancelled or new is None or len(new) < target:
-            return None
+    def _spec_batch(self, n: int, target: int):
+        """(n_spec, batch) for a chained spec of `n` eligible slots: how many
+        to actually spec and the padded batch size of the single vocoder
+        program.  Only ALREADY-COMPILED (batch, t_pad) signatures are used —
+        a cold one would stall the decode dispatch chain on an XLA compile —
+        so excess slots ride the normal vocode path while the wanted batch
+        size compiles in the background (same policy as _pick_vocode_batch)."""
+        if n <= 1:
+            return 1, 1  # scalar (1, t_pad): the warm_stream_windows surface
+        t_pad = -(-max(target, 1) // self.pipe.vocode_bucket) * self.pipe.vocode_bucket
+        warm_set = _voc_state(self.pipe)["warm"]
+        warm = [b for b in self._voc_batch_sizes if (b, t_pad) in warm_set]
+        cover = [b for b in warm if b >= n]
+        if cover:
+            return n, cover[0]
+        want = next(
+            (b for b in self._voc_batch_sizes if b >= n),
+            self._voc_batch_sizes[-1] if self._voc_batch_sizes else None,
+        )
+        if want is not None:
+            self._warm_vocode_batch_bg(want, t_pad)
+        if warm:
+            return warm[-1], warm[-1]
+        return 1, 1
+
+    def _apply_specs(self, spec, chained: np.ndarray, increments) -> set:
+        """Validate each speculative first chunk against the fetched tokens;
+        on success push the pre-rendered wav and do the stream bookkeeping
+        inline.  Returns the req ids consumed (the normal vocode path skips
+        those increments).  A row misses when EOS fired inside its window —
+        or, for a controllable stream, when the emission deviated from the
+        trained layout — then its slice of the chained render is garbage and
+        the normal path renders the valid prefix exactly."""
+        entries, _ = spec
         tok = self.pipe.tokenizer
-        head = np.asarray(new[:target])
-        if not (
-            (head >= tok.semantic_base) & (head < tok.semantic_base + tok.n_semantic)
-        ).all():
-            return None
-        wav = chained.view(np.float32).copy()
-        # raw_buf stays empty: it only feeds speaker-identity extraction, and
-        # _plan_spec requires global_tokens to already be known
-        p.stream_buf.extend(extract_semantic_ids(tok, new).tolist())
-        p.stream_emitted = target
-        p.stream_target = next(p.stream_schedule)
-        p.chunk_queue.put_nowait(wav)
-        p.loop_increments += 1
-        self.stats["spec_chunks"] = self.stats.get("spec_chunks", 0) + 1
-        # the ladder-snapped dispatch may have over-covered the first chunk:
-        # hand the (already-booked) remainder to the vocode worker as an
-        # empty increment so any follow-up chunk it completes is emitted NOW,
-        # exactly when the plain path would emit it — not a dispatch later
-        if p.stream_base + len(p.stream_buf) >= p.stream_emitted + p.stream_target:
-            self._vocode_q.put_nowait((p, np.zeros(0, np.int32), False, False))
-        return req_id
+        tn = self.pipe.config.bicodec.speaker_encoder.token_num
+        up = self.pipe._wave_upsample
+        start_id = tok.token_id("<|start_global_token|>")
+        end_id = tok.token_id("<|end_global_token|>")
+        consumed: set = set()
+        off_samp = 0
+        for req_id, slot, target, off, control in entries:
+            bits = chained[off_samp : off_samp + target * up]
+            off_samp += target * up
+            p = self.inflight.get(req_id)
+            new = increments.get(req_id)
+            if p is None or p.cancelled or new is None or len(new) < off + target:
+                continue
+            new = np.asarray(new)
+            head = new[off : off + target]
+            if not (
+                (head >= tok.semantic_base)
+                & (head < tok.semantic_base + tok.n_semantic)
+            ).all():
+                continue
+            if control:
+                globs = new[1 : 1 + tn]
+                if not (
+                    new[0] == start_id
+                    and new[1 + tn] == end_id
+                    and (
+                        (globs >= tok.global_base)
+                        & (globs < tok.global_base + tok.n_global)
+                    ).all()
+                ):
+                    continue
+                # the chained render used exactly these ids as the speaker
+                p.global_tokens = (globs - tok.global_base).astype(np.int32)[None, :]
+            wav = bits.view(np.float32).copy()
+            # raw_buf stays empty: clone specs require global_tokens known,
+            # and a validated control spec extracted them right here
+            p.stream_buf.extend(extract_semantic_ids(tok, new).tolist())
+            p.stream_emitted = target
+            p.stream_target = next(p.stream_schedule)
+            p.chunk_queue.put_nowait(wav)
+            p.loop_increments += 1
+            consumed.add(req_id)
+            self.stats["spec_chunks"] = self.stats.get("spec_chunks", 0) + 1
+            # the ladder-snapped dispatch may have over-covered the first
+            # chunk: hand the (already-booked) remainder to the vocode worker
+            # as an empty increment so any follow-up chunk it completes is
+            # emitted NOW, exactly when the plain path would emit it
+            if p.stream_base + len(p.stream_buf) >= p.stream_emitted + p.stream_target:
+                self._vocode_q.put_nowait((p, np.zeros(0, np.int32), False, False))
+        return consumed
 
     def _try_admit(self, pending: _Pending, engine_idle: bool) -> bool:
         """Admit one request; returns False when admission was deferred
@@ -1507,18 +1677,18 @@ class ContinuousTTSServer:
             p = self.inflight.get(req_id)
             if p is not None:
                 p.loop_tokens += len(new_tokens)
-        # a validated speculative first chunk was already rendered inside
-        # the decode dispatch — push it inline; everything else goes to
+        # validated speculative first chunks were already rendered inside
+        # the decode dispatch — push them inline; everything else goes to
         # the vocode worker as usual
-        spec_req = (
-            self._apply_spec(spec, chained, increments)
+        spec_reqs = (
+            self._apply_specs(spec, chained, increments)
             if spec is not None and chained is not None
-            else None
+            else set()
         )
         # streaming consumers get chunks as soon as their schedule fills
         # (vocoded on the worker thread, overlapping the next dispatch)
         for req_id, new_tokens in increments.items():
-            if req_id == spec_req:
+            if req_id in spec_reqs:
                 continue
             pending = self.inflight.get(req_id)
             if pending is not None and pending.chunk_queue is not None:
@@ -1527,13 +1697,76 @@ class ContinuousTTSServer:
         for req_id in set(self.engine.finished) - before:
             self._finish(req_id, self.engine.finished.pop(req_id))
 
+    def _dispatch_one(self):
+        """Enqueue one adaptively-sized decode dispatch (+ its speculative
+        first-chunk chain) and book it in the planned-token ledger.  Returns
+        (handle, spec, t0) or None when no dispatch is useful (no active
+        slot, or every active slot's budget is covered in flight)."""
+        req_steps = self._requested_steps()
+        if req_steps is None:
+            return None
+        spec = self._plan_spec(snap_to_ladder(req_steps, self.engine.max_dispatch))
+        t0 = time.perf_counter()
+        handle = self.engine.step_begin(req_steps, spec[1] if spec else None)
+        if handle is None:
+            return None
+        n_snapped = handle[2]
+        for slot, req in enumerate(handle[3]):
+            if req is not None:
+                self._planned_ahead[slot] += n_snapped
+        return handle, spec, t0
+
+    def _commit_one(self, entry, fetched):
+        """Commit one fetched dispatch: release its planned-token bookings,
+        do the engine bookkeeping, deliver chunks/finishes."""
+        handle, spec, t0 = entry
+        n_snapped = handle[2]
+        for slot, req in enumerate(handle[3]):
+            if req is not None:
+                self._planned_ahead[slot] = max(
+                    self._planned_ahead[slot] - n_snapped, 0
+                )
+        before = set(self.engine.finished)
+        increments, chained = self.engine.step_commit(handle, fetched)
+        self.stage_stats.record("decode_dispatch", time.perf_counter() - t0)
+        self._deliver_step(increments, chained, spec, before)
+
+    def _drain_window_blocking(self, window: deque, cfut):
+        """Commit every in-flight dispatch during shutdown (blocking fetches
+        on this thread; they complete as soon as the device programs do).
+        The dispatches have already advanced the device cache, so the host
+        bookkeeping MUST still commit — otherwise a stop()/start() restart
+        resumes with these dispatches' tokens missing from the buffers and,
+        on the paged engine, tokens_seen undercounting page needs (silent KV
+        corruption).  Steps are also DELIVERED, not just committed: a stream
+        surviving the restart must not lose this audio (silent gap)."""
+        for i, entry in enumerate(window):
+            try:
+                if i == 0 and cfut is not None:
+                    fetched = cfut.result(timeout=120)
+                else:
+                    fetched = self.engine.step_fetch(entry[0])
+                self._commit_one(entry, fetched)
+            except Exception:
+                logger.exception("step commit during shutdown failed")
+        window.clear()
+
     async def _loop(self):
+        # in-flight dispatch window (oldest first).  dispatch_depth > 1
+        # enqueues the next decode dispatch BEFORE blocking on the previous
+        # one's fetch, so the device never idles a relay round-trip between
+        # micro-batches; the _planned_ahead ledger keeps sizing and spec
+        # planning honest about work that is dispatched but uncommitted.
+        window: deque = deque()
+        # a fresh loop has no in-flight dispatches — clear any bookings a
+        # failed shutdown drain left behind (stop()/start() restart)
+        self._planned_ahead = [0] * len(self._planned_ahead)
         while True:
             # admit as many waiting requests as slots (and page reservations)
             # allow; deferred requests retry first to keep arrival order
             while self.engine.free_slots() > 0 and (self._deferred or not self.waiting.empty()):
                 pending = self._deferred.popleft() if self._deferred else self.waiting.get_nowait()
-                idle = all(o is None for o in self.engine.owner)
+                idle = all(o is None for o in self.engine.owner) and not window
                 if not self._try_admit(pending, engine_idle=idle):
                     break  # backpressured: stop admitting until slots free
 
@@ -1544,50 +1777,41 @@ class ContinuousTTSServer:
             for req_id in [r for r in self.engine.finished if r in self.inflight]:
                 self._finish(req_id, self.engine.finished.pop(req_id))
 
-            if all(o is None for o in self.engine.owner):
+            if all(o is None for o in self.engine.owner) and not window:
                 # idle: wait for the next request without burning CPU
                 pending = await self.waiting.get()
                 self._try_admit(pending, engine_idle=True)
                 continue
 
-            # advance the running batch one adaptively-sized micro-batch:
-            # enqueue the decode dispatch, fetch its result on a worker
-            # thread, and admit any arrivals while the fetch is in flight
-            before = set(self.engine.finished)
+            cfut = None
             try:
-                t0 = time.perf_counter()
-                req_steps = self._requested_steps()
-                spec = self._plan_spec(snap_to_ladder(req_steps, self.engine.max_dispatch))
-                handle = self.engine.step_begin(req_steps, spec[2] if spec else None)
-                cfut = self._fetch_pool.submit(self.engine.step_fetch, handle)
+                # top up the in-flight window, then fetch the oldest
+                # dispatch on a worker thread and admit arrivals meanwhile
+                while len(window) < self.dispatch_depth:
+                    entry = self._dispatch_one()
+                    if entry is None:
+                        break
+                    window.append(entry)
+                if not window:
+                    # active slots exist but all budgets are covered in
+                    # flight — nothing to dispatch OR fetch (cannot happen:
+                    # covered budgets imply an uncommitted handle).  Guard
+                    # against a logic drift by yielding.
+                    await asyncio.sleep(0)
+                    continue
+                entry = window.popleft()
+                cfut = self._fetch_pool.submit(self.engine.step_fetch, entry[0])
                 try:
                     fetch_fut = asyncio.wrap_future(cfut)
                     await self._admit_while_fetching(fetch_fut)
                     fetched = await fetch_fut
                 except asyncio.CancelledError:
-                    # stop() cancelled the loop mid-step.  The decode
-                    # dispatch has already advanced the device cache, so the
-                    # host bookkeeping MUST still commit (blocking fetch on
-                    # this thread; it completes as soon as the device
-                    # program does) — otherwise a stop()/start() restart
-                    # resumes with this dispatch's tokens missing from the
-                    # buffers and, on the paged engine, tokens_seen
-                    # undercounting page needs (silent KV corruption).  The
-                    # step is also DELIVERED, not just committed: a stream
-                    # surviving the restart must not have this dispatch's
-                    # tokens missing from its chunk schedule (silent audio
-                    # gap) — queued vocode work and finishes are picked up
-                    # when start() relaunches the workers.
-                    try:
-                        inc, ch = self.engine.step_commit(
-                            handle, cfut.result(timeout=120)
-                        )
-                        self._deliver_step(inc, ch, spec, before)
-                    except Exception:
-                        logger.exception("step commit during shutdown failed")
+                    # stop() cancelled the loop mid-step: commit EVERY
+                    # in-flight dispatch (see _drain_window_blocking)
+                    window.appendleft(entry)
+                    self._drain_window_blocking(window, cfut)
                     raise
-                increments, chained = self.engine.step_commit(handle, fetched)
-                self.stage_stats.record("decode_dispatch", time.perf_counter() - t0)
+                self._commit_one(entry, fetched)
             except Exception as e:
                 # an engine failure must not kill the serving loop: fail every
                 # inflight request loudly and keep accepting new work
@@ -1597,9 +1821,12 @@ class ContinuousTTSServer:
                 for slot, owner in enumerate(self.engine.owner):
                     if owner is not None:
                         self.engine.release_slot(slot)
+                # the in-flight window is unrecoverable state: drop it and
+                # clear its ledger bookings
+                window.clear()
+                self._planned_ahead = [0] * len(self._planned_ahead)
                 self.stats["failures"] = self.stats.get("failures", 0) + 1
                 continue
-            self._deliver_step(increments, chained, spec, before)
             # reap requests whose streaming consumer went away: free the
             # decode slot instead of synthesizing for nobody
             for req_id, p in list(self.inflight.items()):

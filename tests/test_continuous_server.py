@@ -276,9 +276,11 @@ def test_requested_steps_first_chunk_only(pipe):
     eng.owner[0] = 1
     eng.budget[0] = 100
     server.inflight[1] = stream
-    assert server._requested_steps() == 5      # first chunk pending
+    # lone pre-first-chunk stream: the need is pre-snapped UP to the covering
+    # ladder rung (within 2x) so the whole first chunk rides one dispatch
+    assert server._requested_steps() == 8      # first chunk pending (5 -> 8)
     stream.loop_tokens = 3
-    assert server._requested_steps() == 2      # partial coverage
+    assert server._requested_steps() == 4      # partial coverage (2 -> 4)
     stream.loop_tokens = 5
     assert server._requested_steps() == 100    # covered: full budget
 
@@ -827,3 +829,74 @@ def test_split_first_audio_defers_steady_state_once():
     run4, backlog4, _ = _split_first_audio([off, new, old1], set())
     assert off in run4 and new in run4
     assert [j[0] for j in backlog4] == [old1[0]]
+
+
+def test_pipelined_dispatch_depth_matches_serial(pipe):
+    """The double-buffered decode cadence (dispatch_depth=2) must be exactly
+    behavior-preserving vs the serialized cadence (depth=1): same tokens ->
+    same audio for offline AND streaming requests sharing the batch, and the
+    planned-token ledger must drain to zero.  Greedy + scalar vocode pin the
+    nondeterminism that is PRE-EXISTING under concurrency (the shared rng
+    stream and batched-vocode composition are timing-dependent at any depth);
+    what this asserts is that the pipelined window itself changes nothing."""
+    def run(depth):
+        server = ContinuousTTSServer(
+            pipe, max_slots=2, steps_per_dispatch=6, dispatch_depth=depth,
+            greedy=True, vocode_batch=False,
+        )
+
+        async def go():
+            await server.start()
+            off_task = asyncio.create_task(
+                server.synthesize("offline words", prompt_wav=_wav(250))
+            )
+            chunks = []
+            async for c in server.synthesize_streaming(
+                "stream words", prompt_wav=_wav(330)
+            ):
+                chunks.append(c)
+            off = await off_task
+            await server.stop()
+            return off, chunks
+
+        out = asyncio.new_event_loop().run_until_complete(go())
+        assert all(v == 0 for v in server._planned_ahead), server._planned_ahead
+        return out
+
+    off1, chunks1 = run(1)
+    off2, chunks2 = run(2)
+    np.testing.assert_array_equal(off1, off2)
+    assert len(chunks1) == len(chunks2)
+    for a, b in zip(chunks1, chunks2):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_pipelined_paged_pages_cover_inflight_window(pipe):
+    """Paged engine under dispatch_depth=2: page growth must account for the
+    dispatched-but-uncommitted window (steps_inflight), and results must
+    match the dense engine's token streams."""
+    def run(paged):
+        server = ContinuousTTSServer(
+            pipe, max_slots=2, steps_per_dispatch=4, dispatch_depth=2,
+            paged=paged, page_size=32,
+        )
+
+        async def go():
+            await server.start()
+            wavs = await asyncio.gather(
+                server.synthesize("page one", prompt_wav=_wav(220)),
+                server.synthesize("page two", prompt_wav=_wav(440)),
+            )
+            await server.stop()
+            return wavs
+
+        wavs = asyncio.new_event_loop().run_until_complete(go())
+        if paged:
+            assert all(int(v) == 0 for v in server.engine.steps_inflight)
+        return wavs
+
+    dense = run(False)
+    paged = run(True)
+    for a, b in zip(dense, paged):
+        assert a.shape == b.shape
+        assert np.isfinite(a).all() and np.isfinite(b).all()

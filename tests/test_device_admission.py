@@ -183,6 +183,20 @@ def test_fused_window_batch_matches_host_path(pipe):
         np.testing.assert_allclose(a.wav, b.wav, rtol=1e-4, atol=1e-5)
 
 
+def _mk_stream_pending(gender=None, globals_known=True):
+    p = _Pending(
+        text="x", prompt_wav=None, prompt_text=None, gender=gender,
+        pitch="moderate" if gender else None,
+        speed="moderate" if gender else None,
+        max_new_tokens=8, future=None,
+        chunk_queue=asyncio.Queue(), stream_target=2,
+        stream_schedule=iter([4, 8, 16]),
+    )
+    if globals_known:
+        p.global_tokens = np.zeros((1, 4), np.int32)
+    return p
+
+
 def test_apply_spec_rejects_non_semantic_head(pipe):
     """EOS (or any non-semantic id) inside the speculated window must fall
     back to the normal vocode path — the chained render used garbage."""
@@ -190,37 +204,89 @@ def test_apply_spec_rejects_non_semantic_head(pipe):
     tok = pipe.tokenizer
     up = pipe._wave_upsample
 
-    def mk_pending():
-        p = _Pending(
-            text="x", prompt_wav=None, prompt_text=None, gender=None, pitch=None,
-            speed=None, max_new_tokens=8, future=None,
-            chunk_queue=asyncio.Queue(), stream_target=2,
-            stream_schedule=iter([4, 8, 16]),
-        )
-        p.global_tokens = np.zeros((1, 4), np.int32)
-        return p
-
     wav_bits = np.arange(2 * up, dtype=np.float32).view(np.int32)
 
     # head contains EOS → rejected, no bookkeeping
-    p = mk_pending()
+    p = _mk_stream_pending()
     server.inflight = {7: p}
     bad = np.asarray([tok.semantic_base, tok.eos_ids[0], tok.semantic_base + 1])
-    assert server._apply_spec((7, 2, None), wav_bits, {7: bad}) is None
+    entries = [(7, 0, 2, 0, False)]
+    assert server._apply_specs((entries, None), wav_bits, {7: bad}) == set()
     assert p.stream_emitted == 0 and not p.stream_buf
 
     # all-semantic head → accepted, chunk pushed, schedule advanced
-    p = mk_pending()
+    p = _mk_stream_pending()
     server.inflight = {9: p}
     good = np.asarray(
         [tok.semantic_base + 5, tok.semantic_base + 6, tok.semantic_base + 7]
     )
-    assert server._apply_spec((9, 2, None), wav_bits, {9: good}) == 9
+    entries = [(9, 0, 2, 0, False)]
+    assert server._apply_specs((entries, None), wav_bits, {9: good}) == {9}
     assert p.stream_emitted == 2
     assert p.stream_buf == [5, 6, 7]
     assert p.stream_target == 4
     chunk = p.chunk_queue.get_nowait()
     np.testing.assert_array_equal(chunk, wav_bits.view(np.float32))
+
+
+def test_apply_specs_multi_slot_split_and_partial_miss(pipe):
+    """A multi-slot plan's chained bits are split per entry IN ORDER, and a
+    miss in one row must not poison its neighbors' slices."""
+    server = ContinuousTTSServer(pipe, max_slots=2, steps_per_dispatch=8)
+    tok = pipe.tokenizer
+    up = pipe._wave_upsample
+
+    a, b = _mk_stream_pending(), _mk_stream_pending()
+    server.inflight = {1: a, 2: b}
+    wav_a = np.arange(2 * up, dtype=np.float32)
+    wav_b = np.arange(2 * up, dtype=np.float32) + 1000.0
+    chained = np.concatenate([wav_a, wav_b]).view(np.int32)
+    good = np.asarray([tok.semantic_base + 1, tok.semantic_base + 2])
+    bad = np.asarray([tok.eos_ids[0], tok.semantic_base + 3])
+    entries = [(1, 0, 2, 0, False), (2, 1, 2, 0, False)]
+
+    consumed = server._apply_specs((entries, None), chained, {1: bad, 2: good})
+    assert consumed == {2}
+    assert a.stream_emitted == 0 and not a.stream_buf
+    # B got ITS slice (the second), not A's
+    np.testing.assert_array_equal(b.chunk_queue.get_nowait(), wav_b)
+
+
+def test_apply_specs_control_layout(pipe):
+    """Controllable-mode spec: the trained emission layout (start marker,
+    token_num globals, end marker, semantics) validates, extracts the
+    speaker identity inline, and a layout deviation falls back."""
+    server = ContinuousTTSServer(pipe, max_slots=1, steps_per_dispatch=8)
+    tok = pipe.tokenizer
+    tn = pipe.config.bicodec.speaker_encoder.token_num
+    up = pipe._wave_upsample
+    start_id = tok.token_id("<|start_global_token|>")
+    end_id = tok.token_id("<|end_global_token|>")
+    wav_bits = np.arange(2 * up, dtype=np.float32).view(np.int32)
+    layout = (
+        [start_id]
+        + [tok.global_base + i for i in range(tn)]
+        + [end_id, tok.semantic_base + 5, tok.semantic_base + 6]
+    )
+    entries = [(4, 0, 2, tn + 2, True)]
+
+    p = _mk_stream_pending(gender="female", globals_known=False)
+    server.inflight = {4: p}
+    consumed = server._apply_specs((entries, None), wav_bits, {4: np.asarray(layout)})
+    assert consumed == {4}
+    np.testing.assert_array_equal(
+        p.global_tokens, np.arange(tn, dtype=np.int32)[None, :]
+    )
+    assert p.stream_emitted == 2 and p.stream_buf == [5, 6]
+
+    # deviant layout (missing end marker) → miss, no identity extracted
+    p = _mk_stream_pending(gender="female", globals_known=False)
+    server.inflight = {4: p}
+    broken = list(layout)
+    broken[1 + tn] = tok.semantic_base  # end marker replaced
+    consumed = server._apply_specs((entries, None), wav_bits, {4: np.asarray(broken)})
+    assert consumed == set()
+    assert p.global_tokens is None and p.stream_emitted == 0
 
 
 def test_spec_two_concurrent_streams_not_garbled(pipe):
