@@ -74,6 +74,13 @@ def main():
         "sweep ('' disables)",
     )
     parser.add_argument(
+        "--http_conc", default="",
+        help="comma-separated concurrencies for the REAL-HTTP streaming sweep "
+        "(chunked transfer through serve_http + stdlib client; '' disables). "
+        "The continuous_streaming rows measure the in-process engine; these "
+        "add the full network stack like the reference's Triton HTTP front",
+    )
+    parser.add_argument(
         "--longform_requests", type=int, default=8,
         help="number of longform (3-segment) streaming requests to record "
         "(0 disables)",
@@ -405,6 +412,44 @@ def main():
                     pipe, tasks, concurrency=conc, max_slots=args.max_slots
                 )
             )
+
+    if args.http_conc:
+        # real-HTTP sweep: chunked-transfer /tts_stream through serve_http
+        # and the stdlib client (role of the reference's Triton HTTP front,
+        # `client_http.py`) — the in-process rows above skip the network
+        import threading
+
+        from sparktts_tpu.bench.harness import run_network_streaming_benchmark
+        from sparktts_tpu.serve.server import serve_http
+
+        control: dict = {}
+        th = threading.Thread(
+            target=serve_http,
+            kwargs=dict(
+                pipeline=pipe, host="127.0.0.1", port=0,
+                stream_max_slots=args.max_slots, control=control,
+            ),
+            daemon=True,
+        )
+        th.start()
+        for _ in range(600):
+            if "httpd" in control:
+                break
+            time.sleep(0.1)
+        port = control["httpd"].server_address[1]
+        try:
+            # warm the embedded continuous server's signatures once
+            run_network_streaming_benchmark(
+                "127.0.0.1", port, tasks[:4], concurrency=2
+            )
+            for conc in [int(c) for c in args.http_conc.split(",") if c]:
+                record(
+                    run_network_streaming_benchmark(
+                        "127.0.0.1", port, tasks, concurrency=conc
+                    )
+                )
+        finally:
+            control["stop"]()
 
     # quality metrics (BASELINE.md parity bar): codec round-trip mel distance
     # and speaker similarity on a few prompts — catches codec/quantization

@@ -62,6 +62,51 @@ with mesh:
     out = jax.jit(shard_f)(x)
     assert float(np.asarray(out)) == 10.0, np.asarray(out)
 
+# ---- sharded GENERATE over the 2-process mesh (VERDICT r04 item 6): a tiny
+# Qwen decode with tp-sharded params and the batch dp-sharded ACROSS the
+# process boundary, token-parity-checked against the single-device forward.
+# This is the reference's multi-node sharded-inference claim
+# (`convert_checkpoint.py:252-274`) actually executed over two processes.
+from sparktts_tpu.config import QwenConfig
+from sparktts_tpu.lm.generate import generate
+from sparktts_tpu.lm.qwen import init_qwen
+from sparktts_tpu.parallel.shardings import batch_spec, qwen_param_specs
+
+CFG = QwenConfig(
+    vocab_size=128, hidden_size=32, intermediate_size=64,
+    num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+    head_dim=8, eos_token_id=0, pad_token_id=1,
+)
+params = init_qwen(jax.random.PRNGKey(0), CFG)  # same values in both procs
+ids = np.asarray([[5, 9, 17, 3], [21, 7, 11, 2]], np.int32)
+mask = np.ones((2, 4), bool)
+kwargs = dict(max_new_tokens=4, cache_len=16, eos_ids=(), pad_id=1, greedy=True)
+
+# single-device reference on this process's local device
+tokens_ref, _ = generate(
+    params, CFG, jnp.asarray(ids), jnp.asarray(mask), jax.random.PRNGKey(1), **kwargs
+)
+tokens_ref = np.asarray(tokens_ref)
+
+specs = qwen_param_specs(CFG)
+with mesh:
+    def put(x, s):
+        sh = NamedSharding(mesh, s)
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: np.asarray(x)[idx])
+
+    params_sh = jax.tree.map(put, params, specs)
+    ids_sh = put(ids, batch_spec())
+    mask_sh = put(mask, batch_spec())
+    tokens_sh, _ = generate(
+        params_sh, CFG, ids_sh, mask_sh, jax.random.PRNGKey(1), **kwargs
+    )
+    # replicate the dp-sharded result so every process can read all rows
+    tokens_rep = jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))(
+        tokens_sh
+    )
+    np.testing.assert_array_equal(tokens_ref, np.asarray(tokens_rep))
+
+print(f"proc {pid}: generate ok")
 print(f"proc {pid}: ok")
 """
 
@@ -89,4 +134,5 @@ def test_two_process_dcn_mesh_and_psum(tmp_path):
     outs = [p.communicate(timeout=240) for p in procs]
     for i, (p, (out, err)) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out}\n{err}"
+        assert f"proc {i}: generate ok" in out
         assert f"proc {i}: ok" in out
