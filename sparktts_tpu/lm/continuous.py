@@ -448,23 +448,37 @@ def unpack_step_result(packed: np.ndarray, n_steps: int):
     return toks, valid, done
 
 
-def fetch_step_result(packed, chain_fn, max_slots: int, n_steps: int):
-    """Fetch a decode dispatch's packed device result — plus an optional
-    chained device computation's output — in ONE host transfer (each host
-    sync costs a relay round-trip on a tunneled TPU).  Shared by the dense
-    and paged engines so the packed layout / chained-fetch protocol lives in
-    exactly one place.  Returns (toks, valid, done, chained_or_None)."""
-    if chain_fn is not None:
-        flat = jax.device_get(
-            jnp.concatenate([packed.reshape(-1), chain_fn(packed)])
-        )
-        cut = max_slots * (2 * n_steps + 1)
-        toks, valid, done = unpack_step_result(
-            flat[:cut].reshape(max_slots, -1), n_steps
-        )
-        return toks, valid, done, flat[cut:]
-    toks, valid, done = unpack_step_result(jax.device_get(packed), n_steps)
-    return toks, valid, done, None
+def chain_step_result(packed, chain_fn):
+    """Attach an optional chained device computation to a decode dispatch's
+    packed result, flattened into ONE device array, and start its async
+    host copy.  MUST run at DISPATCH time (step_begin), before any further
+    device work is enqueued: the chain's programs and the host-transfer
+    request then sit directly behind the decode program in the device
+    queue, so a pipelined next dispatch (dispatch_depth > 1) can never
+    delay a speculative first chunk or the fetch that carries it."""
+    flat = (
+        packed.reshape(-1)
+        if chain_fn is None
+        else jnp.concatenate([packed.reshape(-1), chain_fn(packed)])
+    )
+    try:
+        flat.copy_to_host_async()
+    except Exception:  # pragma: no cover - platform without async copy
+        pass
+    return flat
+
+
+def fetch_step_result(flat, chained: bool, max_slots: int, n_steps: int):
+    """Blocking fetch of a `chain_step_result` array (the transfer was
+    already started at dispatch time).  Shared by the dense and paged
+    engines so the packed layout / chained-fetch protocol lives in exactly
+    one place.  Returns (toks, valid, done, chained_or_None)."""
+    flat = jax.device_get(flat)
+    cut = max_slots * (2 * n_steps + 1)
+    toks, valid, done = unpack_step_result(
+        flat[:cut].reshape(max_slots, -1), n_steps
+    )
+    return toks, valid, done, (flat[cut:] if chained else None)
 
 
 class StepProtocolMixin:
@@ -508,9 +522,11 @@ class StepProtocolMixin:
 
     def step_fetch(self, handle):
         """Blocking host fetch of a dispatched step's result — the ONLY
-        phase safe to run on a worker thread (no engine state access)."""
-        packed, chain_fn, n_steps, _ = handle
-        return fetch_step_result(packed, chain_fn, self.max_slots, n_steps)
+        phase safe to run on a worker thread (no engine state access).
+        The transfer was started at dispatch time (chain_step_result), so
+        this just waits for data already in flight."""
+        flat, chain_fn, n_steps, _ = handle
+        return fetch_step_result(flat, chain_fn is not None, self.max_slots, n_steps)
 
     def step_commit(self, handle, fetched) -> Tuple[Dict[int, np.ndarray], Optional[np.ndarray]]:
         """Host bookkeeping for a fetched step, against the slot→request
@@ -1121,7 +1137,7 @@ class ContinuousBatchingEngine(StepProtocolMixin):
             self.clone_slice,
             self.clone_extras,
         )
-        return (packed, chain_fn, n_steps, list(self.owner))
+        return (chain_step_result(packed, chain_fn), chain_fn, n_steps, list(self.owner))
 
     # step_commit comes from StepProtocolMixin; only the finished-slot
     # release is engine-specific here

@@ -572,7 +572,9 @@ class PagedContinuousEngine(StepProtocolMixin):
             self.clone_extras,
             self.interpret,
         )
-        return (packed, chain_fn, n_steps, list(self.owner))
+        from sparktts_tpu.lm.continuous import chain_step_result
+
+        return (chain_step_result(packed, chain_fn), chain_fn, n_steps, list(self.owner))
 
     # step_commit comes from StepProtocolMixin; the paged engine's extra
     # bookkeeping is tokens_seen (drives page growth) and page release

@@ -1519,6 +1519,11 @@ class ContinuousTTSServer:
         a cold one would stall the decode dispatch chain on an XLA compile —
         so excess slots ride the normal vocode path while the wanted batch
         size compiles in the background (same policy as _pick_vocode_batch)."""
+        # register the spec window length as SEEN: spec'd first chunks never
+        # reach a vocode drain, so without this the warm sweep
+        # (warm_vocode_batches_seen) would skip the batched first-chunk
+        # signatures and a timed/live run would kick their compiles itself
+        _voc_state(self.pipe)["sizes_seen"].add(max(target, 1))
         if n <= 1:
             return 1, 1  # scalar (1, t_pad): the warm_stream_windows surface
         t_pad = -(-max(target, 1) // self.pipe.vocode_bucket) * self.pipe.vocode_bucket
