@@ -1843,4 +1843,11 @@ class ContinuousTTSServer:
             if "pages_in_use" in self.stats:
                 self.stats["pages_in_use"] = self.engine.pages_in_use()
                 self.stats["pages_free"] = len(self.engine.free_pages)
-            await asyncio.sleep(0)
+            try:
+                await asyncio.sleep(0)
+            except asyncio.CancelledError:
+                # stop() landed between iterations while the window still
+                # holds dispatched-but-uncommitted work — same commit
+                # obligation as the mid-fetch cancel above
+                self._drain_window_blocking(window, None)
+                raise
