@@ -236,6 +236,147 @@ def prefill_one(
     return first_tok, tmp_cache, rng
 
 
+def prefill_many(
+    params,
+    cfg: QwenConfig,
+    input_ids: jax.Array,    # (B, t_pad) right-padded
+    prompt_lens: jax.Array,  # (B,) int32
+    rng: jax.Array,
+    cache_dtype,
+    temperature: jax.Array,  # (B,) float32
+    top_k: int,
+    top_p: jax.Array,        # (B,) float32
+    greedy: bool,
+    vocab_slice: Tuple[int, int] | None,
+    extra_ids: Tuple[int, ...],
+    control: jax.Array,      # (B,) bool
+    clone_slice: Tuple[int, int] | None = None,
+    clone_extras: Tuple[int, ...] = (),
+):
+    """Batched admission prefill: B same-padded prompts through the model in
+    ONE program.  The per-request device compute of a burst of admissions is
+    dominated by weight streaming, so B rows cost barely more than one —
+    at a 16-stream burst this replaces ~16 serial prefill programs' worth of
+    device time with one (VERDICT r04 item 3).  Returns
+    (first_toks (B,), tmp KVCache (L, B, t_pad, ...), new rng)."""
+    from sparktts_tpu.lm.generate import _expand_constrained
+
+    b, t_pad = input_ids.shape
+    mask = jnp.arange(t_pad)[None, :] < prompt_lens[:, None]
+    tmp_cache = init_kv_cache(cfg, b, t_pad, cache_dtype)
+    positions = jnp.minimum(jnp.arange(t_pad)[None, :], prompt_lens[:, None] - 1)
+    q_idx = jnp.arange(t_pad)[None, :, None]
+    k_idx = jnp.arange(t_pad)[None, None, :]
+    bias = jnp.where((k_idx <= q_idx) & mask[:, None, :], 0.0, -1e9).astype(jnp.float32)
+    logits, tmp_cache = qwen_forward(
+        params, cfg, input_ids, positions, tmp_cache, 0, bias,
+        vocab_slice=vocab_slice, extra_ids=extra_ids,
+    )
+    last = jnp.take_along_axis(
+        logits, jnp.maximum(prompt_lens - 1, 0)[:, None, None], axis=1
+    )[:, 0]
+    last = _mode_masked(last, control, vocab_slice, extra_ids, clone_slice, clone_extras)
+    rng, sub = jax.random.split(rng)
+    if greedy:
+        first_toks = greedy_token(last)
+    else:
+        first_toks = sample_token(sub, last, temperature[:, None], top_k, top_p[:, None])
+    return _expand_constrained(first_toks, vocab_slice, extra_ids), tmp_cache, rng
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "slot_cache_len", "top_k", "greedy", "vocab_slice", "extra_ids",
+        "clone_slice", "clone_extras", "assemble_fn",
+    ),
+    donate_argnums=(1,),
+)
+def admit_prefill_assembled_batch(
+    params,
+    slots: SlotState,
+    cfg: QwenConfig,
+    slot_ids: jax.Array,      # (B,) int32 target slots (duplicates allowed
+    #                           ONLY for identical pad rows — last-writer)
+    global_t: jax.Array,      # (B, N) int32 cached voice tokens (device)
+    semantic: jax.Array,      # (B, S_pad) int32
+    scaffolds: jax.Array,     # (B, t_pad) int32 host-built prompt scaffolds
+    g_offs: jax.Array,        # (B,)
+    s_offs: jax.Array,        # (B,)
+    n_sems: jax.Array,        # (B,)
+    prompt_lens: jax.Array,   # (B,) true lengths
+    slot_cache_len: int,
+    temperature: jax.Array,   # (B,) float32
+    top_p: jax.Array,         # (B,) float32
+    limits: jax.Array,        # (B,) int32 cache stop indices
+    top_k: int = 50,
+    greedy: bool = False,
+    vocab_slice: Tuple[int, int] | None = None,
+    extra_ids: Tuple[int, ...] = (),
+    clone_slice: Tuple[int, int] | None = None,
+    clone_extras: Tuple[int, ...] = (),
+    assemble_fn=None,         # static: pipeline._assemble_fn_batch(t_pad, s_pad)
+) -> SlotState:
+    """Batched `admit_prefill_assembled`: a BURST of voice-cache-hit clone
+    admissions sharing one (S_pad, t_pad) shape signature becomes ONE device
+    program — B prompt assemblies + one (B, t_pad) prefill + B cache-row
+    installs.  Clone mode only (the cache stores clone-prompt voices).
+
+    Rows are padded to a fixed batch ladder by DUPLICATING row 0 (same slot
+    id, same data): scatters with duplicate indices are order-undefined, but
+    all duplicate writes carry identical values, so the result is
+    deterministic and pad rows are free."""
+    ids = assemble_fn(
+        scaffolds,
+        jnp.asarray(global_t, jnp.int32),
+        jnp.asarray(semantic, jnp.int32),
+        g_offs,
+        s_offs,
+        n_sems,
+    )
+    first_toks, tmp_cache, rng = prefill_many(
+        params, cfg, ids, prompt_lens, slots.rng, slots.cache.k.dtype,
+        temperature, top_k, top_p, greedy, vocab_slice, extra_ids,
+        jnp.zeros(ids.shape[0], bool), clone_slice, clone_extras,
+    )
+    b = ids.shape[0]
+    # install each row's prompt K/V into its slot: pad (L, B, t_pad, ...) up
+    # to the slot cache length, then scatter rows by slot id
+    k_full = jax.lax.dynamic_update_slice(
+        jnp.zeros(
+            (cfg.num_hidden_layers, b, slot_cache_len, cfg.num_key_value_heads, cfg.head_dim),
+            slots.cache.k.dtype,
+        ),
+        tmp_cache.k,
+        (0, 0, 0, 0, 0),
+    )
+    v_full = jax.lax.dynamic_update_slice(
+        jnp.zeros_like(k_full), tmp_cache.v, (0, 0, 0, 0, 0)
+    )
+    new_k = slots.cache.k.at[:, slot_ids].set(k_full)
+    new_v = slots.cache.v.at[:, slot_ids].set(v_full)
+    return SlotState(
+        cache=KVCache(k=new_k, v=new_v),
+        cur_token=slots.cur_token.at[slot_ids].set(first_toks),
+        write_pos=slots.write_pos.at[slot_ids].set(prompt_lens),
+        position=slots.position.at[slot_ids].set(prompt_lens),
+        start=slots.start.at[slot_ids].set(0),
+        limit=slots.limit.at[slot_ids].set(jnp.asarray(limits, jnp.int32)),
+        active=slots.active.at[slot_ids].set(True),
+        done=slots.done.at[slot_ids].set(False),
+        control=slots.control.at[slot_ids].set(False),
+        temperature=slots.temperature.at[slot_ids].set(temperature),
+        top_p=slots.top_p.at[slot_ids].set(top_p),
+        rng=rng,
+    )
+
+
+#: Fixed batched-admission batch sizes: bursts snap UP into this ladder with
+#: duplicated pad rows, so the AOT compile surface per shape signature stays
+#: at four programs instead of one per burst size.
+ADMIT_BATCH_LADDER = (2, 4, 8, 16)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -1097,6 +1238,144 @@ class ContinuousBatchingEngine(StepProtocolMixin):
         )
         self.slots = self._fused_exe[key](*args, **kwargs)
         return self._register_request(slot, max_new_tokens)
+
+    # -- batched assembled admission (burst of same-signature cache hits) --
+
+    def assembled_batch_key(self, b: int, n_glob: int, s_pad: int, t_pad: int) -> tuple:
+        return ("asmb", b, n_glob, s_pad, t_pad)
+
+    def assembled_batch_ready(self, b: int, n_glob: int, s_pad: int, t_pad: int) -> bool:
+        return self.assembled_batch_key(b, n_glob, s_pad, t_pad) in self._fused_exe
+
+    def _assembled_batch_traced(self, assemble_fn, rows, b: int):
+        """Normalized (args, kwargs) for admit_prefill_assembled_batch over
+        `rows` (list of per-request dicts), padded to batch `b` by
+        duplicating row 0 (same slot id + identical data: duplicate scatter
+        writes carry the same values, so padding is behavior-free)."""
+        pad = b - len(rows)
+        rows = list(rows) + [rows[0]] * pad
+        g = jnp.concatenate(
+            [jnp.reshape(jnp.asarray(r["global_t"], jnp.int32), (1, -1)) for r in rows],
+            axis=0,
+        )
+        s = jnp.concatenate(
+            [jnp.reshape(jnp.asarray(r["semantic"], jnp.int32), (1, -1)) for r in rows],
+            axis=0,
+        )
+        scaffolds = np.stack([np.asarray(r["scaffold"], np.int32) for r in rows])
+        args = (
+            self.params, self.slots,
+            self._harr([r["slot"] for r in rows], jnp.int32),
+            self._harr(g, jnp.int32), self._harr(s, jnp.int32),
+            self._harr(scaffolds),
+            self._harr([r["g_off"] for r in rows], jnp.int32),
+            self._harr([r["s_off"] for r in rows], jnp.int32),
+            self._harr([r["n_sem"] for r in rows], jnp.int32),
+            self._harr([r["prompt_len"] for r in rows], jnp.int32),
+        )
+        kwargs = dict(
+            temperature=self._harr([r["temperature"] for r in rows], jnp.float32),
+            top_p=self._harr([r["top_p"] for r in rows], jnp.float32),
+            limits=self._harr(
+                [r["prompt_len"] + r["max_new_tokens"] for r in rows], jnp.int32
+            ),
+        )
+        return args, kwargs
+
+    def warm_assembled_batch(
+        self, assemble_fn, b: int, n_glob: int, s_pad: int, t_pad: int
+    ) -> None:
+        """AOT-compile the batched assembled-admission executable for this
+        (batch, shape) signature (same policy as warm_assembled)."""
+        key = self.assembled_batch_key(b, n_glob, s_pad, t_pad)
+        with self._fused_lock:
+            if key in self._fused_exe:
+                return
+        gkey = self._fused_global_key(key, None, assemble_fn)
+        with _FUSED_CACHE_LOCK:
+            cached = _FUSED_EXE_CACHE.get(gkey)
+        if cached is not None:
+            with self._fused_lock:
+                self._fused_exe.setdefault(key, cached)
+            return
+
+        def sds(x):
+            if isinstance(x, jax.Array):
+                return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+            x = jnp.asarray(x)
+            return jax.ShapeDtypeStruct(x.shape, x.dtype)
+
+        temperature, top_k, top_p = self._resolve_sampling(None, None)
+        row = dict(
+            slot=0,
+            global_t=jnp.zeros((1, n_glob), jnp.int32),
+            semantic=jnp.zeros((1, s_pad), jnp.int32),
+            scaffold=np.zeros(t_pad, np.int32),
+            g_off=0, s_off=0, n_sem=0, prompt_len=1,
+            max_new_tokens=1, temperature=temperature, top_p=top_p,
+        )
+        args, kwargs = self._assembled_batch_traced(assemble_fn, [row], b)
+        args_sds = jax.tree.map(sds, args)
+        kwargs_sds = jax.tree.map(sds, kwargs)
+        lowered = admit_prefill_assembled_batch.lower(
+            args_sds[0], args_sds[1], self.cfg, *args_sds[2:],
+            slot_cache_len=self.cache_len,
+            top_k=top_k,
+            greedy=self.greedy,
+            vocab_slice=self.vocab_slice,
+            extra_ids=self.extra_ids,
+            clone_slice=self.clone_slice,
+            clone_extras=self.clone_extras,
+            assemble_fn=assemble_fn,
+            **kwargs_sds,
+        )
+        exe = lowered.compile()
+        with self._fused_lock:
+            self._fused_exe.setdefault(key, exe)
+        with _FUSED_CACHE_LOCK:
+            _FUSED_EXE_CACHE.setdefault(gkey, exe)
+
+    def submit_assembled_batch(self, assemble_fn, requests) -> list:
+        """Admit a BURST of voice-cache-hit clone requests as ONE device
+        program.  `requests` is a list of dicts with keys global_t, semantic
+        (device token arrays), scaffold, g_off, s_off, n_sem, prompt_len,
+        max_new_tokens, temperature, top_p (None -> engine defaults).  The
+        batch pads up to ADMIT_BATCH_LADDER by duplicating row 0.  Returns
+        the request ids in order.  Caller guarantees the (n_glob, s_pad,
+        t_pad, padded-b) signature is warm (assembled_batch_ready)."""
+        n = len(requests)
+        assert n >= 1
+        b = next((x for x in ADMIT_BATCH_LADDER if x >= n), ADMIT_BATCH_LADDER[-1])
+        assert n <= b, (n, b)  # b may exceed max_slots: pad rows reuse slot 0
+        assert len({
+            (r["global_t"].shape[-1], r["semantic"].shape[-1], len(r["scaffold"]))
+            for r in requests
+        }) == 1, "batched admission requires one shape signature"
+        rows = []
+        for r in requests:
+            r = dict(r)
+            t, _, p = self._resolve_sampling(r.get("temperature"), r.get("top_p"))
+            r["temperature"], r["top_p"] = t, p
+            r["slot"] = self._take_slot(len(r["scaffold"]), r["max_new_tokens"])
+            # reserve before picking the next row's slot
+            self.owner[r["slot"]] = -1  # placeholder; replaced below
+            rows.append(r)
+        key = self.assembled_batch_key(
+            b, rows[0]["global_t"].shape[-1], rows[0]["semantic"].shape[-1],
+            len(rows[0]["scaffold"]),
+        )
+        if key not in self._fused_exe:
+            self.warm_assembled_batch(
+                assemble_fn, b, rows[0]["global_t"].shape[-1],
+                rows[0]["semantic"].shape[-1], len(rows[0]["scaffold"]),
+            )
+        args, kwargs = self._assembled_batch_traced(assemble_fn, rows, b)
+        self.slots = self._fused_exe[key](*args, **kwargs)
+        req_ids = []
+        for r in rows:
+            self.owner[r["slot"]] = None  # let _register_request re-own it
+            req_ids.append(self._register_request(r["slot"], r["max_new_tokens"]))
+        return req_ids
 
     # -- three-phase step: dispatch / blocking fetch / host bookkeeping ----
     #

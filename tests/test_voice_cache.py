@@ -123,3 +123,45 @@ def test_paged_server_cached_voice_chained_path(pipe):
     server, base, hit, hits = asyncio.new_event_loop().run_until_complete(run())
     np.testing.assert_allclose(hit, base, atol=1e-5)
     assert hits >= 1
+
+
+def test_batched_burst_admission_matches_serial(pipe):
+    """A burst of same-voice cache-hit requests admits through ONE batched
+    prefill program (submit_assembled_batch) and must produce exactly the
+    audio serial admission produces (greedy pins the tokens; scalar vocode
+    pins the waveform)."""
+    _reset(pipe, size=2)
+    wav = _wav(270)
+    texts = ["burst one", "burst two", "burst tri"]
+
+    def run(burst: bool):
+        _reset(pipe, size=2)
+        server = ContinuousTTSServer(
+            pipe, max_slots=4, steps_per_dispatch=6, greedy=True,
+            vocode_batch=False, fused_warm="sync",
+        )
+
+        async def go():
+            await server.start()
+            # prime the cache (miss -> fused/chained single admission)
+            await server.synthesize("prime", prompt_wav=wav)
+            if burst:
+                tasks = [
+                    asyncio.ensure_future(server.synthesize(t, prompt_wav=wav))
+                    for t in texts
+                ]
+                outs = await asyncio.gather(*tasks)
+            else:
+                outs = [await server.synthesize(t, prompt_wav=wav) for t in texts]
+            await server.stop()
+            return outs
+
+        outs = asyncio.new_event_loop().run_until_complete(go())
+        return server, outs
+
+    srv_b, burst_outs = run(True)
+    srv_s, serial_outs = run(False)
+    assert srv_b.stats.get("batched_admissions", 0) >= 2, srv_b.stats
+    assert srv_s.stats.get("batched_admissions", 0) == 0
+    for a, b in zip(burst_outs, serial_outs):
+        np.testing.assert_array_equal(a, b)
