@@ -185,6 +185,19 @@ def main():
             if owner is not None:
                 eng.release_slot(slot)
         del warm_server, eng
+        # warm batched-admission executables for every distinct signature ×
+        # ladder size ≤ the max concurrency (a timed burst otherwise
+        # compiles its batch program inline — same trap as cold vocode
+        # batch signatures)
+        from sparktts_tpu.serve.continuous_server import warm_admit_batches
+
+        warm_b = ContinuousTTSServer(pipe, max_slots=args.max_slots, fused_warm="sync")
+        n_ab = warm_admit_batches(
+            warm_b, tasks,
+            min(args.max_slots, max(offline_concs + streaming_concs, default=1)),
+        )
+        print(f"warmed {n_ab} batched-admission executables", file=sys.stderr)
+        del warm_b
         # warm real prompt-bucket admission + chunk vocode shapes through
         # both continuous modes
         run_continuous_benchmark(

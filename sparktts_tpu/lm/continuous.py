@@ -381,6 +381,94 @@ ADMIT_BATCH_LADDER = (2, 4, 8, 16)
     jax.jit,
     static_argnames=(
         "cfg", "slot_cache_len", "top_k", "greedy", "vocab_slice", "extra_ids",
+        "clone_slice", "clone_extras", "tokenize_fn", "assemble_fn",
+    ),
+    donate_argnums=(1,),
+)
+def admit_prefill_fused_batch(
+    params,
+    slots: SlotState,
+    cfg: QwenConfig,
+    slot_ids: jax.Array,       # (B,)
+    w2v_params,
+    bc_params,
+    wavs: jax.Array,           # (B, pad_len)
+    feature_masks: jax.Array,  # (B, F) bool
+    ref_wavs: jax.Array,       # (B, ref_len)
+    scaffolds: jax.Array,      # (B, t_pad) int32
+    g_offs: jax.Array,         # (B,)
+    s_offs: jax.Array,         # (B,)
+    n_sems: jax.Array,         # (B,)
+    prompt_lens: jax.Array,    # (B,)
+    slot_cache_len: int,
+    temperature: jax.Array,    # (B,)
+    top_p: jax.Array,          # (B,)
+    limits: jax.Array,         # (B,)
+    top_k: int = 50,
+    greedy: bool = False,
+    vocab_slice: Tuple[int, int] | None = None,
+    extra_ids: Tuple[int, ...] = (),
+    clone_slice: Tuple[int, int] | None = None,
+    clone_extras: Tuple[int, ...] = (),
+    tokenize_fn=None,          # static: pipeline._tokenize_fn(pad_len, ref_len)
+    assemble_fn=None,          # static: pipeline._assemble_fn_batch(t_pad, s_pad)
+) -> Tuple[SlotState, jax.Array, jax.Array]:
+    """Batched `admit_prefill_fused`: a BURST of first-time clone admissions
+    sharing one (wav bucket, t_pad) signature runs audio tokenization (batch
+    wav2vec2 + BiCodec), prompt assembly and the (B, t_pad) prefill as ONE
+    device program.  Returns (slots, global (B, N), semantic (B, S_pad)) —
+    token arrays stay on device for the vocoder and the voice cache.  Same
+    duplicate-row-0 padding contract as admit_prefill_assembled_batch."""
+    semantic, global_t = tokenize_fn(w2v_params, bc_params, wavs, feature_masks, ref_wavs)
+    ids = assemble_fn(
+        scaffolds,
+        jnp.asarray(global_t, jnp.int32),
+        jnp.asarray(semantic, jnp.int32),
+        g_offs,
+        s_offs,
+        n_sems,
+    )
+    first_toks, tmp_cache, rng = prefill_many(
+        params, cfg, ids, prompt_lens, slots.rng, slots.cache.k.dtype,
+        temperature, top_k, top_p, greedy, vocab_slice, extra_ids,
+        jnp.zeros(ids.shape[0], bool), clone_slice, clone_extras,
+    )
+    b = ids.shape[0]
+    k_full = jax.lax.dynamic_update_slice(
+        jnp.zeros(
+            (cfg.num_hidden_layers, b, slot_cache_len, cfg.num_key_value_heads, cfg.head_dim),
+            slots.cache.k.dtype,
+        ),
+        tmp_cache.k,
+        (0, 0, 0, 0, 0),
+    )
+    v_full = jax.lax.dynamic_update_slice(
+        jnp.zeros_like(k_full), tmp_cache.v, (0, 0, 0, 0, 0)
+    )
+    new_slots = SlotState(
+        cache=KVCache(
+            k=slots.cache.k.at[:, slot_ids].set(k_full),
+            v=slots.cache.v.at[:, slot_ids].set(v_full),
+        ),
+        cur_token=slots.cur_token.at[slot_ids].set(first_toks),
+        write_pos=slots.write_pos.at[slot_ids].set(prompt_lens),
+        position=slots.position.at[slot_ids].set(prompt_lens),
+        start=slots.start.at[slot_ids].set(0),
+        limit=slots.limit.at[slot_ids].set(jnp.asarray(limits, jnp.int32)),
+        active=slots.active.at[slot_ids].set(True),
+        done=slots.done.at[slot_ids].set(False),
+        control=slots.control.at[slot_ids].set(False),
+        temperature=slots.temperature.at[slot_ids].set(temperature),
+        top_p=slots.top_p.at[slot_ids].set(top_p),
+        rng=rng,
+    )
+    return new_slots, global_t, semantic
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "slot_cache_len", "top_k", "greedy", "vocab_slice", "extra_ids",
         "clone_slice", "clone_extras",
     ),
     donate_argnums=(1,),
@@ -1376,6 +1464,130 @@ class ContinuousBatchingEngine(StepProtocolMixin):
             self.owner[r["slot"]] = None  # let _register_request re-own it
             req_ids.append(self._register_request(r["slot"], r["max_new_tokens"]))
         return req_ids
+
+    # -- batched fused admission (burst of first-time same-shape voices) ---
+
+    def fused_batch_key(self, b: int, tok_args: tuple, t_pad: int) -> tuple:
+        _, _, wav, feature_mask, ref_wav = tok_args
+        return ("fusb", b, wav.shape[-1], feature_mask.shape[-1], ref_wav.shape[-1], t_pad)
+
+    def fused_batch_ready(self, b: int, tok_args: tuple, t_pad: int) -> bool:
+        return self.fused_batch_key(b, tok_args, t_pad) in self._fused_exe
+
+    def _fused_batch_traced(self, rows, b: int):
+        pad = b - len(rows)
+        rows = list(rows) + [rows[0]] * pad
+        w2v, bc = rows[0]["tok_args"][0], rows[0]["tok_args"][1]
+        cat = lambda i: jnp.concatenate(  # noqa: E731
+            [jnp.asarray(r["tok_args"][i]) for r in rows], axis=0
+        )
+        scaffolds = np.stack([np.asarray(r["scaffold"], np.int32) for r in rows])
+        args = (
+            self.params, self.slots,
+            self._harr([r["slot"] for r in rows], jnp.int32),
+            w2v, bc,
+            self._harr(cat(2)), self._harr(cat(3)), self._harr(cat(4)),
+            self._harr(scaffolds),
+            self._harr([r["g_off"] for r in rows], jnp.int32),
+            self._harr([r["s_off"] for r in rows], jnp.int32),
+            self._harr([r["n_sem"] for r in rows], jnp.int32),
+            self._harr([r["prompt_len"] for r in rows], jnp.int32),
+        )
+        kwargs = dict(
+            temperature=self._harr([r["temperature"] for r in rows], jnp.float32),
+            top_p=self._harr([r["top_p"] for r in rows], jnp.float32),
+            limits=self._harr(
+                [r["prompt_len"] + r["max_new_tokens"] for r in rows], jnp.int32
+            ),
+        )
+        return args, kwargs
+
+    def warm_fused_batch(
+        self, tokenize_fn, assemble_fn, b: int, tok_args: tuple, t_pad: int
+    ) -> None:
+        """AOT-compile the batched fused-admission executable for this
+        (batch, wav/ref/prompt shape) signature (same policy/caches as
+        warm_fused)."""
+        key = self.fused_batch_key(b, tok_args, t_pad)
+        with self._fused_lock:
+            if key in self._fused_exe:
+                return
+        gkey = self._fused_global_key(key, tokenize_fn, assemble_fn)
+        with _FUSED_CACHE_LOCK:
+            cached = _FUSED_EXE_CACHE.get(gkey)
+        if cached is not None:
+            with self._fused_lock:
+                self._fused_exe.setdefault(key, cached)
+            return
+
+        def sds(x):
+            if isinstance(x, jax.Array):
+                return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+            x = jnp.asarray(x)
+            return jax.ShapeDtypeStruct(x.shape, x.dtype)
+
+        temperature, top_k, top_p = self._resolve_sampling(None, None)
+        row = dict(
+            slot=0, tok_args=tok_args, scaffold=np.zeros(t_pad, np.int32),
+            g_off=0, s_off=0, n_sem=0, prompt_len=1, max_new_tokens=1,
+            temperature=temperature, top_p=top_p,
+        )
+        args, kwargs = self._fused_batch_traced([row], b)
+        args_sds = jax.tree.map(sds, args)
+        kwargs_sds = jax.tree.map(sds, kwargs)
+        lowered = admit_prefill_fused_batch.lower(
+            args_sds[0], args_sds[1], self.cfg, *args_sds[2:],
+            slot_cache_len=self.cache_len,
+            top_k=top_k,
+            greedy=self.greedy,
+            vocab_slice=self.vocab_slice,
+            extra_ids=self.extra_ids,
+            clone_slice=self.clone_slice,
+            clone_extras=self.clone_extras,
+            tokenize_fn=tokenize_fn,
+            assemble_fn=assemble_fn,
+            **kwargs_sds,
+        )
+        exe = lowered.compile()
+        with self._fused_lock:
+            self._fused_exe.setdefault(key, exe)
+        with _FUSED_CACHE_LOCK:
+            _FUSED_EXE_CACHE.setdefault(gkey, exe)
+
+    def submit_fused_batch(self, tokenize_fn, assemble_fn, requests):
+        """Admit a BURST of first-time clone requests (no cache entry yet)
+        as ONE device program: batch audio tokenize + assembly + (B, t_pad)
+        prefill.  `requests` rows carry tok_args (the per-request
+        tokenize_host_prep device args), scaffold, g_off, s_off, n_sem,
+        prompt_len, max_new_tokens, temperature, top_p.  Returns
+        (req_ids, global (B, N), semantic (B, S_pad)) with the token arrays
+        on device (slice row i for the voice cache).  Caller guarantees the
+        signature is warm (fused_batch_ready)."""
+        n = len(requests)
+        assert n >= 1
+        b = next((x for x in ADMIT_BATCH_LADDER if x >= n), ADMIT_BATCH_LADDER[-1])
+        assert n <= b, (n, b)
+        rows = []
+        for r in requests:
+            r = dict(r)
+            t, _, p = self._resolve_sampling(r.get("temperature"), r.get("top_p"))
+            r["temperature"], r["top_p"] = t, p
+            r["slot"] = self._take_slot(len(r["scaffold"]), r["max_new_tokens"])
+            self.owner[r["slot"]] = -1
+            rows.append(r)
+        key = self.fused_batch_key(b, rows[0]["tok_args"], len(rows[0]["scaffold"]))
+        if key not in self._fused_exe:
+            self.warm_fused_batch(
+                tokenize_fn, assemble_fn, b, rows[0]["tok_args"],
+                len(rows[0]["scaffold"]),
+            )
+        args, kwargs = self._fused_batch_traced(rows, b)
+        self.slots, global_t, semantic = self._fused_exe[key](*args, **kwargs)
+        req_ids = []
+        for r in rows:
+            self.owner[r["slot"]] = None
+            req_ids.append(self._register_request(r["slot"], r["max_new_tokens"]))
+        return req_ids, global_t, semantic
 
     # -- three-phase step: dispatch / blocking fetch / host bookkeeping ----
     #

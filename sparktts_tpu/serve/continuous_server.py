@@ -178,6 +178,45 @@ def warm_vocode_batches_seen(pipe, max_batch: int) -> int:
     return n
 
 
+def warm_admit_batches(server, tasks, max_batch: int) -> int:
+    """Pre-compile BATCHED-admission executables for every distinct
+    (wav bucket × prompt bucket) signature in `tasks`, at every
+    ADMIT_BATCH_LADDER size ≤ max_batch — both the fused (first-time voice)
+    and assembled (voice-cache hit) variants.  Benches/deployments call this
+    up front so a timed/live burst never compiles its batch program inline;
+    executables land in the process-global cache, so fresh servers over the
+    same pipeline adopt them.  `tasks` rows need .text/.prompt_wav/
+    .prompt_text.  Returns the number of executables compiled or adopted."""
+    from sparktts_tpu.lm.continuous import ADMIT_BATCH_LADDER
+
+    eng = server.engine
+    if not hasattr(eng, "warm_fused_batch"):
+        return 0
+    pipe = server.pipe
+    n_glob = pipe.config.bicodec.speaker_encoder.token_num
+    sizes = [b for b in ADMIT_BATCH_LADDER if b <= max_batch]
+    seen, n = set(), 0
+    for t in tasks:
+        pending = _Pending(
+            text=t.text, prompt_wav=t.prompt_wav, prompt_text=t.prompt_text,
+            gender=None, pitch=None, speed=None,
+            max_new_tokens=server.default_max_new, future=None,
+        )
+        fn, tok_args, n_sem_true, s_pad = pipe.tokenize_host_prep(t.prompt_wav)
+        use_sem = n_sem_true if t.prompt_text is not None else 0
+        scaffold, _, _, _, t_pad = server._clone_scaffold(n_glob, use_sem, pending)
+        sig = (tok_args[2].shape[-1], s_pad, t_pad, use_sem and 1)
+        if sig in seen:
+            continue
+        seen.add(sig)
+        assemble_fn = pipe._assemble_fn_batch(t_pad, s_pad)
+        for b in sizes:
+            eng.warm_fused_batch(fn, assemble_fn, b, tok_args, t_pad)
+            eng.warm_assembled_batch(assemble_fn, b, n_glob, s_pad, t_pad)
+            n += 2
+    return n
+
+
 def _split_first_audio(jobs: list, deferred: set):
     """First-chunk-priority split of one vocode drain (see _vocode_loop):
     returns (run_now, backlog, deferred').  When the drain mixes first-audio
@@ -1636,16 +1675,58 @@ class ContinuousTTSServer:
             top_p=pending.top_p,
         )
 
+    def _prep_fused_row(self, pending: _Pending):
+        """First-time (cache-miss) clone admission prepared as a batched
+        fused-admission row, or None when it doesn't qualify."""
+        if (
+            pending.speaker_globals is not None
+            or pending.gender is not None
+            or not self.device_admission
+            or not self.fused_admission
+        ):
+            return None
+        vkey = self.pipe.voice_cache_key(pending.prompt_wav)
+        fn, tok_args, n_sem_true, s_pad = self.pipe.tokenize_host_prep(
+            pending.prompt_wav
+        )
+        use_sem = n_sem_true if pending.prompt_text is not None else 0
+        n_glob = self.pipe.config.bicodec.speaker_encoder.token_num
+        scaffold, prompt_len, g_off, s_off, t_pad = self._clone_scaffold(
+            n_glob, use_sem, pending
+        )
+        self._check_fits(t_pad, pending)
+        return dict(
+            tok_args=tok_args,
+            tokenize_fn=fn,
+            s_pad=s_pad,
+            n_sem_true=n_sem_true,
+            vkey=vkey,
+            scaffold=scaffold,
+            g_off=g_off,
+            s_off=s_off,
+            n_sem=use_sem,
+            prompt_len=prompt_len,
+            max_new_tokens=pending.max_new_tokens,
+            temperature=pending.temperature,
+            top_p=pending.top_p,
+        )
+
     def _admit_burst(self, pendings: list) -> list:
-        """Admit a BURST of simultaneously-waiting requests: voice-cache-hit
-        clone groups sharing one (n_glob, S_pad, t_pad) shape signature go
-        through `submit_assembled_batch` — B prompt assemblies + ONE (B,
-        t_pad) prefill on device instead of B serial prefill programs
-        (VERDICT r04 item 3: a 16-stream burst's admission compute collapses
-        ~B-fold, since prefill is weight-streaming-bound).  Only
-        ALREADY-COMPILED batch signatures are used outside fused_warm="sync"
-        (cold ones start a background AOT warm and this burst falls back).
-        Returns the pendings NOT admitted here, in arrival order."""
+        """Admit a BURST of simultaneously-waiting requests as batched
+        device programs (VERDICT r04 item 3: admission prefill is
+        weight-streaming-bound, so a 16-stream burst's admission compute
+        collapses ~B-fold when batched):
+
+        * voice-cache-HIT clone groups sharing one (n_glob, S_pad, t_pad)
+          signature → `submit_assembled_batch` (B assemblies + ONE prefill);
+        * first-time clone groups sharing one (wav bucket, t_pad) signature
+          → `submit_fused_batch` (batch audio tokenize + assembly + ONE
+          prefill), with per-row voice-cache fills.
+
+        Only ALREADY-COMPILED batch signatures are used outside
+        fused_warm="sync" (cold ones start a background AOT warm and this
+        burst falls back to the single path).  Returns the pendings NOT
+        admitted here, in arrival order."""
         from sparktts_tpu.lm.continuous import ADMIT_BATCH_LADDER
 
         eng = self.engine
@@ -1656,17 +1737,29 @@ class ContinuousTTSServer:
         for p in pendings:
             try:
                 row = self._prep_cache_hit_row(p)
+                kind = "asm"
+                if row is None and not self.engine.mesh:
+                    row = self._prep_fused_row(p)
+                    kind = "fus"
             except Exception as e:
                 self._fail_pending(p, e)
                 passthrough.discard(id(p))
                 continue
             if row is None:
                 continue
-            sig = (
-                row["global_t"].shape[-1],
-                row["semantic"].shape[-1],
-                len(row["scaffold"]),
-            )
+            if kind == "asm":
+                sig = (
+                    "asm",
+                    row["global_t"].shape[-1],
+                    row["semantic"].shape[-1],
+                    len(row["scaffold"]),
+                )
+            else:
+                _, _, wav, mask, ref = row["tok_args"]
+                sig = (
+                    "fus", wav.shape[-1], mask.shape[-1], ref.shape[-1],
+                    row["s_pad"], len(row["scaffold"]),
+                )
             groups.setdefault(sig, []).append((p, row))
         busy = any(o is not None for o in eng.owner)
         for sig, items in groups.items():
@@ -1677,21 +1770,39 @@ class ContinuousTTSServer:
                 ADMIT_BATCH_LADDER[-1],
             )
             items = items[:b]
-            assemble_fn = self.pipe._assemble_fn_batch(sig[2], sig[1])
-            if not eng.assembled_batch_ready(b, *sig):
+            rows = [row for _, row in items]
+            t_pad = len(rows[0]["scaffold"])
+            if sig[0] == "asm":
+                asig = sig[1:]
+                assemble_fn = self.pipe._assemble_fn_batch(t_pad, asig[1])
+                ready = eng.assembled_batch_ready(b, *asig)
+                warm_key = eng.assembled_batch_key(b, *asig)
+                warm = lambda a=assemble_fn, b_=b, s=asig: (  # noqa: E731
+                    eng.warm_assembled_batch(a, b_, *s)
+                )
+                submit = lambda: (  # noqa: E731
+                    eng.submit_assembled_batch(assemble_fn, rows), None, None
+                )
+            else:
+                assemble_fn = self.pipe._assemble_fn_batch(t_pad, rows[0]["s_pad"])
+                tokenize_fn = rows[0]["tokenize_fn"]
+                ready = eng.fused_batch_ready(b, rows[0]["tok_args"], t_pad)
+                warm_key = eng.fused_batch_key(b, rows[0]["tok_args"], t_pad)
+                warm = lambda tf=tokenize_fn, a=assemble_fn, b_=b, ta=rows[0]["tok_args"], tp=t_pad: (  # noqa: E731
+                    eng.warm_fused_batch(tf, a, b_, ta, tp)
+                )
+                submit = lambda: eng.submit_fused_batch(tokenize_fn, assemble_fn, rows)  # noqa: E731
+            if not ready:
                 if self.fused_warm == "sync":
-                    eng.warm_assembled_batch(assemble_fn, b, *sig)
+                    warm()
                 else:
-                    self._start_warm(
-                        eng.assembled_batch_key(b, *sig),
-                        lambda a=assemble_fn, b_=b, s=sig:
-                            eng.warm_assembled_batch(a, b_, *s),
-                    )
+                    self._start_warm(warm_key, warm)
                     continue  # this burst rides the single path; next batches
             t0 = time.perf_counter()
             try:
-                req_ids = eng.submit_assembled_batch(
-                    assemble_fn, [row for _, row in items]
+                out = submit()
+                req_ids, global_t, semantic = (
+                    out if sig[0] == "fus" else (out[0], None, None)
                 )
             except Exception as e:
                 logger.exception("batched admission failed; failing its pendings")
@@ -1700,21 +1811,25 @@ class ContinuousTTSServer:
                     passthrough.discard(id(p))
                 continue
             dt = time.perf_counter() - t0
-            for (p, row), req_id in zip(items, req_ids):
-                self.stage_stats.record(
-                    "queue_wait", t0 - p.enqueue_time
-                )
+            for i, ((p, row), req_id) in enumerate(zip(items, req_ids)):
+                self.stage_stats.record("queue_wait", t0 - p.enqueue_time)
                 self.stage_stats.record("admit_prefill", dt / len(items))
-                p.global_tokens = row["global_t"]
+                if sig[0] == "asm":
+                    p.global_tokens = row["global_t"]
+                else:
+                    g_row, s_row = global_t[i : i + 1], semantic[i : i + 1]
+                    p.global_tokens = g_row
+                    self.pipe.voice_cache_put(
+                        row["vkey"], (g_row, s_row, row["n_sem_true"])
+                    )
                 self.inflight[req_id] = p
                 passthrough.discard(id(p))
                 if busy:
                     self.stats["admitted_midflight"] += 1
                 busy = True
             self._last_concurrent = time.perf_counter()
-            self.stats["voice_cache_admissions"] = (
-                self.stats.get("voice_cache_admissions", 0) + len(items)
-            )
+            stat = "voice_cache_admissions" if sig[0] == "asm" else "fused_admissions"
+            self.stats[stat] = self.stats.get(stat, 0) + len(items)
             self.stats["batched_admissions"] = (
                 self.stats.get("batched_admissions", 0) + len(items)
             )
