@@ -373,6 +373,7 @@ def main():
         from sparktts_tpu.serve.continuous_server import (
             default_stream_ctx,
             vocode_window_cap,
+            warm_spec_chains,
             warm_stream_windows,
         )
 
@@ -383,6 +384,15 @@ def main():
             f"warmed {n_win} new scalar stream-window signatures "
             f"(stream bucket {pipe.vocode_bucket})", file=sys.stderr,
         )
+        # speculative first-chunk chain programs: one per (batch, target,
+        # dispatch rung) signature — the first conc-4 r05 recording ate a
+        # 13 s compile exactly here
+        warm_c = ContinuousTTSServer(pipe, max_slots=args.max_slots)
+        n_spec = warm_spec_chains(
+            warm_c, min(args.max_slots, max(streaming_concs, default=1))
+        )
+        print(f"warmed {n_spec} speculative-chain programs", file=sys.stderr)
+        del warm_c
     for conc in streaming_concs:
         record(
             run_continuous_benchmark(

@@ -468,6 +468,45 @@ class SparkTTSPipeline:
         API; see there for semantics)."""
         return self.spec_vocode_chain_multi([(slot, target, 0, global_tokens)], 1)
 
+    def _spec_chain_fn(self, batch: int, target: int):
+        """Cached jitted body of the speculative first-chunk chain: row
+        gather + windowed semantic extraction + (optionally packed-emitted)
+        speaker ids + batched vocode + bitcast, as ONE XLA program.  Keyed by
+        (batch, target); jit re-specializes per packed/dispatch shape.  One
+        program per signature matters: the previous eager-op chain compiled
+        a handful of first-seen tiny programs per NEW (batch, dispatch)
+        combination — through the relay that landed multi-second stalls
+        inside timed/live first chunks (13 s at the first conc-4 dispatch of
+        BENCH_DATASET_r05's first recording)."""
+        t_pad = _round_up(max(target, 1), self.vocode_bucket)
+        key = ("spec_chain", batch, target, t_pad)
+        if key not in self._jit_cache:
+            cfg = self.config
+            tok = self.tokenizer
+            sem_base, n_sem = tok.semantic_base, tok.n_semantic
+            g_base, n_glob_codes = tok.global_base, tok.n_global
+            tn = cfg.bicodec.speaker_encoder.token_num
+            up = self._wave_upsample
+
+            @jax.jit
+            def fn(bc_params, packed, slot_ids, offs, ctrl, globs):
+                rows = packed[slot_ids]                      # (B, W)
+                idx = offs[:, None] + jnp.arange(target)[None, :]
+                ids = jnp.take_along_axis(rows, idx, axis=1)
+                sem = jnp.clip(ids - sem_base, 0, n_sem - 1)
+                # edge-replicate pad to the vocode bucket, like detokenize
+                sem_p = sem[:, jnp.minimum(jnp.arange(t_pad), target - 1)]
+                g_pack = jnp.clip(rows[:, 1 : 1 + tn] - g_base, 0, n_glob_codes - 1)
+                g = jnp.where(ctrl[:, None], g_pack, globs)
+                wav = bicodec_detokenize(bc_params, cfg.bicodec, sem_p, g)
+                return jax.lax.bitcast_convert_type(
+                    wav[:, : target * up].astype(jnp.float32).reshape(-1),
+                    jnp.int32,
+                )
+
+            self._jit_cache[key] = fn
+        return self._jit_cache[key]
+
     def spec_vocode_chain_multi(self, specs, batch: int):
         """Build a `chain_fn` for the continuous engines' `step_chained`:
         speculatively vocode EVERY listed decode slot's first streaming chunk
@@ -500,46 +539,27 @@ class SparkTTSPipeline:
         assert specs and batch >= len(specs)
         target0 = specs[0][1]
         assert all(t == target0 for _, t, _, _ in specs), "mixed chunk targets"
-        t_pad = _round_up(max(target0, 1), self.vocode_bucket)
-        detok = self._detokenize_fn(t_pad)
-        bc_params = self.bicodec_params
-        tok = self.tokenizer
-        sem_base, n_sem = tok.semantic_base, tok.n_semantic
-        g_base, n_glob = tok.global_base, tok.n_global
         tn = self.config.bicodec.speaker_encoder.token_num
-        up = self._wave_upsample
-        g_rows = [
-            None if g is None
-            else jnp.reshape(jnp.asarray(g, dtype=jnp.int32), (1, -1))
-            for *_, g in specs
-        ]
-        pad_idx = jnp.minimum(jnp.arange(t_pad), target0 - 1)
+        fn = self._spec_chain_fn(batch, target0)
+        # fixed-shape row descriptors, padded to `batch` by duplicating row 0
+        # (outputs of pad rows are sliced off by the caller)
+        rows = list(specs) + [specs[0]] * (batch - len(specs))
+        slot_ids = np.asarray([r[0] for r in rows], np.int32)
+        offs = np.asarray([r[2] for r in rows], np.int32)
+        ctrl = np.asarray([r[3] is None for r in rows], bool)
+        dummy = jnp.zeros((1, tn), jnp.int32)
+        globs = jnp.concatenate(
+            [
+                dummy if g is None
+                else jnp.reshape(jnp.asarray(g, dtype=jnp.int32), (1, -1))
+                for *_, g in rows
+            ],
+            axis=0,
+        )
+        bc_params = self.bicodec_params
 
         def chain(packed: jax.Array) -> jax.Array:
-            sems, globs = [], []
-            for (slot, target, off, _), g in zip(specs, g_rows):
-                ids = packed[slot, off : off + target]
-                sem = jnp.clip(ids - sem_base, 0, n_sem - 1)
-                sems.append(sem[pad_idx])
-                if g is None:  # controllable: speaker ids from this dispatch
-                    globs.append(
-                        jnp.clip(packed[slot, 1 : 1 + tn] - g_base, 0, n_glob - 1)[None, :]
-                    )
-                else:
-                    globs.append(g)
-            while len(sems) < batch:  # duplicate-row pad to the warm batch
-                sems.append(sems[-1])
-                globs.append(globs[-1])
-            wav = detok(
-                bc_params,
-                jnp.stack(sems).astype(jnp.int32),
-                jnp.concatenate(globs, axis=0),
-            )
-            parts = [
-                wav[i, : target0 * up].astype(jnp.float32)
-                for i in range(len(specs))
-            ]
-            return jax.lax.bitcast_convert_type(jnp.concatenate(parts), jnp.int32)
+            return fn(bc_params, packed, slot_ids, offs, ctrl, globs)
 
         return chain
 

@@ -178,6 +178,72 @@ def warm_vocode_batches_seen(pipe, max_batch: int) -> int:
     return n
 
 
+def warm_spec_chain(pipe, max_slots: int, batch: int, target: int, n_steps: int) -> None:
+    """Compile (by dummy execution) the speculative first-chunk chain
+    program for one (batch, target, dispatch-size) signature and register it
+    warm.  The packed step-result width is 2*n_steps+1 over `max_slots`
+    rows, so the program re-specializes per dispatch rung."""
+    st = _voc_state(pipe)
+    warm_set = st.setdefault("spec_warm", set())
+    t_pad = -(-max(target, 1) // pipe.vocode_bucket) * pipe.vocode_bucket
+    key = (batch, target, t_pad, n_steps)
+    if key in warm_set:
+        return
+    import jax.numpy as jnp
+
+    fn = pipe._spec_chain_fn(batch, target)
+    tn = pipe.config.bicodec.speaker_encoder.token_num
+    packed = jnp.zeros((max_slots, 2 * n_steps + 1), jnp.int32)
+    fn(
+        pipe.bicodec_params,
+        packed,
+        np.zeros(batch, np.int32),
+        np.zeros(batch, np.int32),
+        np.zeros(batch, bool),
+        jnp.zeros((batch, tn), jnp.int32),
+    )
+    warm_set.add(key)
+
+
+def first_chunk_target(pipe) -> int:
+    """The streaming schedule's FIRST chunk size in semantic tokens — the
+    speculative chain's `target` for every fresh stream."""
+    from sparktts_tpu.serve.streaming import chunk_sizes
+
+    return next(chunk_sizes(pipe.config.streaming))
+
+
+def warm_spec_chains(server, max_batch: int) -> int:
+    """Pre-compile every speculative-chain signature a server's dispatch
+    sizing can put on a first-chunk-covering dispatch: rungs >= the first
+    chunk target (clone) / target + token_num + 2 (controllable pre-snap),
+    capped at the server's dispatch cap, at batch 1 and every ladder size
+    <= max_batch.  Benches call this so no live/timed first chunk ever
+    waits out a chain compile.  Returns the number of programs compiled."""
+    pipe = server.pipe
+    target = first_chunk_target(pipe)
+    tn = pipe.config.bicodec.speaker_encoder.token_num
+    rungs = {
+        snap_to_ladder(target, server.steps, overshoot=target),
+        snap_to_ladder(target + tn + 2, server.steps, overshoot=target + tn + 2),
+    }
+    if server.co_dispatch_cap >= target:
+        rungs.add(snap_to_ladder(server.co_dispatch_cap, server.steps))
+    sizes = [1] + [b for b in VOCODE_BATCH_LADDER if b <= max(max_batch, 2)]
+    st = _voc_state(pipe)
+    warm_set = st.setdefault("spec_warm", set())
+    t_pad = -(-max(target, 1) // pipe.vocode_bucket) * pipe.vocode_bucket
+    n = 0
+    for rung in sorted(rungs):
+        if rung < target:
+            continue
+        for b in sizes:
+            if (b, target, t_pad, rung) not in warm_set:
+                warm_spec_chain(pipe, server.engine.max_slots, b, target, rung)
+                n += 1
+    return n
+
+
 def warm_admit_batches(server, tasks, max_batch: int) -> int:
     """Pre-compile BATCHED-admission executables for every distinct
     (wav bucket × prompt bucket) signature in `tasks`, at every
@@ -1539,7 +1605,9 @@ class ContinuousTTSServer:
                 entries.append((req, slot, target, off, control))
         if not entries:
             return None
-        n_spec, batch = self._spec_batch(len(entries), entries[0][2])
+        n_spec, batch = self._spec_batch(len(entries), entries[0][2], n_dispatch)
+        if n_spec < 1:
+            return None
         entries = entries[:n_spec]
         chain = self.pipe.spec_vocode_chain_multi(
             [
@@ -1551,35 +1619,63 @@ class ContinuousTTSServer:
         )
         return entries, chain
 
-    def _spec_batch(self, n: int, target: int):
+    def _spec_batch(self, n: int, target: int, n_dispatch: int):
         """(n_spec, batch) for a chained spec of `n` eligible slots: how many
-        to actually spec and the padded batch size of the single vocoder
-        program.  Only ALREADY-COMPILED (batch, t_pad) signatures are used —
-        a cold one would stall the decode dispatch chain on an XLA compile —
-        so excess slots ride the normal vocode path while the wanted batch
-        size compiles in the background (same policy as _pick_vocode_batch)."""
-        # register the spec window length as SEEN: spec'd first chunks never
-        # reach a vocode drain, so without this the warm sweep
-        # (warm_vocode_batches_seen) would skip the batched first-chunk
-        # signatures and a timed/live run would kick their compiles itself
+        to actually spec and the padded batch of the single chain program.
+        Only ALREADY-COMPILED (batch, target, dispatch) chain signatures are
+        used — a cold one would stall the decode dispatch chain on an XLA
+        compile — so slots beyond the largest warm batch ride the normal
+        vocode path while the wanted size compiles in the background
+        ((0, 0) = no warm signature at all: skip speculation this dispatch)."""
+        # register the spec window length as SEEN for the follow-up-chunk
+        # drain shapes (spec'd first chunks never reach a vocode drain)
         _voc_state(self.pipe)["sizes_seen"].add(max(target, 1))
-        if n <= 1:
-            return 1, 1  # scalar (1, t_pad): the warm_stream_windows surface
         t_pad = -(-max(target, 1) // self.pipe.vocode_bucket) * self.pipe.vocode_bucket
-        warm_set = _voc_state(self.pipe)["warm"]
-        warm = [b for b in self._voc_batch_sizes if (b, t_pad) in warm_set]
+        warm_set = _voc_state(self.pipe).setdefault("spec_warm", set())
+        sizes = [1] + [b for b in VOCODE_BATCH_LADDER if b <= max(self.engine.max_slots, 2)]
+        warm = [b for b in sizes if (b, target, t_pad, n_dispatch) in warm_set]
+        want = next((b for b in sizes if b >= n), sizes[-1])
+        if (want, target, t_pad, n_dispatch) not in warm_set:
+            if self.fused_warm == "sync":
+                # steady-state measurement / test policy: compile inline
+                # instead of racing a background warm against the run
+                warm_spec_chain(
+                    self.pipe, self.engine.max_slots, want, target, n_dispatch
+                )
+                warm.append(want)
+            else:
+                self._warm_spec_chain_bg(want, target, n_dispatch)
         cover = [b for b in warm if b >= n]
         if cover:
             return n, cover[0]
-        want = next(
-            (b for b in self._voc_batch_sizes if b >= n),
-            self._voc_batch_sizes[-1] if self._voc_batch_sizes else None,
-        )
-        if want is not None:
-            self._warm_vocode_batch_bg(want, t_pad)
         if warm:
             return warm[-1], warm[-1]
-        return 1, 1
+        return 0, 0
+
+    def _warm_spec_chain_bg(self, batch: int, target: int, n_dispatch: int):
+        """Background-compile the speculative-chain program for this
+        (batch, target, bucketed window, dispatch) signature; until it
+        lands, first chunks ride the (already warm) normal vocode path."""
+        st = _voc_state(self.pipe)
+        t_pad = -(-max(target, 1) // self.pipe.vocode_bucket) * self.pipe.vocode_bucket
+        key = (batch, target, t_pad, n_dispatch)
+        warm_set = st.setdefault("spec_warm", set())
+        warming = st.setdefault("spec_warming", set())
+        if key in warm_set or key in warming:
+            return
+        warming.add(key)
+
+        def go():
+            try:
+                warm_spec_chain(
+                    self.pipe, self.engine.max_slots, batch, target, n_dispatch
+                )
+            except Exception:
+                logger.exception("spec chain warm %s failed", key)
+            finally:
+                warming.discard(key)
+
+        threading.Thread(target=go, daemon=True, name=f"spec-warm-{batch}x{target}").start()
 
     def _apply_specs(self, spec, chained: np.ndarray, increments) -> set:
         """Validate each speculative first chunk against the fetched tokens;
@@ -1900,7 +1996,18 @@ class ContinuousTTSServer:
                     return
             else:
                 pending = getter.result()
-            self._try_admit(pending, engine_idle=False)
+            # drain any arrivals that landed in the same instant so a true
+            # burst admits through ONE batched prefill (_admit_burst); the
+            # yield lets sibling producers' pending puts land first
+            await asyncio.sleep(0)
+            burst = [pending]
+            while (
+                self.engine.free_slots() - len(burst) > 0
+                and not self.waiting.empty()
+            ):
+                burst.append(self.waiting.get_nowait())
+            for p in self._admit_burst(burst):
+                self._try_admit(p, engine_idle=False)
 
     def _deliver_step(self, increments, chained, spec, before):
         """Host-side delivery of a COMMITTED step: dispatch-sizing token

@@ -75,7 +75,8 @@ def _stream_chunks(server, **kw):
 
 
 def test_spec_first_chunk_bit_identical_to_plain_path(pipe):
-    fast = ContinuousTTSServer(pipe, max_slots=2, steps_per_dispatch=8)
+    fast = ContinuousTTSServer(pipe, max_slots=2, steps_per_dispatch=8,
+                               fused_warm="sync")
     plain = ContinuousTTSServer(
         pipe,
         max_slots=2,
@@ -92,7 +93,8 @@ def test_spec_first_chunk_bit_identical_to_plain_path(pipe):
 
 
 def test_offline_device_admission_matches_plain(pipe):
-    fast = ContinuousTTSServer(pipe, max_slots=2, steps_per_dispatch=8)
+    fast = ContinuousTTSServer(pipe, max_slots=2, steps_per_dispatch=8,
+                               fused_warm="sync")
     plain = ContinuousTTSServer(
         pipe, max_slots=2, steps_per_dispatch=8, device_admission=False
     )
