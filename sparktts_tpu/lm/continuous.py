@@ -685,11 +685,10 @@ def chain_step_result(packed, chain_fn):
     request then sit directly behind the decode program in the device
     queue, so a pipelined next dispatch (dispatch_depth > 1) can never
     delay a speculative first chunk or the fetch that carries it."""
-    flat = (
-        packed.reshape(-1)
-        if chain_fn is None
-        else jnp.concatenate([packed.reshape(-1), chain_fn(packed)])
-    )
+    # a chain_fn returns the ENTIRE flat transfer (packed tokens + audio
+    # bits) from one jitted program — no eager concat here, because every
+    # first-seen eager-op program costs a multi-second compile via the relay
+    flat = packed.reshape(-1) if chain_fn is None else chain_fn(packed)
     try:
         flat.copy_to_host_async()
     except Exception:  # pragma: no cover - platform without async copy

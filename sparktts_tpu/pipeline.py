@@ -499,10 +499,15 @@ class SparkTTSPipeline:
                 g_pack = jnp.clip(rows[:, 1 : 1 + tn] - g_base, 0, n_glob_codes - 1)
                 g = jnp.where(ctrl[:, None], g_pack, globs)
                 wav = bicodec_detokenize(bc_params, cfg.bicodec, sem_p, g)
-                return jax.lax.bitcast_convert_type(
+                bits = jax.lax.bitcast_convert_type(
                     wav[:, : target * up].astype(jnp.float32).reshape(-1),
                     jnp.int32,
                 )
+                # the FLAT packed+audio transfer layout is produced inside
+                # this one program: the hot path must enqueue ZERO eager ops
+                # (every first-seen tiny program costs a multi-second relay
+                # compile on this platform — the conc-4 first-chunk stalls)
+                return jnp.concatenate([packed.reshape(-1), bits])
 
             self._jit_cache[key] = fn
         return self._jit_cache[key]

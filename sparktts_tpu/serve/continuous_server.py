@@ -2135,9 +2135,21 @@ class ContinuousTTSServer:
                 self._finish(req_id, self.engine.finished.pop(req_id))
 
             if all(o is None for o in self.engine.owner) and not window:
-                # idle: wait for the next request without burning CPU
+                # idle: wait for the next request without burning CPU; the
+                # yield lets the REST of a simultaneous burst land so it
+                # admits through one batched prefill (_admit_burst)
                 pending = await self.waiting.get()
-                self._try_admit(pending, engine_idle=True)
+                await asyncio.sleep(0)
+                burst = [pending]
+                while (
+                    self.engine.free_slots() - len(burst) > 0
+                    and not self.waiting.empty()
+                ):
+                    burst.append(self.waiting.get_nowait())
+                leftover = self._admit_burst(burst)
+                for p in leftover:
+                    idle = all(o is None for o in self.engine.owner)
+                    self._try_admit(p, engine_idle=idle and len(burst) == 1)
                 continue
 
             cfut = None
