@@ -394,6 +394,16 @@ def main():
         print(f"warmed {n_spec} speculative-chain programs", file=sys.stderr)
         del warm_c
     for conc in streaming_concs:
+        if conc > 2 and not args.no_warmup:
+            # warm at the TIMED concurrency too (bench_first_chunk r03
+            # postmortem): batch composition / state-commitment patterns
+            # first produced at this concurrency otherwise land their
+            # compiles inside the timed run
+            run_continuous_benchmark(
+                pipe, tasks[: min(len(tasks), 2 * conc)], concurrency=conc,
+                streaming=True, max_slots=args.max_slots,
+                vocode_batch=not args.no_vocode_batch,
+            )
         record(
             run_continuous_benchmark(
                 pipe, tasks, concurrency=conc, streaming=True,

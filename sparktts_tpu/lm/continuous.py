@@ -152,7 +152,13 @@ def init_slots(
         rng=rng,
     )
     if mesh is None:
-        return slots
+        # commit the state to the default device: live slot state is always
+        # a program output (committed), and the jit cache keys on argument
+        # committed-ness — an uncommitted initial state would give the very
+        # first dispatch after construction a different decode_steps cache
+        # key than every later one (a full recompile on the serving path)
+        dev = jax.devices()[0]
+        return jax.tree.map(lambda x: jax.device_put(x, dev), slots)
     # multi-chip serving (pipeline.shard_llm): commit the decode state to the
     # SAME device set as the sharded params — K/V heads follow the attention
     # tp sharding, the small per-slot vectors replicate.  Without this, the

@@ -189,18 +189,25 @@ def warm_spec_chain(pipe, max_slots: int, batch: int, target: int, n_steps: int)
     key = (batch, target, t_pad, n_steps)
     if key in warm_set:
         return
+    import jax
     import jax.numpy as jnp
 
     fn = pipe._spec_chain_fn(batch, target)
     tn = pipe.config.bicodec.speaker_encoder.token_num
-    packed = jnp.zeros((max_slots, 2 * n_steps + 1), jnp.int32)
+    # COMMITTED device arrays, like the live call's (packed is a decode
+    # program output, globs a device concat): the jit cache keys on the
+    # argument sharding/committed-ness, so an uncommitted warm compiles a
+    # DIFFERENT executable and the live path still stalls on its own
+    # compile (the r05 conc-4 first-dispatch stalls, conc4_probe log)
+    dev = jax.devices()[0]
+    packed = jax.device_put(jnp.zeros((max_slots, 2 * n_steps + 1), jnp.int32), dev)
     fn(
         pipe.bicodec_params,
         packed,
         np.zeros(batch, np.int32),
         np.zeros(batch, np.int32),
         np.zeros(batch, bool),
-        jnp.zeros((batch, tn), jnp.int32),
+        jax.device_put(jnp.zeros((batch, tn), jnp.int32), dev),
     )
     warm_set.add(key)
 
