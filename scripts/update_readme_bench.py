@@ -42,7 +42,7 @@ def _latest(pattern):
     mis-sort r100 below r99 and silently pick the wrong round for an
     unpadded tag like r4."""
     paths = sorted(
-        ROOT.glob(pattern),
+        (p for p in ROOT.glob(pattern) if re.search(r"_r(\d+)\.json$", p.name)),
         key=lambda p: int(re.search(r"_r(\d+)\.json$", p.name).group(1)),
     )
     if not paths:
